@@ -1,0 +1,349 @@
+"""BAM alignment reader (pure Python + numpy; no htslib dependency).
+
+Host-side substrate replacing the reference's use of ``rust-htslib`` BAM
+readers (``/root/reference/src/variants/sample.rs:37-154`` RecordBuffer).
+BGZF is a sequence of standard gzip members, so the whole file decodes with
+zlib per block; records are parsed into lightweight ``BamRecord`` objects.
+
+Test-scale files are read eagerly and indexed in memory by contig; region
+fetches are binary searches over sorted starts. A C++ htslib-style streaming
+decoder can replace the block decode for pod-scale input without changing the
+interface.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+# 4-bit encoded bases per BAM spec
+SEQ_CODE_TO_ASCII = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+CIGAR_OPS = "MIDNSHP=X"
+
+# CIGAR op indices
+OP_M, OP_I, OP_D, OP_N, OP_S, OP_H, OP_P, OP_EQ, OP_X = range(9)
+_CONSUMES_QUERY = {OP_M, OP_I, OP_S, OP_EQ, OP_X}
+_CONSUMES_REF = {OP_M, OP_D, OP_N, OP_EQ, OP_X}
+
+# FLAG bits
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_FIRST_IN_PAIR = 0x40
+FLAG_LAST_IN_PAIR = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUPLICATE = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+
+def _decode_bgzf(data: bytes) -> bytes:
+    """Decompress a BGZF (concatenated gzip members) byte string."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"bad gzip magic at offset {pos}")
+        # parse the gzip member header to find BSIZE (BC extra subfield)
+        xlen = struct.unpack_from("<H", data, pos + 10)[0]
+        extra = data[pos + 12 : pos + 12 + xlen]
+        bsize = None
+        epos = 0
+        while epos + 4 <= len(extra):
+            si1, si2, slen = extra[epos], extra[epos + 1], struct.unpack_from("<H", extra, epos + 2)[0]
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, epos + 4)[0] + 1
+                break
+            epos += 4 + slen
+        if bsize is None:
+            # plain gzip member: decompress the rest in one go
+            d = zlib.decompressobj(wbits=31)
+            out.append(d.decompress(data[pos:]))
+            pos = n - len(d.unused_data)
+            continue
+        cdata = data[pos + 12 + xlen : pos + bsize - 8]
+        out.append(zlib.decompress(cdata, wbits=-15))
+        pos += bsize
+    return b"".join(out)
+
+
+@dataclass
+class BamRecord:
+    qname: str
+    flag: int
+    tid: int
+    pos: int  # 0-based leftmost
+    mapq: int
+    cigar: np.ndarray  # shape [n_ops, 2]: (op, len)
+    mtid: int
+    mpos: int
+    tlen: int
+    seq: np.ndarray  # uint8 ASCII
+    qual: np.ndarray  # uint8 phred (0xff -> missing)
+    tags: dict = field(default_factory=dict)
+
+    # -- flags ------------------------------------------------------------
+    @property
+    def is_paired(self):
+        return bool(self.flag & FLAG_PAIRED)
+
+    @property
+    def is_unmapped(self):
+        return bool(self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_mate_unmapped(self):
+        return bool(self.flag & FLAG_MATE_UNMAPPED)
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & FLAG_REVERSE)
+
+    @property
+    def is_mate_reverse(self):
+        return bool(self.flag & FLAG_MATE_REVERSE)
+
+    @property
+    def is_first_in_pair(self):
+        return bool(self.flag & FLAG_FIRST_IN_PAIR)
+
+    @property
+    def is_last_in_pair(self):
+        return bool(self.flag & FLAG_LAST_IN_PAIR)
+
+    @property
+    def is_secondary(self):
+        return bool(self.flag & FLAG_SECONDARY)
+
+    @property
+    def is_supplementary(self):
+        return bool(self.flag & FLAG_SUPPLEMENTARY)
+
+    @property
+    def is_duplicate(self):
+        return bool(self.flag & FLAG_DUPLICATE)
+
+    @property
+    def is_qc_fail(self):
+        return bool(self.flag & FLAG_QCFAIL)
+
+    # -- geometry ---------------------------------------------------------
+    @property
+    def read_len(self) -> int:
+        return len(self.seq)
+
+    def cigar_ref_len(self) -> int:
+        return int(sum(l for op, l in self.cigar if op in _CONSUMES_REF))
+
+    @property
+    def end_pos(self) -> int:
+        """0-based exclusive reference end (cigar_end)."""
+        return self.pos + self.cigar_ref_len()
+
+    def leading_softclips(self) -> int:
+        for op, l in self.cigar:
+            if op == OP_S:
+                return int(l)
+            if op != OP_H:
+                return 0
+        return 0
+
+    def trailing_softclips(self) -> int:
+        for op, l in self.cigar[::-1]:
+            if op == OP_S:
+                return int(l)
+            if op != OP_H:
+                return 0
+        return 0
+
+    def read_pos(self, ref_pos: int) -> int | None:
+        """Query index aligned to reference position ``ref_pos`` (match ops
+        only), or None if the position falls into a deletion/skip or outside
+        the alignment. Mirrors htslib cigar().read_pos(pos, false, false)."""
+        q = 0
+        r = self.pos
+        for op, l in self.cigar:
+            l = int(l)
+            if op in (OP_M, OP_EQ, OP_X):
+                if r <= ref_pos < r + l:
+                    return q + (ref_pos - r)
+                q += l
+                r += l
+            elif op == OP_I:
+                q += l
+            elif op in (OP_D, OP_N):
+                if r <= ref_pos < r + l:
+                    return None
+                r += l
+            elif op == OP_S:
+                q += l
+            # H and P consume nothing
+        return None
+
+    def has_indel_operations(self) -> bool:
+        return any(op in (OP_I, OP_D) for op, _ in self.cigar)
+
+    def cigar_string(self) -> str:
+        return "".join(f"{int(l)}{CIGAR_OPS[int(op)]}" for op, l in self.cigar)
+
+
+def _parse_tags(buf: bytes) -> dict:
+    tags = {}
+    pos = 0
+    n = len(buf)
+    while pos + 3 <= n:
+        tag = buf[pos : pos + 2].decode("latin1")
+        typ = chr(buf[pos + 2])
+        pos += 3
+        if typ == "A":
+            tags[tag] = chr(buf[pos])
+            pos += 1
+        elif typ in "cC":
+            tags[tag] = struct.unpack_from("<b" if typ == "c" else "<B", buf, pos)[0]
+            pos += 1
+        elif typ in "sS":
+            tags[tag] = struct.unpack_from("<h" if typ == "s" else "<H", buf, pos)[0]
+            pos += 2
+        elif typ in "iI":
+            tags[tag] = struct.unpack_from("<i" if typ == "i" else "<I", buf, pos)[0]
+            pos += 4
+        elif typ == "f":
+            tags[tag] = struct.unpack_from("<f", buf, pos)[0]
+            pos += 4
+        elif typ in "ZH":
+            end = buf.index(b"\x00", pos)
+            tags[tag] = buf[pos:end].decode("latin1")
+            pos = end + 1
+        elif typ == "B":
+            sub = chr(buf[pos])
+            cnt = struct.unpack_from("<i", buf, pos + 1)[0]
+            pos += 5
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+            size = struct.calcsize(fmt)
+            tags[tag] = np.frombuffer(buf[pos : pos + cnt * size], dtype=np.dtype(fmt))
+            pos += cnt * size
+        else:
+            break
+    return tags
+
+
+class BamReader:
+    """Eager in-memory BAM reader with per-contig sorted indexes."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        raw = self.path.read_bytes()
+        data = _decode_bgzf(raw)
+        if data[:4] != b"BAM\x01":
+            raise ValueError(f"{path} is not BAM")
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        self.header_text = data[8 : 8 + l_text].rstrip(b"\x00").decode("latin1")
+        pos = 8 + l_text
+        n_ref = struct.unpack_from("<i", data, pos)[0]
+        pos += 4
+        self.ref_names: list[str] = []
+        self.ref_lengths: list[int] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", data, pos)[0]
+            name = data[pos + 4 : pos + 4 + l_name - 1].decode("latin1")
+            l_ref = struct.unpack_from("<i", data, pos + 4 + l_name)[0]
+            self.ref_names.append(name)
+            self.ref_lengths.append(l_ref)
+            pos += 8 + l_name
+        self._tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
+
+        self.records: list[BamRecord] = []
+        n = len(data)
+        while pos + 4 <= n:
+            block_size = struct.unpack_from("<i", data, pos)[0]
+            rec = self._parse_record(data, pos + 4, block_size)
+            self.records.append(rec)
+            pos += 4 + block_size
+
+        # per-tid sorted-by-start index
+        self._by_tid: dict[int, list[BamRecord]] = {}
+        for rec in self.records:
+            self._by_tid.setdefault(rec.tid, []).append(rec)
+        self._starts: dict[int, np.ndarray] = {}
+        self._max_span: dict[int, int] = {}
+        for tid, recs in self._by_tid.items():
+            recs.sort(key=lambda r: r.pos)
+            self._starts[tid] = np.array([r.pos for r in recs], dtype=np.int64)
+            self._max_span[tid] = max(
+                (r.end_pos - r.pos for r in recs), default=0
+            )
+
+    @staticmethod
+    def _parse_record(data: bytes, pos: int, block_size: int) -> BamRecord:
+        (
+            tid,
+            p,
+            l_read_name,
+            mapq,
+            _bin,
+            n_cigar_op,
+            flag,
+            l_seq,
+            mtid,
+            mpos,
+            tlen,
+        ) = struct.unpack_from("<iiBBHHHiiii", data, pos)
+        off = pos + 32
+        qname = data[off : off + l_read_name - 1].decode("latin1")
+        off += l_read_name
+        cigar_raw = np.frombuffer(data[off : off + 4 * n_cigar_op], dtype="<u4")
+        cigar = np.stack([cigar_raw & 0xF, cigar_raw >> 4], axis=-1).astype(np.int64)
+        off += 4 * n_cigar_op
+        nseq_bytes = (l_seq + 1) // 2
+        packed = np.frombuffer(data[off : off + nseq_bytes], dtype=np.uint8)
+        codes = np.empty(nseq_bytes * 2, dtype=np.uint8)
+        codes[0::2] = packed >> 4
+        codes[1::2] = packed & 0xF
+        seq = SEQ_CODE_TO_ASCII[codes[:l_seq]]
+        off += nseq_bytes
+        qual = np.frombuffer(data[off : off + l_seq], dtype=np.uint8).copy()
+        off += l_seq
+        tags = _parse_tags(data[off : pos + block_size])
+        return BamRecord(
+            qname=qname,
+            flag=flag,
+            tid=tid,
+            pos=p,
+            mapq=mapq,
+            cigar=cigar,
+            mtid=mtid,
+            mpos=mpos,
+            tlen=tlen,
+            seq=np.ascontiguousarray(seq),
+            qual=qual,
+            tags=tags,
+        )
+
+    # -- queries -----------------------------------------------------------
+    def tid(self, contig: str) -> int:
+        return self._tid_by_name[contig]
+
+    def fetch(self, contig: str, start: int, end: int) -> list[BamRecord]:
+        """Records overlapping [start, end) on contig, in start order."""
+        tid = self._tid_by_name.get(contig)
+        if tid is None or tid not in self._by_tid:
+            return []
+        recs = self._by_tid[tid]
+        starts = self._starts[tid]
+        lo = int(np.searchsorted(starts, start - self._max_span[tid], side="left"))
+        hi = int(np.searchsorted(starts, end, side="left"))
+        return [r for r in recs[lo:hi] if r.end_pos > start and r.pos < end]
+
+    def __iter__(self):
+        return iter(self.records)
+
+    def __len__(self):
+        return len(self.records)
