@@ -1,0 +1,367 @@
+"""Pileup extraction: fragments -> evidence -> observations.
+
+Re-implements the reference's ``Observable`` blanket machinery
+(``/root/reference/src/variants/types/mod.rs:251-408``) and the
+``Sample::extract_observations`` driver
+(``/root/reference/src/variants/sample.rs:290-331``):
+
+- fetch windows around the variant loci (single-read window =
+  ``max_read_len + max_del_cigar_len + 10``; read-pair window =
+  ``isize.mean + 6 sd``; ``sample.rs:259-268``),
+- fragment pairing by qname keeping leftmost/rightmost alignment
+  (deterministic via sorted dict; ``types/mod.rs:294-340``),
+- MAPQ -> log-prob with the conservative pair-max rule
+  (``types/mod.rs:255-272``),
+- depth-capped subsampling (``types/mod.rs:386-389``; reference uses a fixed
+  global RNG seed 48074578, we derive the seed from the locus coordinate so
+  results are invariant to shard boundaries — a deliberate, documented
+  divergence that only matters above --max-depth),
+- observation construction (``read_observation.rs:626-701``).
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+
+from ..io.bam import BamRecord, OP_S
+from ..utils.logprob import LOG_ZERO, np_ln_one_minus_exp
+from .observation import (
+    RO_NONE,
+    RO_BY_NAME,
+    STRAND_BOTH,
+    ReadObservation,
+    Pileup,
+    set_prob_mapping,
+    set_prob_overlap,
+    adjust_prob_mapping,
+    process_observations,
+)
+
+# Overlap classification (types/mod.rs:530-545)
+OVERLAP_NONE = 0
+OVERLAP_ENCLOSING = 1
+OVERLAP_LEFT = 2
+OVERLAP_RIGHT = 3
+OVERLAP_ENCLOSED = 4
+
+
+def locus_overlap(
+    record: BamRecord,
+    start: int,
+    end: int,
+    consider_clips: bool = False,
+    start_offset: int = 0,
+    end_offset: int = 0,
+) -> int:
+    """SingleLocus::overlap (types/mod.rs:440-473)."""
+    pos = record.pos
+    end_pos = record.end_pos
+    if consider_clips:
+        pos = max(0, pos - record.leading_softclips())
+        end_pos += record.trailing_softclips()
+    range_start = start + start_offset
+    range_end = end + end_offset
+    if pos <= range_start:
+        if end_pos >= range_end:
+            return OVERLAP_ENCLOSING
+        elif end_pos >= range_start:
+            return OVERLAP_LEFT
+    elif end_pos >= range_end and pos < range_end:
+        return OVERLAP_RIGHT
+    elif pos >= range_start and end_pos <= range_end:
+        return OVERLAP_ENCLOSED
+    return OVERLAP_NONE
+
+
+def read_pair_orientation(record: BamRecord) -> int:
+    """SequenceReadPairOrientation from flags/positions (bio_types semantics,
+    used via ``record.read_pair_orientation()`` in read_observation.rs:157)."""
+    ro = record.tags.get("RO")
+    if isinstance(ro, str):
+        parts = ro.split(",")
+        if len(parts) != 1:
+            return RO_NONE
+        return RO_BY_NAME.get(parts[0], RO_NONE)
+    if (
+        not record.is_paired
+        or record.is_unmapped
+        or record.is_mate_unmapped
+        or record.tid != record.mtid
+    ):
+        return RO_NONE
+    # leftmost read determines the first letter
+    if record.pos < record.mpos:
+        first_strand = "R" if record.is_reverse else "F"
+        second_strand = "R" if record.is_mate_reverse else "F"
+        first_read = "1" if record.is_first_in_pair else "2"
+        second_read = "2" if record.is_first_in_pair else "1"
+    else:
+        first_strand = "R" if record.is_mate_reverse else "F"
+        second_strand = "R" if record.is_reverse else "F"
+        first_read = "2" if record.is_first_in_pair else "1"
+        second_read = "1" if record.is_first_in_pair else "2"
+    name = f"{first_strand}{first_read}{second_strand}{second_read}"
+    return RO_BY_NAME.get(name, RO_NONE)
+
+
+def parse_alt_loci(record: BamRecord) -> list:
+    """XA-tag alternative mapping loci (read_observation.rs:167-210)."""
+    xa = record.tags.get("XA")
+    loci = []
+    if isinstance(xa, str):
+        for item in xa.split(";"):
+            if not item:
+                continue
+            parts = item.split(",")
+            if len(parts) == 4:
+                contig, pos = parts[0], parts[1].lstrip("-")
+                try:
+                    loci.append((contig, int(pos)))
+                except ValueError:
+                    pass
+    return loci
+
+
+class Evidence:
+    """A single-end read or a read pair (read_observation.rs:734-820)."""
+
+    __slots__ = ("left", "right")
+
+    def __init__(self, left: BamRecord, right: BamRecord | None = None):
+        self.left = left
+        self.right = right
+
+    @property
+    def is_paired_evidence(self) -> bool:
+        return self.right is not None
+
+    def records(self):
+        return [self.left] if self.right is None else [self.left, self.right]
+
+    def qname(self) -> str:
+        return self.left.qname
+
+    def is_paired(self) -> bool:
+        return self.left.is_paired
+
+    def softclipped(self) -> bool:
+        return any(
+            any(op == OP_S for op, _ in r.cigar) for r in self.records()
+        )
+
+    def total_len(self) -> int:
+        return sum(r.read_len for r in self.records())
+
+    def read_orientation(self) -> int:
+        ros = [read_pair_orientation(r) for r in self.records()]
+        if len(ros) == 2 and ros[0] != ros[1]:
+            return RO_NONE
+        return ros[0]
+
+    def alt_loci(self) -> list:
+        out = []
+        for r in self.records():
+            out.extend(parse_alt_loci(r))
+        return out
+
+    def prob_mapping(self) -> float:
+        """MAPQ -> P(mapped); pair-max rule (types/mod.rs:255-272)."""
+
+        def phred(mapq):
+            return -mapq * math.log(10.0) / 10.0  # log P(mismapped)
+
+        if self.right is None:
+            return np_ln_one_minus_exp(phred(self.left.mapq))
+        p = max(phred(self.left.mapq), phred(self.right.mapq))
+        return np_ln_one_minus_exp(p)
+
+    def min_mapq(self) -> int:
+        return min(r.mapq for r in self.records())
+
+
+def collect_fragments(bam, contig: str, fetch_intervals, window: int):
+    """Fetch + fragment pairing (types/mod.rs:283-340).
+
+    Returns Evidence objects keyed/sorted by qname (deterministic order, as
+    the reference's BTreeMap guarantees).
+    """
+    candidates: dict[str, list] = {}
+    seen_windows = []
+    for start, end in fetch_intervals:
+        fs, fe = max(0, start - window), end + window
+        # merge overlapping fetches (reference: fetches cannot overlap)
+        if seen_windows and fs <= seen_windows[-1][1]:
+            fs = max(fs, seen_windows[-1][1])
+            if fs >= fe:
+                continue
+        seen_windows.append((fs, fe))
+        for rec in bam.fetch(contig, fs, fe):
+            if (
+                rec.is_secondary
+                or rec.is_duplicate
+                or rec.is_unmapped
+                or rec.is_qc_fail
+            ):
+                continue
+            slot = candidates.get(rec.qname)
+            if slot is None:
+                candidates[rec.qname] = [rec, None]
+            else:
+                prev_left = slot[0]
+                if (
+                    prev_left.is_first_in_pair
+                    and rec.is_first_in_pair
+                    and prev_left.is_last_in_pair
+                    and rec.is_last_in_pair
+                ):
+                    # another partial alignment right of the first: ignore
+                    continue
+                slot[1] = rec
+    evidence = []
+    for qname in sorted(candidates):
+        left, right = candidates[qname]
+        if right is not None:
+            if left.mapq == 0 or right.mapq == 0:
+                # ambiguous pair alignments are ignored (types/mod.rs:357-360)
+                continue
+            evidence.append(Evidence(left, right))
+        else:
+            evidence.append(Evidence(left))
+    return evidence
+
+
+def subsample_keep_mask(n: int, max_depth: int, locus_seed: int) -> np.ndarray:
+    """Deterministic, shard-invariant subsampling decision per candidate.
+
+    Reference: SubsampleCandidates (sample.rs:180-212), StdRng seed 48074578.
+    We key the RNG on the locus so the decision is independent of batch/shard
+    boundaries (required for shard-count-invariant output on the TPU mesh).
+    """
+    if n <= max_depth:
+        return np.ones(n, dtype=bool)
+    rng = np.random.default_rng(
+        zlib.crc32(b"vlt-subsample-%d" % locus_seed) & 0xFFFFFFFF
+    )
+    return rng.random(n) <= max_depth / n
+
+
+def extract_observations(
+    variant,
+    bam,
+    alignment_properties,
+    max_depth: int = 200,
+    alt_variants=(),
+    do_adjust_prob_mapping: bool = True,
+) -> Pileup:
+    """Full per-locus pileup extraction for one sample.
+
+    ``variant`` implements the Variant protocol (see evidence.variants):
+    ``contig``, ``fetch_intervals()``, ``is_valid_evidence(evidence)``,
+    ``allele_support(evidence, alignment_properties, alt_variants)``,
+    ``prob_sample_alt(evidence, alignment_properties)``,
+    ``is_imprecise``, ``homopolymer_error_model``.
+    """
+    props = alignment_properties
+    single_read_window = (
+        props.max_read_len + (props.max_del_cigar_len or 0) + 10
+    )
+    if variant.uses_read_pair_window and props.insert_size is not None:
+        window = int(props.insert_size.mean + props.insert_size.sd * 6.0)
+    else:
+        window = single_read_window
+
+    fragments = collect_fragments(
+        bam, variant.contig, variant.fetch_intervals(), window
+    )
+    # track cigar maxima like the reference does while streaming
+    for ev in fragments:
+        for rec in ev.records():
+            props.update_max_cigar_ops_len(rec)
+
+    candidates = []
+    locus_depths: dict[int, int] = {}
+    for ev in fragments:
+        idx = variant.is_valid_evidence(ev, props)
+        if idx is not None:
+            candidates.append(ev)
+            for i in idx:
+                locus_depths[i] = locus_depths.get(i, 0) + 1
+
+    # subsample only when all loci exceed max depth (types/mod.rs:386-389)
+    subsample = bool(locus_depths) and all(
+        d > max_depth for d in locus_depths.values()
+    )
+    if subsample:
+        keep = subsample_keep_mask(
+            len(candidates), max_depth, variant.first_pos
+        )
+    else:
+        keep = np.ones(len(candidates), dtype=bool)
+
+    hpem = variant.homopolymer_error_model(props)
+
+    observations = []
+    for ev, k in zip(candidates, keep):
+        if not k:
+            continue
+        obs = evidence_to_observation(variant, ev, props, hpem, alt_variants)
+        if obs is not None:
+            observations.append(obs)
+
+    process_observations(observations, props.max_read_len)
+    if do_adjust_prob_mapping:
+        adjust_prob_mapping(observations, props.max_mapq)
+    return Pileup(read_observations=observations)
+
+
+def evidence_to_observation(
+    variant, ev: Evidence, props, homopolymer_error_model, alt_variants
+) -> ReadObservation | None:
+    """read_observation.rs:626-701."""
+    support = variant.allele_support(ev, props, alt_variants)
+    if support is None:
+        return None
+    from .observation import STRAND_NONE
+
+    if support.strand == STRAND_NONE and not variant.is_imprecise:
+        return None
+
+    obs = ReadObservation(name=ev.qname())
+    set_prob_mapping(obs, ev.prob_mapping())
+    obs.prob_alt = support.prob_alt_allele()
+    obs.prob_ref = support.prob_ref_allele()
+    obs.prob_missed_allele = support.prob_missed_allele()
+    obs.prob_sample_alt = variant.prob_sample_alt(ev, props)
+    set_prob_overlap(obs, 0.0 if support.strand == STRAND_BOTH else LOG_ZERO)
+    obs.strand = support.strand
+    obs.read_orientation = ev.read_orientation()
+    obs.softclipped = ev.softclipped()
+    obs.read_position_raw = support.read_position
+    obs.paired = ev.is_paired()
+    obs.prob_hit_base = -math.log(ev.total_len()) if ev.total_len() > 0 else LOG_ZERO
+    obs.is_max_mapq = ev.min_mapq() == props.max_mapq
+    obs.alt_loci_raw = ev.alt_loci()
+    obs.third_allele_evidence = support.third_allele_evidence
+
+    alt_indel_len = support.homopolymer_indel_len or 0
+    if homopolymer_error_model is not None:
+        ref_indel_len = alt_indel_len + homopolymer_error_model.variant_homopolymer_indel_len
+        obs.homopolymer_indel_len = ref_indel_len
+        if ref_indel_len == 0 or alt_indel_len == 0:
+            obs.prob_observable_at_homopolymer_artifact = None
+            obs.prob_observable_at_homopolymer_variant = None
+        else:
+            obs.prob_observable_at_homopolymer_variant = (
+                homopolymer_error_model.prob_observable(alt_indel_len)
+            )
+            obs.prob_observable_at_homopolymer_artifact = (
+                homopolymer_error_model.prob_observable(ref_indel_len)
+            )
+    else:
+        obs.homopolymer_indel_len = None
+        obs.prob_observable_at_homopolymer_artifact = None
+        obs.prob_observable_at_homopolymer_variant = None
+    return obs

@@ -1,0 +1,370 @@
+"""Variant types: per-type evidence gating and allele support.
+
+Re-designs the reference's ``Variant`` trait family
+(``/root/reference/src/variants/types/``) for the tensor pipeline.  Each type
+provides host-side evidence gating + either a direct (SNV/MNV fast path) or
+realignment-based allele support.  Realignment work items are accumulated and
+scored in batch by the JAX pair-HMM kernel (ops.pairhmm) rather than per read.
+
+Implemented here: Snv (snv.rs:38-253), Mnv (mnv.rs:41-359), None/ref-site
+(none.rs).  Indel/SV types live in evidence/indels.py (realignment-based).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from ..utils.logprob import LOG_ZERO, PROB_05, np_ln_add_exp
+from .extraction import (
+    Evidence,
+    OVERLAP_ENCLOSING,
+    locus_overlap,
+)
+from .observation import STRAND_FORWARD, STRAND_NONE, STRAND_REVERSE, strand_or
+
+PROB_CONFUSION = math.log(1.0 / 3.0)  # reference uses Prob(0.3333)
+PROB_CONFUSION_REF = math.log(0.3333)
+PROB_ANY = math.log(0.25)
+
+
+def prob_read_base_miscall(base_qual: int) -> float:
+    """PHRED base quality -> log P(miscall) (bases.rs:29-36)."""
+    return -float(base_qual) * math.log(10.0) / 10.0
+
+
+def prob_read_base(read_base: int, ref_base: int, base_qual: int) -> float:
+    """P(read base | true base, qual) with 1/3 confusion (bases.rs:14-26)."""
+    rb = read_base & ~0x20  # uppercase ASCII
+    tb = ref_base & ~0x20
+    if rb == tb:
+        return np_ln_one_minus_exp_scalar(prob_read_base_miscall(base_qual))
+    if rb == ord("N"):
+        return PROB_ANY
+    return prob_read_base_miscall(base_qual) + PROB_CONFUSION_REF
+
+
+def np_ln_one_minus_exp_scalar(x: float) -> float:
+    if x >= 0.0:
+        return LOG_ZERO
+    if x < -math.log(2.0):
+        return math.log1p(-math.exp(x))
+    return math.log(-math.expm1(x))
+
+
+@dataclass
+class AlleleSupport:
+    """types/mod.rs:55-155."""
+
+    prob_ref: float
+    prob_alt: float
+    strand: int = STRAND_NONE
+    read_position: int | None = None
+    homopolymer_indel_len: int | None = None
+    third_allele_evidence: int | None = None
+
+    def _both_impossible(self):
+        return self.prob_ref == LOG_ZERO and self.prob_alt == LOG_ZERO
+
+    def prob_ref_allele(self):
+        return PROB_05 if self._both_impossible() else self.prob_ref
+
+    def prob_alt_allele(self):
+        return PROB_05 if self._both_impossible() else self.prob_alt
+
+    def is_alt_support(self):
+        return self.prob_alt > self.prob_ref
+
+    def prob_missed_allele(self):
+        return np_ln_add_exp(self.prob_ref_allele(), self.prob_alt_allele()) - math.log(2.0)
+
+    def merge(self, other: "AlleleSupport"):
+        """types/mod.rs:104-155."""
+        if self.is_alt_support():
+            if other.is_alt_support() and self.read_position != other.read_position:
+                self.read_position = None
+        elif other.is_alt_support():
+            self.read_position = other.read_position
+
+        self.prob_ref += other.prob_ref
+        self.prob_alt += other.prob_alt
+
+        if self.strand == STRAND_NONE:
+            self.strand = other.strand
+            self.homopolymer_indel_len = other.homopolymer_indel_len
+        elif other.strand != STRAND_NONE:
+            self.strand = strand_or(self.strand, other.strand)
+            if self.homopolymer_indel_len is None:
+                self.homopolymer_indel_len = other.homopolymer_indel_len
+
+        if other.third_allele_evidence is not None:
+            if self.third_allele_evidence is None:
+                self.third_allele_evidence = other.third_allele_evidence
+            else:
+                self.third_allele_evidence = min(
+                    self.third_allele_evidence, other.third_allele_evidence
+                )
+        return self
+
+
+def strand_from_record(record, qpos: int | None = None) -> int:
+    """Strand::from_record_and_pos (read_observation.rs:60-110):
+    per-base SI aux tag wins, else global FLAG strand."""
+    si = record.tags.get("SI")
+    if isinstance(si, str) and qpos is not None and qpos < len(si):
+        c = si[qpos]
+        return {"+": STRAND_FORWARD, "-": STRAND_REVERSE, "*": 3, ".": 0}.get(c, 0)
+    return STRAND_REVERSE if record.is_reverse else STRAND_FORWARD
+
+
+class VariantType:
+    """Base protocol for variant types (host side)."""
+
+    contig: str
+    first_pos: int
+    is_imprecise: bool = False
+    uses_read_pair_window: bool = False
+
+    def fetch_intervals(self):
+        raise NotImplementedError
+
+    def is_valid_evidence(self, ev: Evidence, props):
+        raise NotImplementedError
+
+    def allele_support(self, ev: Evidence, props, alt_variants):
+        raise NotImplementedError
+
+    def prob_sample_alt(self, ev: Evidence, props) -> float:
+        return 0.0  # ln(1)
+
+    def homopolymer_error_model(self, props):
+        return None
+
+
+class Snv(VariantType):
+    """SNV with the direct base-comparison fast path (snv.rs:66-150).
+
+    Reads with indel CIGAR ops are flagged for realignment; until the
+    realignment kernel path is wired in (ops.pairhmm), they fall back to the
+    direct comparison which is correct for reads whose CIGAR places the locus.
+    """
+
+    def __init__(self, contig: str, pos: int, ref_base: int, alt_base: int, realigner=None, realign_indel_reads: bool = True):
+        self.contig = contig
+        self.pos = pos
+        self.first_pos = pos
+        self.ref_base = ref_base & ~0x20
+        self.alt_base = alt_base & ~0x20
+        self.realigner = realigner
+        self.realign_indel_reads = realign_indel_reads
+
+    def fetch_intervals(self):
+        return [(self.pos, self.pos + 1)]
+
+    def is_valid_evidence(self, ev: Evidence, props):
+        for rec in ev.records():
+            if locus_overlap(rec, self.pos, self.pos + 1) == OVERLAP_ENCLOSING:
+                return [0]
+        return None
+
+    def _support_per_read(self, record, props, alt_variants):
+        if locus_overlap(record, self.pos, self.pos + 1) != OVERLAP_ENCLOSING:
+            return None
+        if (
+            self.realign_indel_reads
+            and self.realigner is not None
+            and record.has_indel_operations()
+        ):
+            return self.realigner.allele_support(
+                record, [(self.pos, self.pos + 1)], self, alt_variants, props
+            )
+        qpos = record.read_pos(self.pos)
+        if qpos is None:
+            # locus deleted/skipped in this read: no observation (snv.rs:144-149)
+            return None
+        read_base = int(record.seq[qpos]) & ~0x20
+        base_qual = int(record.qual[qpos])
+        prob_alt = prob_read_base(read_base, self.alt_base, base_qual)
+        is_third_allele = False
+        # non-alt base as ref for multiallelic fairness (snv.rs:99-114)
+        if read_base != ord("N") and read_base != self.alt_base:
+            is_third_allele = read_base != self.ref_base
+            non_alt_base = read_base
+        else:
+            non_alt_base = self.ref_base
+        prob_ref = prob_read_base(read_base, non_alt_base, base_qual)
+        if prob_ref != prob_alt:
+            strand = strand_from_record(record, qpos)
+        else:
+            strand = STRAND_NONE
+        # hardclips are part of the original read (snv.rs:130-135)
+        from ..io.bam import OP_H
+
+        leading_hard = (
+            int(record.cigar[0][1])
+            if len(record.cigar) and record.cigar[0][0] == OP_H
+            else 0
+        )
+        return AlleleSupport(
+            prob_ref=prob_ref,
+            prob_alt=prob_alt,
+            strand=strand,
+            read_position=qpos + leading_hard,
+            third_allele_evidence=1 if is_third_allele else None,
+        )
+
+    def allele_support(self, ev: Evidence, props, alt_variants=()):
+        supports = [
+            s
+            for s in (
+                self._support_per_read(r, props, alt_variants) for r in ev.records()
+            )
+            if s is not None
+        ]
+        if not supports:
+            return None
+        out = supports[0]
+        for s in supports[1:]:
+            out.merge(s)
+        return out
+
+
+class Mnv(VariantType):
+    """Multi-nucleotide variant: product of per-base probs over the window
+    (mnv.rs:41-359)."""
+
+    def __init__(self, contig: str, pos: int, ref_bases, alt_bases, realigner=None, realign_indel_reads: bool = True):
+        self.contig = contig
+        self.pos = pos
+        self.first_pos = pos
+        self.ref_bases = bytes(b & ~0x20 for b in ref_bases)
+        self.alt_bases = bytes(b & ~0x20 for b in alt_bases)
+        self.len = len(self.alt_bases)
+        self.realigner = realigner
+        self.realign_indel_reads = realign_indel_reads
+
+    def fetch_intervals(self):
+        return [(self.pos, self.pos + self.len)]
+
+    def is_valid_evidence(self, ev: Evidence, props):
+        for rec in ev.records():
+            if (
+                locus_overlap(rec, self.pos, self.pos + self.len)
+                == OVERLAP_ENCLOSING
+            ):
+                return [0]
+        return None
+
+    def _support_per_read(self, record, props, alt_variants):
+        if locus_overlap(record, self.pos, self.pos + self.len) != OVERLAP_ENCLOSING:
+            return None
+        if (
+            self.realign_indel_reads
+            and self.realigner is not None
+            and record.has_indel_operations()
+        ):
+            return self.realigner.allele_support(
+                record, [(self.pos, self.pos + self.len)], self, alt_variants, props
+            )
+        prob_ref = 0.0
+        prob_alt = 0.0
+        n_excess_subs = 0
+        first_qpos = None
+        for i in range(self.len):
+            qpos = record.read_pos(self.pos + i)
+            if qpos is None:
+                return None
+            if first_qpos is None:
+                first_qpos = qpos
+            read_base = int(record.seq[qpos]) & ~0x20
+            qual = int(record.qual[qpos])
+            prob_alt += prob_read_base(read_base, self.alt_bases[i], qual)
+            # same multiallelic trick per base
+            if read_base != ord("N") and read_base != self.alt_bases[i]:
+                non_alt = read_base
+                if read_base != self.ref_bases[i]:
+                    n_excess_subs += 1
+            else:
+                non_alt = self.ref_bases[i]
+            prob_ref += prob_read_base(read_base, non_alt, qual)
+        strand = (
+            strand_from_record(record, first_qpos)
+            if prob_ref != prob_alt
+            else STRAND_NONE
+        )
+        return AlleleSupport(
+            prob_ref=prob_ref,
+            prob_alt=prob_alt,
+            strand=strand,
+            read_position=first_qpos,
+            third_allele_evidence=n_excess_subs if n_excess_subs > 0 else None,
+        )
+
+    def allele_support(self, ev: Evidence, props, alt_variants=()):
+        supports = [
+            s
+            for s in (
+                self._support_per_read(r, props, alt_variants) for r in ev.records()
+            )
+            if s is not None
+        ]
+        if not supports:
+            return None
+        out = supports[0]
+        for s in supports[1:]:
+            out.merge(s)
+        return out
+
+
+class RefSite(VariantType):
+    """`None` variant (`<*>` dummy alt): hom-ref testing (none.rs).
+
+    prob_ref = P(read base == ref base); prob_alt = P(read base is any
+    non-ref base) with the confusion model.
+    """
+
+    def __init__(self, contig: str, pos: int, ref_base: int):
+        self.contig = contig
+        self.pos = pos
+        self.first_pos = pos
+        self.ref_base = ref_base & ~0x20
+
+    def fetch_intervals(self):
+        return [(self.pos, self.pos + 1)]
+
+    def is_valid_evidence(self, ev: Evidence, props):
+        for rec in ev.records():
+            if locus_overlap(rec, self.pos, self.pos + 1) == OVERLAP_ENCLOSING:
+                return [0]
+        return None
+
+    def _support_per_read(self, record, props):
+        if locus_overlap(record, self.pos, self.pos + 1) != OVERLAP_ENCLOSING:
+            return None
+        qpos = record.read_pos(self.pos)
+        if qpos is None:
+            return None
+        read_base = int(record.seq[qpos]) & ~0x20
+        qual = int(record.qual[qpos])
+        prob_ref = prob_read_base(read_base, self.ref_base, qual)
+        # alt = any other base: if read matches ref, alt likelihood is a
+        # miscall; otherwise the read base itself is the evidence.
+        if read_base == self.ref_base:
+            prob_alt = prob_read_base_miscall(qual) + PROB_CONFUSION_REF
+        else:
+            prob_alt = prob_read_base(read_base, read_base, qual)
+        strand = strand_from_record(record, qpos) if prob_ref != prob_alt else STRAND_NONE
+        return AlleleSupport(
+            prob_ref=prob_ref, prob_alt=prob_alt, strand=strand, read_position=qpos
+        )
+
+    def allele_support(self, ev: Evidence, props, alt_variants=()):
+        supports = [
+            s for s in (self._support_per_read(r, props) for r in ev.records()) if s is not None
+        ]
+        if not supports:
+            return None
+        out = supports[0]
+        for s in supports[1:]:
+            out.merge(s)
+        return out
