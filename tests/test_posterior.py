@@ -1,0 +1,223 @@
+"""Posterior engine tests against hand-computed / reference-property values.
+
+Mirrors the reference's likelihood unit tests
+(/root/reference/src/variants/model/likelihood.rs:252-395): absent pileups,
+AF=0.5 likelihood maximum, posterior sanity for present/absent events.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from varlociraptor_tpu.evidence.observation import (
+    ObservationBatch,
+    Pileup,
+    ReadObservation,
+    set_prob_mapping,
+    set_prob_overlap,
+)
+from varlociraptor_tpu.ops.biases import BiasCombo, build_bias_tensor
+from varlociraptor_tpu.ops.event_program import (
+    BranchSpec,
+    EventSpec,
+    SpectrumSpec,
+    absent_event,
+)
+from varlociraptor_tpu.ops.grid import AFGrid
+from varlociraptor_tpu.ops.posterior import PosteriorEngine, SampleConfig
+
+LOG_ZERO = -math.inf
+
+
+def mk_obs(prob_alt, prob_ref, prob_mapping=0.0):
+    o = ReadObservation()
+    set_prob_mapping(o, prob_mapping if prob_mapping < 0 else -1e-9)
+    o.prob_alt = prob_alt
+    o.prob_ref = prob_ref
+    o.prob_missed_allele = math.log(
+        0.5 * (math.exp(prob_alt) + math.exp(prob_ref))
+    ) if max(prob_alt, prob_ref) > LOG_ZERO else LOG_ZERO
+    o.prob_sample_alt = 0.0
+    set_prob_overlap(o, LOG_ZERO)
+    return o
+
+
+def ref_obs():
+    # strong ref observation: prob_ref=1, prob_alt~0
+    return mk_obs(math.log(1e-6), -1e-9)
+
+
+def alt_obs():
+    return mk_obs(-1e-9, math.log(1e-6))
+
+
+def build_inputs(pileups_per_locus, events, samples=None, depth=16):
+    batch = ObservationBatch.collate(pileups_per_locus, depth=depth)
+    L, S, D, _ = batch.features.shape
+    combos = [BiasCombo()]  # no-artifact only
+    bias = [
+        build_bias_tensor(ps, combos, depth) for ps in pileups_per_locus
+    ]
+    bias_alt = np.stack([b.alt for b in bias])
+    bias_ref = np.stack([b.ref for b in bias])
+    bias_any = np.stack([b.any for b in bias])
+    combo_active = np.stack([b.active for b in bias])
+    grid = AFGrid.build(0.01, extra_points=[0.5])
+    engine = PosteriorEngine(
+        events,
+        grid,
+        samples or [SampleConfig("s0")],
+    )
+    branch_gates = np.ones((L, engine.n_branches), dtype=bool)
+    ln_prior_absent = np.full(L, math.log(0.5), dtype=np.float32)
+    out = engine.run(
+        batch.features,
+        batch.mask,
+        bias_alt,
+        bias_ref,
+        bias_any,
+        combo_active,
+        branch_gates,
+        ln_prior_absent,
+    )
+    return engine, out
+
+
+def two_events(n_samples=1):
+    present = EventSpec(
+        name="present",
+        branches=(
+            BranchSpec(
+                spectra=tuple(
+                    SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True)
+                    for _ in range(n_samples)
+                )
+            ),
+        ),
+    )
+    return [absent_event(n_samples), present]
+
+
+def test_absent_pileup_prefers_absent():
+    pileup = Pileup(read_observations=[ref_obs() for _ in range(10)])
+    engine, out = build_inputs([[pileup]], two_events())
+    post = out["posteriors"][0]
+    assert post[0] > post[1]  # absent wins
+    assert math.exp(post[0]) > 0.9
+
+
+def test_alt_pileup_prefers_present():
+    pileup = Pileup(read_observations=[alt_obs() for _ in range(10)])
+    engine, out = build_inputs([[pileup]], two_events())
+    post = out["posteriors"][0]
+    assert post[1] > post[0]
+    assert math.exp(post[1]) > 0.9
+
+
+def test_half_alt_map_af_near_half():
+    obs = [alt_obs() for _ in range(8)] + [ref_obs() for _ in range(8)]
+    pileup = Pileup(read_observations=obs)
+    engine, out = build_inputs([[pileup]], two_events())
+    post = out["posteriors"][0]
+    assert post[1] > post[0]
+    dens = out["densities"][0, 1, 0]  # present event, sample 0
+    g = engine.grid.values
+    map_af = g[np.argmax(dens)]
+    assert 0.35 <= map_af <= 0.65
+
+
+def test_posteriors_normalize():
+    pileup = Pileup(read_observations=[alt_obs(), ref_obs(), ref_obs()])
+    engine, out = build_inputs([[pileup]], two_events())
+    total = np.logaddexp.reduce(out["posteriors"][0])
+    assert total == pytest.approx(0.0, abs=1e-5)
+
+
+def test_empty_pileup_no_nan():
+    engine, out = build_inputs([[Pileup()]], two_events())
+    assert not np.isnan(out["posteriors"]).any()
+
+
+def test_tumor_normal_contamination_somatic():
+    """Tumor contaminated by normal: somatic-tumor vs absent."""
+    # tumor has alt reads, normal clean ref
+    tumor = Pileup(read_observations=[alt_obs() for _ in range(6)] + [ref_obs() for _ in range(6)])
+    normal = Pileup(read_observations=[ref_obs() for _ in range(12)])
+    events = [
+        absent_event(2),
+        # somatic tumor: tumor ]0,1], normal {0}
+        EventSpec(
+            name="somatic_tumor",
+            branches=(
+                BranchSpec(
+                    spectra=(
+                        SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True),
+                        SpectrumSpec.from_set([0.0]),
+                    )
+                ),
+            ),
+        ),
+        # germline het: both 0.5
+        EventSpec(
+            name="germline_het",
+            branches=(
+                BranchSpec(
+                    spectra=(
+                        SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True),
+                        SpectrumSpec.from_set([0.5]),
+                    )
+                ),
+            ),
+        ),
+    ]
+    samples = [
+        SampleConfig("tumor", contaminated_by=1, contamination_fraction=0.25),
+        SampleConfig("normal"),
+    ]
+    engine, out = build_inputs([[tumor, normal]], events, samples=samples)
+    post = out["posteriors"][0]
+    names = [e.name for e in engine.events]
+    assert names[int(np.argmax(post))] == "somatic_tumor"
+
+
+def test_germline_het_detected():
+    tumor = Pileup(
+        read_observations=[alt_obs() for _ in range(7)] + [ref_obs() for _ in range(7)]
+    )
+    normal = Pileup(
+        read_observations=[alt_obs() for _ in range(7)] + [ref_obs() for _ in range(7)]
+    )
+    events = [
+        absent_event(2),
+        EventSpec(
+            name="somatic_tumor",
+            branches=(
+                BranchSpec(
+                    spectra=(
+                        SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True),
+                        SpectrumSpec.from_set([0.0]),
+                    )
+                ),
+            ),
+        ),
+        EventSpec(
+            name="germline_het",
+            branches=(
+                BranchSpec(
+                    spectra=(
+                        SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True),
+                        SpectrumSpec.from_set([0.5]),
+                    )
+                ),
+            ),
+        ),
+    ]
+    samples = [
+        SampleConfig("tumor", contaminated_by=1, contamination_fraction=0.0),
+        SampleConfig("normal"),
+    ]
+    engine, out = build_inputs([[tumor, normal]], events, samples=samples)
+    post = out["posteriors"][0]
+    names = [e.name for e in engine.events]
+    assert names[int(np.argmax(post))] == "germline_het"

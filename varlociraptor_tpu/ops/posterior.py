@@ -1,0 +1,420 @@
+"""Grid posterior engine: batched Bayesian event evaluation.
+
+Replaces the reference's recursive VAF-tree walk + adaptive integration
+(``/root/reference/src/variants/model/modes/generic.rs:191-460``) with masked
+logsumexp/trapezoid reductions over a dense allele-frequency grid, batched
+over loci.  Per event and branch (= flattened tree path):
+
+  value = bias_prior + prior_event + logsumexp_{joint grid} [
+              sum_s (loglik_s[g_s] + weights_s[g_s]) ]
+
+with per-sample integration weights computed on device from the per-locus
+depth (observable min/max bound adjustment, formula.rs:1172-1232; clear-ref
+shortcut, generic.rs:270-300) and the absent-only prior applied exactly by
+splitting out the all-zero joint grid point (prior.rs:718-761).
+
+Samples are contracted as independent *units*: a contamination pair
+(primary, contaminant) is one unit whose two grid axes are reduced jointly
+through the two-axis likelihood (likelihood.rs:86-115); all other samples are
+singleton units.  The branch integral is the product (log-sum) of unit
+integrals — the factorization the reference's nested recursion computes
+implicitly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..evidence.observation import F
+from .event_program import SPECTRUM_SET, EventSpec
+from .grid import AFGrid
+from .likelihood import (
+    NEG_INF,
+    _ln1mexp,
+    _ln_add_exp,
+    sample_loglik_grid,
+    sample_loglik_grid_contaminated,
+)
+
+LN_32 = math.log(3.2)  # Kass-Raftery "positive" threshold
+PROB_05 = math.log(0.5)
+
+
+def _ln_sub_exp(a, b):
+    """log(exp(a) - exp(b)) for a >= b (clamped at -inf)."""
+    out = a + _ln1mexp(jnp.minimum(b - a, 0.0))
+    return jnp.where(b >= a, NEG_INF, out)
+
+
+def _lse(x, axis):
+    m = jnp.max(x, axis=axis, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.log(jnp.sum(jnp.exp(x - m_safe), axis=axis, keepdims=True)) + m_safe
+    s = jnp.where(jnp.isfinite(m), s, m)
+    if isinstance(axis, tuple):
+        for ax in sorted([a % x.ndim for a in axis], reverse=True):
+            s = jnp.squeeze(s, axis=ax)
+        return s
+    return jnp.squeeze(s, axis=axis)
+
+
+def observable_bounds(start, end, left_excl, right_excl, n_obs):
+    """Device version of VAFRange::observable_min/max
+    (formula.rs:1172-1232). All args broadcast together; n_obs float."""
+    n = jnp.maximum(n_obs, 1.0)
+    possible = (end - start) * n_obs > 1.0
+    small_n = n_obs < 10.0
+    raw = small_n | ~possible
+
+    # observable_max
+    c_max = n_obs * end
+    is_int_max = jnp.abs(c_max - jnp.round(c_max)) < 1e-9
+    c_max = jnp.where(right_excl & is_int_max, c_max - 1.0, c_max)
+    c_max = jnp.floor(c_max + 1e-9)
+    amax = jnp.where(raw | (c_max == 0.0), end, c_max / n)
+
+    # observable_min
+    c_min = n_obs * start
+    adj_min = jnp.ceil(c_min - 1e-9) / n
+    is_int_min = jnp.abs(c_min - jnp.round(c_min)) < 1e-9
+    cand1 = (c_min + 1.0) / n
+    cand0 = c_min / n
+    excl_min = jnp.where((cand1 <= 1.0) & (cand1 <= amax), cand1, cand0)
+    amin = jnp.where(left_excl & is_int_min, excl_min, adj_min)
+    amin = jnp.where(raw, start, amin)
+    amin = jnp.where(amin >= amax, start, amin)
+    return amin, amax
+
+
+def range_weights(grid, start, end, left_excl, right_excl, n_obs):
+    """[..., G] log trapezoid weights for a range spectrum restricted to
+    [observable_min, observable_max]. Leading dims come from the args."""
+    amin, amax = observable_bounds(start, end, left_excl, right_excl, n_obs)
+    amin = amin[..., None]
+    amax = amax[..., None]
+    inside = (grid >= amin - 1e-9) & (grid <= amax + 1e-9)
+    left_in = jnp.concatenate(
+        [jnp.zeros_like(inside[..., :1]), inside[..., :-1]], axis=-1
+    )
+    right_in = jnp.concatenate(
+        [inside[..., 1:], jnp.zeros_like(inside[..., :1])], axis=-1
+    )
+    gl = jnp.where(left_in, jnp.concatenate([grid[:1], grid[:-1]]), grid)
+    gr = jnp.where(right_in, jnp.concatenate([grid[1:], grid[-1:]]), grid)
+    width = jnp.maximum(gr - gl, 0.0) * 0.5
+    run_len = jnp.sum(inside, axis=-1, keepdims=True)
+    single_width = jnp.maximum(amax - amin, 1e-12)
+    width = jnp.where(run_len <= 1, single_width, width)
+    return jnp.where(
+        inside & (width > 0), jnp.log(jnp.maximum(width, 1e-38)), NEG_INF
+    )
+
+
+class SampleConfig:
+    def __init__(self, name, contaminated_by=None, contamination_fraction=0.0):
+        self.name = name
+        self.contaminated_by = contaminated_by
+        self.contamination_fraction = contamination_fraction
+
+
+class PosteriorEngine:
+    """Compiled engine for one scenario (event set + grid + contamination).
+
+    jit-compiled once per (scenario, batch shape).
+    """
+
+    def __init__(
+        self,
+        events: list[EventSpec],
+        grid: AFGrid,
+        samples: list[SampleConfig],
+        resolution: float = 0.01,
+        all_uniform_prior: bool = False,
+    ):
+        self.events = events
+        self.grid = grid
+        self.samples = samples
+        self.resolution = resolution
+        self.all_uniform_prior = all_uniform_prior
+        self.n_samples = len(samples)
+
+        # flatten branches
+        self.branches = []
+        for ei, ev in enumerate(events):
+            for br in ev.branches:
+                assert len(br.spectra) == self.n_samples, (
+                    f"event {ev.name}: branch has {len(br.spectra)} spectra, "
+                    f"expected {self.n_samples}"
+                )
+                self.branches.append((ei, br))
+        self.n_branches = len(self.branches)
+
+        G = grid.size
+        NB = self.n_branches
+        S = self.n_samples
+
+        self.is_range = np.zeros((NB, S), dtype=bool)
+        self.rng_start = np.zeros((NB, S), dtype=np.float32)
+        self.rng_end = np.zeros((NB, S), dtype=np.float32)
+        self.rng_lexcl = np.zeros((NB, S), dtype=bool)
+        self.rng_rexcl = np.zeros((NB, S), dtype=bool)
+        self.set_mask = np.zeros((NB, S, G), dtype=bool)
+        self.spectrum_excludes_zero = np.zeros((NB, S), dtype=bool)
+        self.spectrum_contains_zero = np.zeros((NB, S), dtype=bool)
+        for bi, (ei, br) in enumerate(self.branches):
+            for si, sp in enumerate(br.spectra):
+                if sp.kind == SPECTRUM_SET:
+                    self.set_mask[bi, si] = grid.set_mask(sp.values)
+                    self.spectrum_excludes_zero[bi, si] = all(v > 0 for v in sp.values)
+                    self.spectrum_contains_zero[bi, si] = 0.0 in sp.values
+                else:
+                    self.is_range[bi, si] = True
+                    self.rng_start[bi, si] = sp.start
+                    self.rng_end[bi, si] = sp.end
+                    self.rng_lexcl[bi, si] = sp.left_exclusive
+                    self.rng_rexcl[bi, si] = sp.right_exclusive
+                    self.spectrum_excludes_zero[bi, si] = sp.start > 0 or (
+                        sp.start == 0 and sp.left_exclusive
+                    )
+                    self.spectrum_contains_zero[bi, si] = sp.contains(0.0)
+
+        self.branch_has_zero_point = self.spectrum_contains_zero.all(axis=1)
+        self.zero_idx = grid.index_of(0.0)
+
+        self.event_branch_idx = [
+            [bi for bi, (e, _) in enumerate(self.branches) if e == ei]
+            for ei in range(len(events))
+        ]
+        self.event_is_artifact = [ev.is_artifact for ev in events]
+        self.event_all_absent = [ev.all_absent() for ev in events]
+
+        # contraction units
+        self.pairs = [
+            (si, s.contaminated_by, s.contamination_fraction)
+            for si, s in enumerate(samples)
+            if s.contaminated_by is not None
+        ]
+        in_pair = set()
+        for si, by, _ in self.pairs:
+            if samples[by].contaminated_by is not None:
+                raise NotImplementedError("chained contamination not supported")
+            in_pair.add(si)
+            in_pair.add(by)
+        if len(in_pair) != 2 * len(self.pairs):
+            raise NotImplementedError("one sample in multiple contamination pairs")
+        self.singletons = [si for si in range(S) if si not in in_pair]
+
+        self._run = jax.jit(self._run_impl)
+
+    # ------------------------------------------------------------------
+    def _branch_weights(self, n_obs):
+        """[L, NB, S, G] log integration weights."""
+        grid = jnp.asarray(self.grid.values)
+        n = n_obs[:, None, :]  # [L,1,S]
+        start = jnp.asarray(self.rng_start)[None]  # [1,NB,S]
+        end = jnp.asarray(self.rng_end)[None]
+        lex = jnp.asarray(self.rng_lexcl)[None]
+        rex = jnp.asarray(self.rng_rexcl)[None]
+        shape = jnp.broadcast_shapes(n.shape, start.shape)
+        rw = range_weights(
+            grid,
+            jnp.broadcast_to(start, shape),
+            jnp.broadcast_to(end, shape),
+            jnp.broadcast_to(lex, shape),
+            jnp.broadcast_to(rex, shape),
+            jnp.broadcast_to(n, shape),
+        )  # [L,NB,S,G]
+        setw = jnp.where(jnp.asarray(self.set_mask)[None], 0.0, NEG_INF)
+        return jnp.where(jnp.asarray(self.is_range)[None, :, :, None], rw, setw)
+
+    # ------------------------------------------------------------------
+    def _unit_terms(self, loglik, pair_logliks, w):
+        """Per-unit branch integrals and per-sample grid-resolved 'own'
+        densities.
+
+        Returns:
+          U: dict[unit_key] -> [L,B,NB] unit integral
+          own: dict[sample] -> ([L,B,NB,G] own density, unit_key)
+          Uzero: dict[unit_key] -> [L,B,NB] unit value at all-zero point
+        """
+        w_s = jnp.swapaxes(w, 1, 2)  # [L,S,NB,G]
+        U = {}
+        own = {}
+        Uzero = {}
+        zi = self.zero_idx
+        for si in self.singletons:
+            key = ("s", si)
+            d = loglik[:, si, :, None, :] + w_s[:, si, None, :, :]  # [L,B,NB,G]
+            U[key] = _lse(d, axis=-1)
+            own[si] = (d, key)
+            Uzero[key] = d[..., zi]
+        for si, by, _ in self.pairs:
+            key = ("p", si, by)
+            pl = pair_logliks[si]  # [L,B,G,Gc]
+            wp = w_s[:, si, None, :, :, None]  # [L,1,NB,G,1]
+            wc = w_s[:, by, None, :, None, :]  # [L,1,NB,1,Gc]
+            lc = loglik[:, by][:, :, None, None, :]  # [L,B,1,1,Gc]
+            joint = pl[:, :, None, :, :] + wp + wc + lc  # [L,B,NB,G,Gc]
+            U[key] = _lse(joint, axis=(-2, -1))
+            own[si] = (_lse(joint, axis=-1), key)  # primary's grid axis
+            own[by] = (_lse(joint, axis=-2), key)  # contaminant's grid axis
+            Uzero[key] = joint[..., zi, zi]
+        return U, own, Uzero
+
+    def _run_impl(
+        self,
+        feats,
+        mask,
+        bias_alt,
+        bias_ref,
+        bias_any,
+        combo_active,
+        branch_gates,
+        ln_prior_absent,
+    ):
+        grid = jnp.asarray(self.grid.values)
+        L, S, D, _ = feats.shape
+        B = bias_alt.shape[2]
+        NB = self.n_branches
+
+        n_obs = jnp.sum(mask, axis=-1).astype(jnp.float32)  # [L,S]
+
+        loglik = sample_loglik_grid(
+            feats, mask, bias_alt, bias_ref, bias_any, grid
+        )  # [L,S,B,G]
+
+        pair_logliks = {}
+        for si, by, frac in self.pairs:
+            purity = 1.0 - frac
+            pair_logliks[si] = sample_loglik_grid_contaminated(
+                feats[:, si],
+                mask[:, si],
+                bias_alt[:, si],
+                bias_ref[:, si],
+                bias_any[:, si],
+                grid,
+                math.log(purity),
+                math.log(frac) if frac > 0 else NEG_INF,
+            )
+
+        # clear-ref shortcut (generic.rs:270-300)
+        p_ref = feats[..., F["prob_ref"]]
+        p_alt = feats[..., F["prob_alt"]]
+        positive_ref = (p_ref - p_alt) > LN_32
+        clear_ref = (n_obs > 10) & jnp.all(positive_ref | ~mask, axis=-1)  # [L,S]
+
+        w = self._branch_weights(n_obs)  # [L,NB,S,G]
+        excl0 = jnp.asarray(self.spectrum_excludes_zero)[None]  # [1,NB,S]
+        kill = clear_ref[:, None, :] & excl0
+        w = jnp.where(kill[..., None], NEG_INF, w)
+
+        U, own, Uzero = self._unit_terms(loglik, pair_logliks, w)
+
+        T = jnp.zeros((L, B, NB))
+        Z = jnp.zeros((L, B, NB))
+        for key, val in U.items():
+            T = T + val
+            Z = Z + Uzero[key]
+
+        z0 = jnp.asarray(self.branch_has_zero_point)
+        T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
+        Z = jnp.where(branch_gates[:, None, :] & z0[None, None], Z, NEG_INF)
+
+        # absent-only prior split (prior.rs:718-761)
+        if self.all_uniform_prior:
+            branch_val = T
+        else:
+            pa = ln_prior_absent[:, None, None]
+            ln_not_absent = _ln1mexp(pa)
+            nonzero_part = jnp.where(z0[None, None], _ln_sub_exp(T, Z), T)
+            zero_part = jnp.where(z0[None, None], Z, NEG_INF)
+            branch_val = _ln_add_exp(ln_not_absent + nonzero_part, pa + zero_part)
+
+        branch_val = jnp.where(combo_active[:, :, None], branch_val, NEG_INF)
+
+        n_events = len(self.events)
+        n_artifact_combos = max(1, B - 1)
+        event_vals = []
+        for ei in range(n_events):
+            idxs = tuple(self.event_branch_idx[ei])
+            bv = branch_val[:, :, idxs]  # [L,B,nb_e]
+            ev_b = _lse(bv, axis=-1)  # [L,B]
+            if self.event_is_artifact[ei]:
+                bias_prior = PROB_05 - math.log(n_artifact_combos)
+                val = bias_prior + _lse(ev_b[:, 1:], axis=-1)
+            else:
+                val = PROB_05 + ev_b[:, 0]
+            event_vals.append(val)
+        joint = jnp.stack(event_vals, axis=-1)  # [L,E]
+        marginal = _lse(joint, axis=-1)
+        posteriors = joint - marginal[:, None]
+
+        # per-event per-sample marginal densities over grid (MAP / AFD)
+        densities = []
+        for ei in range(n_events):
+            idxs = tuple(self.event_branch_idx[ei])
+            if self.event_is_artifact[ei]:
+                active = combo_active & (
+                    jnp.arange(B)[None, :] > 0
+                )
+            else:
+                active = jnp.arange(B)[None, :] == 0
+                active = jnp.broadcast_to(active, combo_active.shape)
+            per_sample = []
+            for si in range(S):
+                d_own, key = own[si]
+                rest = jnp.zeros((L, B, NB))
+                for k2, val in U.items():
+                    if k2 != key:
+                        rest = rest + val
+                d = d_own + rest[..., None]  # [L,B,NB,G]
+                d = jnp.where(branch_gates[:, None, :, None], d, NEG_INF)
+                d = _lse(d[:, :, idxs, :], axis=2)  # [L,B,G]
+                d = jnp.where(active[:, :, None], d, NEG_INF)
+                per_sample.append(_lse(d, axis=1))  # [L,G]
+            densities.append(jnp.stack(per_sample, axis=1))
+        densities = jnp.stack(densities, axis=1)  # [L,E,S,G]
+
+        return {
+            "joint": joint,
+            "marginal": marginal,
+            "posteriors": posteriors,
+            "densities": densities,
+            "n_obs": n_obs,
+        }
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        feats,
+        mask,
+        bias_alt,
+        bias_ref,
+        bias_any,
+        combo_active,
+        branch_gates,
+        ln_prior_absent,
+    ):
+        """Evaluate posteriors for a locus batch.
+
+        feats [L,S,D,Fe] f32; mask [L,S,D] bool; bias_* [L,S,B,D] f32;
+        combo_active [L,B] bool; branch_gates [L,NB] bool;
+        ln_prior_absent [L] f32.
+        Returns dict: joint [L,E], posteriors [L,E], marginal [L],
+        densities [L,E,S,G], n_obs [L,S] (numpy arrays).
+        """
+        out = self._run(
+            jnp.asarray(feats, dtype=jnp.float32),
+            jnp.asarray(mask),
+            jnp.asarray(bias_alt, dtype=jnp.float32),
+            jnp.asarray(bias_ref, dtype=jnp.float32),
+            jnp.asarray(bias_any, dtype=jnp.float32),
+            jnp.asarray(combo_active),
+            jnp.asarray(branch_gates),
+            jnp.asarray(ln_prior_absent, dtype=jnp.float32),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
