@@ -1,0 +1,147 @@
+"""Preprocess driver: candidates + BAM + FASTA -> observation file.
+
+Mirrors ``ObservationProcessor``
+(``/root/reference/src/calling/variants/preprocessing/mod.rs:190-466``):
+streams sorted candidate records, instantiates the typed variant per
+candidate, extracts one pileup per locus, and writes the observation
+artifact.  Variant types currently routed: SNV, MNV, ref-site (``<*>``),
+deletion, insertion (realignment-based types use the batched pair-HMM in
+ops.pairhmm via evidence.realignment).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..estimation.alignment_properties import AlignmentProperties
+from ..evidence.extraction import extract_observations
+from ..evidence.variants import Mnv, RefSite, Snv
+from ..io.bam import BamReader
+from ..io.fasta import FastaBuffer
+from ..io.vcf import VcfReader
+from .observations import ObservationWriter
+from .variants import VariantInfo, collect_variants
+
+
+@dataclass
+class PreprocessOptions:
+    max_depth: int = 200
+    indel_window: int = 64
+    realign_indel_reads: bool = True
+    adjust_prob_mapping: bool = True
+    pairhmm_mode: str = "exact"
+    omit_insert_size: bool = False
+
+
+def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
+    """Instantiate the typed variant for a candidate (preprocessing/mod.rs
+    process_pileup dispatch :468-807)."""
+    ref_seq = reference.seq(info.chrom)
+    from ..evidence.realignment import Realigner
+
+    realigner = Realigner(
+        reference=reference,
+        props=props,
+        indel_window=options.indel_window,
+        max_window=options.indel_window,
+    )
+    if info.kind == "snv":
+        return Snv(
+            info.chrom,
+            info.pos,
+            int(ref_seq[info.pos]),
+            ord(info.alt_allele[0]),
+            realigner=realigner if options.realign_indel_reads else None,
+        )
+    if info.kind == "mnv":
+        return Mnv(
+            info.chrom,
+            info.pos,
+            bytes(info.ref_allele, "ascii"),
+            bytes(info.alt_allele, "ascii"),
+            realigner=realigner if options.realign_indel_reads else None,
+        )
+    if info.kind == "none":
+        return RefSite(info.chrom, info.pos, int(ref_seq[info.pos]))
+    if info.kind == "deletion":
+        from ..evidence.indels import Deletion
+
+        return Deletion(info.chrom, info.pos, info.svlen, realigner)
+    if info.kind == "insertion":
+        from ..evidence.indels import Insertion
+
+        return Insertion(info.chrom, info.pos, info.alt_seq.encode(), realigner)
+    if info.kind == "inversion":
+        from ..evidence.indels import Inversion
+
+        return Inversion(info.chrom, info.pos, info.svlen, realigner)
+    if info.kind == "duplication":
+        from ..evidence.indels import Duplication
+
+        return Duplication(info.chrom, info.pos, info.svlen, realigner)
+    if info.kind == "replacement":
+        from ..evidence.indels import Replacement
+
+        return Replacement(
+            info.chrom, info.pos, info.ref_allele.encode(), info.alt_seq.encode(), realigner
+        )
+    raise NotImplementedError(f"variant type {info.kind} not yet routed")
+
+
+def preprocess(
+    candidates_path,
+    bam_path,
+    reference_path,
+    output_path,
+    sample_name: str = "sample",
+    alignment_properties: AlignmentProperties | None = None,
+    options: PreprocessOptions | None = None,
+    reference: FastaBuffer | None = None,
+    bam: BamReader | None = None,
+):
+    """Run preprocessing for one sample; returns count of processed records."""
+    options = options or PreprocessOptions()
+    reference = reference or FastaBuffer(reference_path)
+    bam = bam or BamReader(bam_path)
+    if alignment_properties is None:
+        from ..estimation.alignment_properties import estimate
+
+        alignment_properties = estimate(bam, omit_insert_size=options.omit_insert_size)
+
+    n = 0
+    skipped = {}
+    with ObservationWriter(
+        output_path,
+        sample_name=sample_name,
+        options={
+            "max_depth": options.max_depth,
+            "indel_window": options.indel_window,
+            "pairhmm_mode": options.pairhmm_mode,
+            "alignment_properties": alignment_properties.to_json(),
+            "reference": str(reference_path),
+            "bam": str(bam_path),
+        },
+    ) as writer:
+        for rec in VcfReader(candidates_path):
+            for info in collect_variants(rec):
+                try:
+                    variant = build_variant(
+                        info, reference, options, alignment_properties
+                    )
+                except NotImplementedError:
+                    skipped[info.kind] = skipped.get(info.kind, 0) + 1
+                    continue
+                pileup = extract_observations(
+                    variant,
+                    bam,
+                    alignment_properties,
+                    max_depth=options.max_depth,
+                    do_adjust_prob_mapping=options.adjust_prob_mapping,
+                )
+                writer.write_record(info, pileup)
+                n += 1
+    if skipped:
+        import sys
+
+        print(f"preprocess: skipped unsupported variants: {skipped}", file=sys.stderr)
+    return n

@@ -1,0 +1,215 @@
+"""Batched semiglobal pair-HMM forward kernel (JAX).
+
+TPU-native replacement for the reference's per-read banded forward
+(``bio::stats::pairhmm::PairHMM`` invoked at
+``/root/reference/src/variants/evidence/realignment/mod.rs:526-543``): instead
+of banding each read separately, we compute the *full* forward probability
+over the (shrunken) windows for a whole batch of (read-window x allele-window)
+work items at once, marching an anti-diagonal wavefront with the read axis on
+the 128-lane dimension.  The full forward is >= the reference's banded
+approximation in accuracy; ref/alt ratio normalization
+(``realignment/mod.rs:350-376``) cancels constant factors.
+
+Model (semiglobal; free, unpenalized start/end gaps on the allele axis x;
+read axis y fully consumed; reference pairhmm.rs:186-204):
+
+  M(i,j) = e_m(i,j) * [ t_mm M(i-1,j-1) + t_dm D(i-1,j-1) + t_im I(i-1,j-1) ]
+  D(i,j) =            [ t_md M(i-1,j)   + t_dd D(i-1,j) ]          (gap in read)
+  I(i,j) = e_i(j)   * [ t_mi M(i,j-1)   + t_ii I(i,j-1) ]          (read insertion)
+
+with e_m = 1-miscall on match, miscall/3 on mismatch; e_i = miscall
+(reference pairhmm.rs:462-486); t_mi = prob_insertion_artifact,
+t_md = prob_deletion_artifact (pairhmm.rs:164-184).  Zero extension
+probabilities (the reference default) are treated as re-open (gap cost per
+base), a deliberate modeling simplification over rust-bio's banded chain.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e30  # finite -inf proxy inside the kernel (f32-safe)
+LN_CONFUSION = math.log(0.3333)
+
+
+def _lse3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    out = m + jnp.log(
+        jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m)
+    )
+    return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
+
+
+def _lse2(a, b):
+    m = jnp.maximum(a, b)
+    out = m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+    return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
+
+
+@partial(jax.jit, static_argnames=("x_len", "y_len"))
+def _forward_impl(
+    allele, allele_len, read, miscall, read_len, gaps, x_len, y_len
+):
+    """Batched forward log-probabilities.
+
+    allele     [B, X] uint8 (uppercase ASCII, 0 padding)
+    allele_len [B] int32
+    read       [B, Y] uint8
+    miscall    [B, Y] f32 log miscall prob per base
+    read_len   [B] int32
+    gaps       [4] f32: t_mi (ins open), t_md (del open), t_ii, t_dd (log)
+    """
+    B = allele.shape[0]
+    X, Y = x_len, y_len
+    W = Y + 1  # diagonal width indexed by j=0..Y
+
+    t_mi, t_md, t_ii, t_dd = gaps[0], gaps[1], gaps[2], gaps[3]
+    # no-gap / close probabilities
+    t_mm = jnp.log(
+        jnp.maximum(1.0 - jnp.exp(t_mi) - jnp.exp(t_md), 1e-12)
+    )
+    t_im = jnp.log(jnp.maximum(1.0 - jnp.exp(t_ii), 1e-12))
+    t_dm = jnp.log(jnp.maximum(1.0 - jnp.exp(t_dd), 1e-12))
+
+    j_idx = jnp.arange(W)  # [W]
+    no_call = jnp.log1p(-jnp.exp(miscall))  # log(1-miscall) [B, Y]
+    # shift emissions to j-indexing (emission for cell j uses read[j-1])
+    mis_j = jnp.concatenate([jnp.full((B, 1), NEG_INF), miscall], axis=1)  # [B,W]
+    noc_j = jnp.concatenate([jnp.full((B, 1), NEG_INF), no_call], axis=1)
+    read_j = jnp.concatenate([jnp.zeros((B, 1), jnp.uint8), read], axis=1)
+
+    # reversed allele padded for diagonal gathers:
+    # diag k needs allele[k-1-j] = rev_pad[X - k + j + PAD] with PAD = W
+    PAD = W
+    rev = allele[:, ::-1]
+    rev_pad = jnp.concatenate(
+        [jnp.zeros((B, PAD), jnp.uint8), rev, jnp.zeros((B, PAD), jnp.uint8)],
+        axis=1,
+    )
+
+    neg = jnp.full((B, W), NEG_INF)
+
+    def body(carry, k):
+        M2, D2, I2, M1, D1, I1, acc = carry
+        # cell (i=k-j, j); valid iff 1<=j<=min(k-?,...)
+        i = k - j_idx[None, :]  # [1->B, W]
+        valid = (
+            (j_idx[None, :] >= 1)
+            & (j_idx[None, :] <= read_len[:, None])
+            & (i >= 1)
+            & (i <= allele_len[:, None])
+        )
+        # I at i==0 (pure leading insertion) is also valid
+        valid_i0 = (
+            (j_idx[None, :] >= 1)
+            & (j_idx[None, :] <= read_len[:, None])
+            & (i == 0)
+        )
+
+        # emission for M: allele base at i-1 vs read base at j-1
+        offset = X - k + PAD
+        ab = jax.lax.dynamic_slice(rev_pad, (0, offset), (B, W))  # allele[k-1-j]
+        match = ab == read_j
+        is_n = read_j == ord("N")
+        e_m = jnp.where(
+            match, noc_j, jnp.where(is_n, math.log(0.25), mis_j + LN_CONFUSION)
+        )
+
+        # transitions from diag k-2 at j-1
+        M2s = jnp.concatenate([neg[:, :1], M2[:, :-1]], axis=1)
+        D2s = jnp.concatenate([neg[:, :1], D2[:, :-1]], axis=1)
+        I2s = jnp.concatenate([neg[:, :1], I2[:, :-1]], axis=1)
+        # free start: virtual start state at any (i-1, j-1=0) with weight 1
+        start_m = jnp.where(j_idx[None, :] == 1, 0.0, NEG_INF)
+        Mk = e_m + _lse2(
+            _lse3(t_mm + M2s, t_dm + D2s, t_im + I2s), start_m
+        )
+        Mk = jnp.where(valid, Mk, NEG_INF)
+
+        # D from diag k-1 at same j
+        Dk = _lse2(t_md + M1, t_dd + D1)
+        Dk = jnp.where(valid, Dk, NEG_INF)
+
+        # I from diag k-1 at j-1
+        M1s = jnp.concatenate([neg[:, :1], M1[:, :-1]], axis=1)
+        I1s = jnp.concatenate([neg[:, :1], I1[:, :-1]], axis=1)
+        start_i = jnp.where(j_idx[None, :] == 1, t_mi, NEG_INF)
+        Ik = mis_j + _lse2(_lse2(t_mi + M1s, t_ii + I1s), start_i)
+        Ik = jnp.where(valid | valid_i0, Ik, NEG_INF)
+
+        # accumulate final cells (j == read_len; free end gap in x)
+        at_end = j_idx[None, :] == read_len[:, None]
+        fin = jnp.where(at_end, _lse2(Mk, Ik), NEG_INF)
+        acc = _lse2(acc, _diag_lse(fin))
+        return (M1, D1, I1, Mk, Dk, Ik, acc), None
+
+    def _diag_lse(x):
+        m = jnp.max(x, axis=1)
+        out = m + jnp.log(jnp.sum(jnp.exp(x - m[:, None]), axis=1))
+        return jnp.where(m <= NEG_INF / 2, NEG_INF, out)[:, None]
+
+    init = (neg, neg, neg, neg, neg, neg, jnp.full((B, 1), NEG_INF))
+    ks = jnp.arange(1, X + Y + 1)
+    (M2, D2, I2, M1, D1, I1, acc), _ = jax.lax.scan(body, init, ks)
+    return acc[:, 0]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class BatchedPairHMM:
+    """Convenience wrapper with shape bucketing + numpy I/O."""
+
+    def __init__(self, gap_params):
+        self.gap = np.array(
+            [
+                gap_params.prob_insertion_artifact,
+                gap_params.prob_deletion_artifact,
+                gap_params.prob_insertion_extend_artifact
+                if math.isfinite(gap_params.prob_insertion_extend_artifact)
+                else gap_params.prob_insertion_artifact,
+                gap_params.prob_deletion_extend_artifact
+                if math.isfinite(gap_params.prob_deletion_extend_artifact)
+                else gap_params.prob_deletion_artifact,
+            ],
+            dtype=np.float32,
+        )
+
+    def forward(self, alleles, reads, quals):
+        """alleles: list[bytes-like]; reads: list[bytes-like];
+        quals: list[uint8 array]. Returns np.array [B] log-probs."""
+        B = len(alleles)
+        assert B == len(reads) == len(quals)
+        X = _round_up(max((len(a) for a in alleles), default=1), 32)
+        Y = _round_up(max((len(r) for r in reads), default=1), 32)
+        allele = np.zeros((B, X), dtype=np.uint8)
+        alen = np.zeros(B, dtype=np.int32)
+        read = np.zeros((B, Y), dtype=np.uint8)
+        rlen = np.zeros(B, dtype=np.int32)
+        mis = np.full((B, Y), NEG_INF, dtype=np.float32)
+        for b in range(B):
+            a = np.frombuffer(bytes(alleles[b]), dtype=np.uint8)
+            r = np.asarray(reads[b], dtype=np.uint8)
+            q = np.asarray(quals[b], dtype=np.float64)
+            allele[b, : len(a)] = a & ~np.uint8(0x20)  # uppercase
+            alen[b] = len(a)
+            read[b, : len(r)] = r & ~np.uint8(0x20)
+            rlen[b] = len(r)
+            mis[b, : len(q)] = -q * math.log(10.0) / 10.0
+        out = _forward_impl(
+            jnp.asarray(allele),
+            jnp.asarray(alen),
+            jnp.asarray(read),
+            jnp.asarray(mis),
+            jnp.asarray(rlen),
+            jnp.asarray(self.gap),
+            X,
+            Y,
+        )
+        return np.asarray(out, dtype=np.float64)
