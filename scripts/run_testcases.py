@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Sweep all reference golden testcases; report pass/fail/skip table.
+
+Usage: JAX_PLATFORMS=cpu python scripts/run_testcases.py [pattern] [--timeout N]
+"""
+
+import json
+import multiprocessing as mp
+import sys
+import time
+from pathlib import Path
+
+TESTCASES = Path("/root/reference/tests/resources/testcases")
+
+
+def run_one(name, q):
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from varlociraptor_tpu.testcase import Testcase
+
+    t0 = time.time()
+    try:
+        tc = Testcase(TESTCASES / name)
+        tc.check()
+        q.put((name, "PASS", "", time.time() - t0))
+    except AssertionError as e:
+        q.put((name, "FAIL", str(e)[:200], time.time() - t0))
+    except NotImplementedError as e:
+        q.put((name, "SKIP", str(e)[:120], time.time() - t0))
+    except Exception as e:  # noqa: BLE001
+        q.put((name, "ERROR", f"{type(e).__name__}: {str(e)[:160]}", time.time() - t0))
+
+
+def main():
+    pattern = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else ""
+    timeout = 240
+    if "--timeout" in sys.argv:
+        timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
+    names = sorted(
+        d.name
+        for d in TESTCASES.iterdir()
+        if d.is_dir() and (d / "testcase.yaml").exists() and pattern in d.name
+    )
+    results = {}
+    for name in names:
+        q = mp.Queue()
+        p = mp.Process(target=run_one, args=(name, q))
+        p.start()
+        p.join(timeout)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            results[name] = ("TIMEOUT", "", timeout)
+        else:
+            try:
+                n, status, msg, dt = q.get_nowait()
+                results[name] = (status, msg, dt)
+            except Exception:  # noqa: BLE001
+                results[name] = ("CRASH", "", 0)
+        status, msg, dt = results[name]
+        print(f"{name:40s} {status:8s} {dt:6.1f}s  {msg}", flush=True)
+
+    counts = {}
+    for status, _, _ in results.values():
+        counts[status] = counts.get(status, 0) + 1
+    print("\n==== SUMMARY ====")
+    for k, v in sorted(counts.items()):
+        print(f"{k}: {v}")
+    out = {
+        n: {"status": s, "msg": m, "secs": round(dt, 1)}
+        for n, (s, m, dt) in results.items()
+    }
+    Path("/tmp/testcase_results.json").write_text(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

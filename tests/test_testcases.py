@@ -1,0 +1,33 @@
+"""Golden-locus testcases replayed through the full pipeline.
+
+The reference's integration test strategy (tests/lib.rs): each testcase is a
+self-contained locus; assertions are tolerance-based expressions over PROB_*
+and AF outputs. This module runs a representative subset in CI; the full
+sweep lives in scripts/run_testcases.py.
+"""
+
+import pytest
+
+from varlociraptor_tpu.testcase import Testcase
+
+# Representative fast subset exercising: tumor-normal builtin mode, generic
+# scenarios, SNVs, indels (realignment), contamination.
+SUBSET = [
+    "test01",
+    "test02",
+    "test03",
+    "test08",
+    "test18",
+    "test23",
+    "test29",
+    "test36",
+]
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_golden_testcase(name, ref_resources, tmp_path):
+    d = ref_resources / "testcases" / name
+    if not d.exists():
+        pytest.skip(f"{name} not present")
+    tc = Testcase(d)
+    tc.check(tmp_path)

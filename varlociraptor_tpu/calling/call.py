@@ -1,0 +1,466 @@
+"""Calling driver: N observation files -> posterior calls VCF.
+
+Mirrors the reference ``Caller`` (``/root/reference/src/calling/variants/calling.rs:320-455``):
+lockstep reading of per-sample observation files, per-record bias gating, the
+event universe (absent + scenario events + artifact twins), and MAP
+VAF/AFD extraction — but evaluates loci in device batches through the grid
+posterior engine instead of per-record recursion.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..evidence.observation import (
+    ObservationBatch,
+    Pileup,
+    adjust_singleton_evidence,
+    expected_depth,
+)
+from ..grammar.compiler import compile_scenario_events
+from ..grammar.scenario import Scenario
+from ..io.vcf import VcfRecord, VcfWriter
+from ..ops.biases import (
+    ALB_NONE,
+    BiasCombo,
+    HE_NONE,
+    ROB_NONE,
+    RPB_NONE,
+    SB_NONE,
+    SCB_NONE,
+    all_artifact_combinations,
+    build_bias_tensor,
+)
+from ..ops.grid import AFGrid
+from ..ops.posterior import PosteriorEngine, SampleConfig
+from ..ops.prior import build_prior
+from ..utils.logprob import np_ln_sum_exp, np_phred_from_log
+from .observations import ObservationReader
+from .variants import VariantInfo
+
+DEFAULT_BATCH = 64
+
+
+@dataclass
+class CallOptions:
+    omit_strand_bias: bool = False
+    omit_read_orientation_bias: bool = False
+    omit_read_position_bias: bool = False
+    omit_softclip_bias: bool = False
+    omit_homopolymer_artifact_detection: bool = False
+    omit_alt_locus_bias: bool = False
+    full_prior: bool = False
+    batch_size: int = DEFAULT_BATCH
+    resolution: float = 0.01
+
+
+@dataclass
+class WorkItem:
+    index: int
+    variant: VariantInfo
+    pileups: list
+    flags: tuple  # per-dimension consider flags
+    snv: tuple | None  # (refbase, altbase) chars
+    hints: list = field(default_factory=list)
+
+
+# all single-artifact combos in a fixed order; gating selects per locus
+FULL_COMBOS = [BiasCombo()] + all_artifact_combinations(
+    True, True, True, True, True, True
+)
+
+
+def _combo_allowed(combo: BiasCombo, flags) -> bool:
+    (c_ro, c_sb, c_rp, c_sc, c_he, c_al) = flags
+    if combo.strand != SB_NONE and not c_sb:
+        return False
+    if combo.read_orientation != ROB_NONE and not c_ro:
+        return False
+    if combo.read_position != RPB_NONE and not c_rp:
+        return False
+    if combo.softclip != SCB_NONE and not c_sc:
+        return False
+    if combo.homopolymer != HE_NONE and not c_he:
+        return False
+    if combo.alt_locus != ALB_NONE and not c_al:
+        return False
+    return True
+
+
+class GenericCaller:
+    def __init__(self, scenario: Scenario, options: CallOptions | None = None):
+        self.scenario = scenario
+        self.options = options or CallOptions()
+        self._engines = {}
+        self._events_cache = {}
+        self._prior_cache = {}
+
+        self.sample_configs = []
+        for name in scenario.sample_names:
+            s = scenario.samples[name]
+            if s.contamination is not None:
+                self.sample_configs.append(
+                    SampleConfig(
+                        name,
+                        contaminated_by=scenario.idx(s.contamination.by),
+                        contamination_fraction=s.contamination.fraction,
+                    )
+                )
+            else:
+                self.sample_configs.append(SampleConfig(name))
+
+    # ------------------------------------------------------------------
+    def _events_for(self, contig):
+        if contig not in self._events_cache:
+            events, grid_points = compile_scenario_events(self.scenario, contig)
+            grid = AFGrid.build(self.options.resolution, extra_points=grid_points)
+            self._events_cache[contig] = (events, grid)
+        return self._events_cache[contig]
+
+    def _prior_for(self, contig, vartype):
+        key = (contig, vartype)
+        if key not in self._prior_cache:
+            prior = build_prior(self.scenario, contig, vartype)
+            self._prior_cache[key] = prior
+        return self._prior_cache[key]
+
+    def _engine_for(self, contig, events, grid):
+        key = (contig, id(events))
+        if key not in self._engines:
+            self._engines[key] = PosteriorEngine(
+                events,
+                grid,
+                self.sample_configs,
+                resolution=self.options.resolution,
+                all_uniform_prior=all(
+                    self.scenario.samples[n].has_uniform_prior()
+                    for n in self.scenario.sample_names
+                ),
+            )
+        return self._engines[key]
+
+    # ------------------------------------------------------------------
+    def make_work_item(self, index, variant: VariantInfo, pileups: list) -> WorkItem:
+        o = self.options
+        is_snv_or_mnv = len(variant.ref_allele) == len(variant.alt_allele)
+        precise = variant.precise
+        has_homopolymer = any(
+            obs.homopolymer_indel_len is not None
+            for p in pileups
+            for obs in p.read_observations
+        )
+        flags = (
+            is_snv_or_mnv and not o.omit_read_orientation_bias and precise,  # ro
+            not o.omit_strand_bias and precise,  # sb
+            is_snv_or_mnv and not o.omit_read_position_bias and precise,  # rp
+            is_snv_or_mnv and not o.omit_softclip_bias and precise,  # sc
+            has_homopolymer and not o.omit_homopolymer_artifact_detection,  # he
+            not o.omit_alt_locus_bias,  # al
+        )
+        hints = []
+        if is_snv_or_mnv:
+            filtered = False
+            for p in pileups:
+                filtered |= bool(
+                    p.remove_nonstandard_alignments(o.omit_read_orientation_bias)
+                )
+            if filtered:
+                hints.append("filtered-non-standard-alignments")
+        if adjust_singleton_evidence(pileups):
+            hints.append("adjusted-singleton-evidence")
+        snv = None
+        if len(variant.ref_allele) == 1 and len(variant.alt_allele) == 1 and variant.kind == "snv":
+            snv = (variant.ref_allele.upper(), variant.alt_allele.upper())
+        return WorkItem(
+            index=index,
+            variant=variant,
+            pileups=pileups,
+            flags=flags,
+            snv=snv,
+            hints=hints,
+        )
+
+    def call_batch(self, items: list[WorkItem], contig: str):
+        """Evaluate a batch of work items (same contig). Returns list of
+        per-item result dicts."""
+        events, grid = self._events_for(contig)
+        engine = self._engine_for(contig, events, grid)
+        L = len(items)
+        S = len(self.scenario.sample_names)
+        depth = max(
+            (len(p.read_observations) for it in items for p in it.pileups),
+            default=1,
+        )
+        depth = max(1, 1 << (max(depth, 1) - 1).bit_length())  # pow2 bucket
+
+        batch = ObservationBatch.collate([it.pileups for it in items], depth=depth)
+        B = len(FULL_COMBOS)
+        bias_alt = np.zeros((L, S, B, depth), dtype=np.float32)
+        bias_ref = np.zeros((L, S, B, depth), dtype=np.float32)
+        bias_any = np.zeros((L, S, B, depth), dtype=np.float32)
+        combo_active = np.zeros((L, B), dtype=bool)
+        for li, it in enumerate(items):
+            bt = build_bias_tensor(it.pileups, FULL_COMBOS, depth)
+            bias_alt[li] = bt.alt
+            bias_ref[li] = bt.ref
+            bias_any[li] = bt.any
+            combo_active[li] = bt.active & np.array(
+                [_combo_allowed(c, it.flags) for c in FULL_COMBOS]
+            )
+            combo_active[li, 0] = True  # no-artifact always active
+
+        branch_gates = np.ones((L, engine.n_branches), dtype=bool)
+        for li, it in enumerate(items):
+            for bi, (ei, br) in enumerate(engine.branches):
+                branch_gates[li, bi] = br.passes_snv(it.snv)
+
+        ln_prior_absent = np.zeros(L, dtype=np.float32)
+        for li, it in enumerate(items):
+            prior = self._prior_for(contig, it.variant.kind)
+            if it.variant.heterozygosity is not None:
+                prior.variant_heterozygosity = it.variant.heterozygosity
+            if it.variant.somatic_effective_mutation_rate is not None:
+                prior.variant_somatic_rate = (
+                    it.variant.somatic_effective_mutation_rate
+                )
+            ln_prior_absent[li] = prior.prob_absent()
+
+        out = engine.run(
+            batch.features,
+            batch.mask,
+            bias_alt,
+            bias_ref,
+            bias_any,
+            combo_active,
+            branch_gates,
+            ln_prior_absent,
+        )
+
+        results = []
+        names = [e.name for e in events]
+        n_scenario_events = sum(1 for e in events if not e.is_artifact)
+        for li, it in enumerate(items):
+            post = out["posteriors"][li]  # [E]
+            event_probs = {}
+            artifact_terms = []
+            for ei, ev in enumerate(events):
+                if ev.is_artifact:
+                    artifact_terms.append(post[ei])
+                else:
+                    event_probs[ev.name] = post[ei]
+            prob_artifact = (
+                np_ln_sum_exp(np.array(artifact_terms))
+                if artifact_terms
+                else -np.inf
+            )
+            event_probs["artifact"] = prob_artifact
+            best = max(event_probs.items(), key=lambda kv: kv[1])[0]
+            is_artifact = best == "artifact"
+
+            sample_infos = []
+            if is_artifact:
+                best_ei = int(
+                    np.argmax(
+                        [
+                            post[ei] if events[ei].is_artifact else -np.inf
+                            for ei in range(len(events))
+                        ]
+                    )
+                )
+            else:
+                best_ei = names.index(best)
+            for si in range(S):
+                pileup = it.pileups[si]
+                if is_artifact:
+                    af = 0.0
+                    afd = None
+                else:
+                    dens = out["densities"][li, best_ei, si]
+                    af = float(grid.values[int(np.argmax(dens))])
+                    denom = out["marginal"][li]
+                    afd = {
+                        float(g): float(d - denom)
+                        for g, d in zip(grid.values, dens)
+                        if np.isfinite(d)
+                    }
+                sample_infos.append(
+                    {
+                        "af": af,
+                        "afd": afd,
+                        "dp": expected_depth(pileup.read_observations),
+                        "pileup": pileup,
+                    }
+                )
+            results.append(
+                {
+                    "variant": it.variant,
+                    "event_probs": event_probs,
+                    "sample_infos": sample_infos,
+                    "hints": it.hints,
+                }
+            )
+        return results
+
+
+def call_generic(
+    scenario: Scenario,
+    observation_paths: dict,
+    output_path,
+    options: CallOptions | None = None,
+    call_processor=None,
+):
+    """Full calling pipeline (cli.rs call_generic equivalent).
+
+    observation_paths: {sample_name: path}, must cover scenario samples.
+    Returns number of records called.
+    """
+    options = options or CallOptions()
+    caller = GenericCaller(scenario, options)
+    readers = [
+        ObservationReader(observation_paths[name]) for name in scenario.sample_names
+    ]
+    iters = [iter(r) for r in readers]
+
+    sample_names = scenario.sample_names
+    event_names = [n for n in scenario.event_formulas.keys() if n != "absent"]
+    header = [
+        '##INFO=<ID=SVLEN,Number=A,Type=Integer,Description="SV length">',
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="SV end">',
+        '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
+        '##INFO=<ID=HINTS,Number=.,Type=String,Description="Model hints">',
+        '##INFO=<ID=PROB_ABSENT,Number=A,Type=Float,Description="PHRED posterior">',
+        '##INFO=<ID=PROB_ARTIFACT,Number=A,Type=Float,Description="PHRED posterior">',
+    ] + [
+        f'##INFO=<ID=PROB_{n.upper()},Number=A,Type=Float,Description="PHRED posterior for event {n}">'
+        for n in event_names
+    ] + [
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Expected depth">',
+        '##FORMAT=<ID=AF,Number=1,Type=Float,Description="MAP allele frequency">',
+        '##FORMAT=<ID=OBS,Number=1,Type=String,Description="Summarized observations">',
+        '##FORMAT=<ID=AFD,Number=1,Type=String,Description="VAF density (vaf=phred)">',
+    ]
+
+    n = 0
+    with VcfWriter(output_path, sample_names=sample_names, header_lines=header) as w:
+        batch_items = []
+        batch_contig = None
+
+        def flush():
+            nonlocal n
+            if not batch_items:
+                return
+            results = caller.call_batch(batch_items, batch_contig)
+            for res in results:
+                w.write(_result_to_record(res, sample_names))
+                if call_processor is not None:
+                    call_processor(res)
+                n += 1
+
+        while True:
+            recs = []
+            done = 0
+            for it in iters:
+                try:
+                    recs.append(next(it))
+                except StopIteration:
+                    done += 1
+            if done == len(iters):
+                break
+            if done:
+                raise ValueError("inconsistent observation files (different lengths)")
+            variants = [v for v, _ in recs]
+            v0 = variants[0]
+            for v in variants[1:]:
+                if (v.chrom, v.pos, v.ref_allele, v.alt_allele) != (
+                    v0.chrom,
+                    v0.pos,
+                    v0.ref_allele,
+                    v0.alt_allele,
+                ):
+                    raise ValueError("inconsistent observation files (different loci)")
+            pileups = [p for _, p in recs]
+            item = caller.make_work_item(n, v0, pileups)
+            if batch_contig is not None and (
+                v0.chrom != batch_contig or len(batch_items) >= options.batch_size
+            ):
+                flush()
+                batch_items = []
+            batch_contig = v0.chrom
+            batch_items.append(item)
+        flush()
+    return n
+
+
+def _obs_string(pileup: Pileup) -> str:
+    """Simplified observation summary (full generalized-CIGAR form of
+    calling/variants/mod.rs:277-380 lands with the output-parity milestone)."""
+    from ..utils.logprob import kass_raftery, kass_raftery_name
+
+    counts = {}
+    for o in pileup.read_observations:
+        if o.prob_alt > o.prob_ref:
+            bf = o.bayes_factor_alt()
+            key = "A" + kass_raftery_name(kass_raftery(bf))[0]
+        elif o.prob_ref > o.prob_alt:
+            bf = o.bayes_factor_ref()
+            key = "R" + kass_raftery_name(kass_raftery(bf))[0]
+        else:
+            key = "E"
+        counts[key] = counts.get(key, 0) + 1
+    if not counts:
+        return "."
+    return "".join(f"{v}{k}" for k, v in sorted(counts.items()))
+
+
+def _result_to_record(res, sample_names) -> VcfRecord:
+    v: VariantInfo = res["variant"]
+    info = {}
+    for name, logp in sorted(res["event_probs"].items()):
+        phred = np_phred_from_log(logp)
+        info[f"PROB_{name.upper()}"] = f"{phred:.4f}" if np.isfinite(phred) else "inf"
+    if v.kind in ("deletion", "insertion", "inversion", "duplication"):
+        info["SVLEN"] = (
+            -v.svlen if v.kind == "deletion" else v.svlen
+        ) or len(v.alt_allele) - len(v.ref_allele)
+        info["SVTYPE"] = {
+            "deletion": "DEL",
+            "insertion": "INS",
+            "inversion": "INV",
+            "duplication": "DUP",
+        }[v.kind]
+    if res["hints"]:
+        info["HINTS"] = ",".join(res["hints"])
+
+    samples = []
+    for si in res["sample_infos"]:
+        afd = si["afd"]
+        afd_str = (
+            ",".join(
+                f"{vaf}={np_phred_from_log(p):.2f}"
+                for vaf, p in sorted(afd.items())
+                if np.isfinite(np_phred_from_log(p))
+            )
+            if afd
+            else "."
+        )
+        samples.append(
+            {
+                "DP": str(si["dp"]),
+                "AF": f"{si['af']:.4f}",
+                "OBS": _obs_string(si["pileup"]),
+                "AFD": afd_str or ".",
+            }
+        )
+    return VcfRecord(
+        chrom=v.chrom,
+        pos=v.pos,
+        id=".",
+        ref=v.ref_allele,
+        alts=[v.alt_allele],
+        info=info,
+        format=["DP", "AF", "OBS", "AFD"],
+        samples=samples,
+    )

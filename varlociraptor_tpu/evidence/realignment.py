@@ -1,0 +1,218 @@
+"""Realignment: per-read ref/alt allele likelihoods via the pair-HMM kernel.
+
+Re-implements the reference's ``Realigner`` machinery
+(``/root/reference/src/variants/evidence/realignment/mod.rs:57-490``):
+candidate read/ref window selection around breakpoints, window merging,
+allele emission construction per variant type, forward probabilities through
+``ops.pairhmm``, ref/alt normalization, and strand extraction.  The Myers
+edit-distance pre-filter/banding is replaced by the batched full-window
+forward (see ops/pairhmm.py docstring); the edit-distance engine for
+third-allele rescue and homopolymer-length extraction lives in
+``evidence.edit_distance`` and is layered on top.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.bam import BamRecord, OP_D, OP_EQ, OP_H, OP_I, OP_M, OP_N, OP_S, OP_X
+from ..ops.pairhmm import BatchedPairHMM
+from ..utils.logprob import LOG_ZERO, np_ln_add_exp
+from .observation import STRAND_NONE
+from .variants import AlleleSupport, strand_from_record
+
+MAX_PATTERN_LEN = 128  # edit_distance.rs:138
+
+
+def read_pos_full(record: BamRecord, ref_pos: int, include_softclips=True, include_dels=True):
+    """htslib cigar read_pos(pos, true, true): query index for a reference
+    position, counting softclips as aligned and returning the preceding query
+    index within deletions."""
+    q = 0
+    r = record.pos
+    first = True
+    for op, l in record.cigar:
+        l = int(l)
+        if op == OP_S:
+            if include_softclips:
+                # softclip treated as if aligned before/after the read
+                if first:
+                    start = r - l
+                    if start <= ref_pos < r:
+                        return q + (ref_pos - start)
+                else:
+                    if r <= ref_pos < r + l:
+                        return q + (ref_pos - r)
+            q += l
+        elif op in (OP_M, OP_EQ, OP_X):
+            if r <= ref_pos < r + l:
+                return q + (ref_pos - r)
+            q += l
+            r += l
+        elif op == OP_I:
+            q += l
+        elif op in (OP_D, OP_N):
+            if r <= ref_pos < r + l:
+                return q if include_dels else None
+            r += l
+        first = False
+    return None
+
+
+@dataclass
+class CandidateRegion:
+    overlap: bool
+    read_start: int
+    read_end: int
+    ref_start: int
+    ref_end: int
+
+
+@dataclass
+class AlleleEmission:
+    """One allele window: a concrete byte sequence plus the variant ref-range
+    (for edit-op counting) and homopolymer metadata."""
+
+    seq: bytes
+    ref_offset: int
+    variant_ref_range: tuple | None = None
+    homopolymer_ref_range: tuple | None = None
+    alt_vs_ref_len_diff: int = 0
+
+
+class Realigner:
+    def __init__(self, reference, props, indel_window: int = 64, max_window: int = 64):
+        self.reference = reference
+        self.props = props
+        self.max_window = max_window
+        self.hmm = BatchedPairHMM(props.gap_params)
+
+    @property
+    def ref_window(self):
+        # realignment/mod.rs:155-159
+        return int(self.max_window * 1.5)
+
+    # ------------------------------------------------------------------
+    def candidate_region(self, record: BamRecord, locus_start, locus_end, ref_len):
+        """realignment/mod.rs:58-153."""
+        qstart = read_pos_full(record, locus_start)
+        qend = read_pos_full(record, locus_end)
+        w = self.max_window
+
+        def ref_interval(breakpoint):
+            return (
+                max(0, breakpoint - self.ref_window),
+                min(breakpoint + self.ref_window, ref_len),
+            )
+
+        if qstart is not None and qend is not None:
+            max_w = max(0, w - (qend - qstart) // 2)
+            read_offset = max(0, qstart - max_w)
+            read_end = min(qend + max_w, record.read_len)
+            exceed = (read_end - read_offset) - MAX_PATTERN_LEN
+            if exceed > 0:
+                read_offset += exceed // 2
+                read_end -= (exceed + 1) // 2
+            rs, re = ref_interval(locus_start)
+            return CandidateRegion(True, read_offset, read_end, rs, re)
+        if qstart is not None:
+            read_offset = max(0, qstart - w)
+            read_end = min(qstart + w, record.read_len)
+            rs, re = ref_interval(locus_start)
+            return CandidateRegion(True, read_offset, read_end, rs, re)
+        if qend is not None:
+            read_offset = max(0, qend - w)
+            read_end = min(qend + w, record.read_len)
+            rs, re = ref_interval(locus_end)
+            return CandidateRegion(True, read_offset, read_end, rs, re)
+        m = record.read_len // 2
+        read_offset = max(0, m - w)
+        read_end = min(m + w - 1, record.read_len)
+        breakpoint = record.pos + m
+        read_enclosed = record.pos >= locus_start and record.end_pos <= locus_end
+        rs, re = ref_interval(breakpoint)
+        return CandidateRegion(read_enclosed, read_offset, read_end, rs, re)
+
+    # ------------------------------------------------------------------
+    def allele_support(self, record, loci, variant, alt_variants, props):
+        """realignment/mod.rs:161-423.  loci: [(start, end)] on variant contig."""
+        regions = [
+            self.candidate_region(
+                record, start, end, self.reference.contig_length(variant.contig)
+            )
+            for start, end in loci
+        ]
+        if not any(r.overlap for r in regions):
+            p = math.log(0.5)
+            return AlleleSupport(prob_ref=p, prob_alt=p, strand=STRAND_NONE)
+
+        # merge overlapping ref regions (mod.rs:200-222)
+        merged = []
+        for r in regions:
+            if not r.overlap:
+                continue
+            if merged and r.ref_start <= merged[-1].ref_end:
+                last = merged[-1]
+                last.ref_end = r.ref_end
+                last.read_start = min(last.read_start, r.read_start)
+                last.read_end = max(last.read_end, r.read_end)
+            else:
+                merged.append(r)
+
+        ref_seq = self.reference.seq(variant.contig)
+        prob_ref_all = 0.0
+        prob_alt_all = 0.0
+        strand = STRAND_NONE
+
+        for region in merged:
+            read_window = record.seq[region.read_start : region.read_end]
+            qual_window = record.qual[region.read_start : region.read_end]
+
+            ref_alleles = [
+                AlleleEmission(
+                    seq=bytes(ref_seq[region.ref_start : region.ref_end]),
+                    ref_offset=region.ref_start,
+                )
+            ]
+            for av in alt_variants:
+                ref_alleles.extend(
+                    av.alt_emission_params(
+                        ref_seq, region.ref_start, region.ref_end, self.ref_window
+                    )
+                )
+            alt_alleles = variant.alt_emission_params(
+                ref_seq, region.ref_start, region.ref_end, self.ref_window
+            )
+
+            alleles = [a.seq for a in ref_alleles + alt_alleles]
+            n = len(alleles)
+            probs = self.hmm.forward(
+                alleles, [read_window] * n, [qual_window] * n
+            )
+            prob_ref = float(np.max(probs[: len(ref_alleles)]))
+            prob_alt = float(np.max(probs[len(ref_alleles) :]))
+
+            # normalization: only the ratio matters (mod.rs:350-376)
+            if prob_ref > LOG_ZERO and prob_alt > LOG_ZERO:
+                total = np_ln_add_exp(prob_ref, prob_alt)
+                prob_ref -= total
+                prob_alt -= total
+            if prob_ref == LOG_ZERO and prob_alt == LOG_ZERO:
+                prob_ref = prob_alt = math.log(0.5)
+
+            prob_ref_all += prob_ref
+            prob_alt_all += prob_alt
+
+        if prob_ref_all != prob_alt_all:
+            strand = strand_from_record(record)
+
+        return AlleleSupport(
+            prob_ref=prob_ref_all,
+            prob_alt=prob_alt_all,
+            strand=strand,
+            homopolymer_indel_len=None,
+            third_allele_evidence=None,
+        )

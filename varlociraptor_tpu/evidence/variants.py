@@ -167,6 +167,24 @@ class Snv(VariantType):
                 return [0]
         return None
 
+    def alt_emission_params(self, ref_seq, region_start, region_end, ref_window):
+        """SnvEmissionParams (snv.rs:157-179): ref window with the alt base
+        substituted at the SNV position."""
+        from .realignment import AlleleEmission
+
+        start = self.pos
+        ref_offset = max(0, start - ref_window)
+        ref_end = min(start + 1 + ref_window, len(ref_seq))
+        seq = bytearray(ref_seq[ref_offset:ref_end])
+        seq[start - ref_offset] = self.alt_base
+        return [
+            AlleleEmission(
+                seq=bytes(seq),
+                ref_offset=ref_offset,
+                variant_ref_range=(start, start + 1),
+            )
+        ]
+
     def _support_per_read(self, record, props, alt_variants):
         if locus_overlap(record, self.pos, self.pos + 1) != OVERLAP_ENCLOSING:
             return None
@@ -254,6 +272,24 @@ class Mnv(VariantType):
             ):
                 return [0]
         return None
+
+    def alt_emission_params(self, ref_seq, region_start, region_end, ref_window):
+        """MNV emission: alt bases spliced over the window (mnv.rs)."""
+        from .realignment import AlleleEmission
+
+        start = self.pos
+        ref_offset = max(0, start - ref_window)
+        ref_end = min(start + self.len + ref_window, len(ref_seq))
+        seq = bytearray(ref_seq[ref_offset:ref_end])
+        for i, b in enumerate(self.alt_bases):
+            seq[start - ref_offset + i] = b
+        return [
+            AlleleEmission(
+                seq=bytes(seq),
+                ref_offset=ref_offset,
+                variant_ref_range=(start, start + self.len),
+            )
+        ]
 
     def _support_per_read(self, record, props, alt_variants):
         if locus_overlap(record, self.pos, self.pos + self.len) != OVERLAP_ENCLOSING:
