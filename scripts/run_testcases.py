@@ -10,6 +10,8 @@ import sys
 import time
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 TESTCASES = Path("/root/reference/tests/resources/testcases")
 
 

@@ -68,9 +68,7 @@ class WorkItem:
 
 
 # all single-artifact combos in a fixed order; gating selects per locus
-FULL_COMBOS = [BiasCombo()] + all_artifact_combinations(
-    True, True, True, True, True, True
-)
+from ..ops.biases import FULL_COMBOS_DEFAULT as FULL_COMBOS  # noqa: E402
 
 
 def _combo_allowed(combo: BiasCombo, flags) -> bool:

@@ -1,0 +1,202 @@
+"""Bayesian FDR control (Mueller, Parmigiani & Rice 2006).
+
+Port of ``/root/reference/src/filtration/fdr.rs`` +
+``/root/reference/src/utils/mod.rs:160-420`` (tags_prob_sum,
+collect_prob_dist, filter_by_threshold, filter_calls): expected FDR over the
+sorted posterior-error-probability distribution, threshold search, local /
+global x strict / smart modes, variant-type + length-range filters, and
+breakend-group-consistent decisions.
+
+At pod scale the global mode is the one cross-shard reduction in the
+pipeline: per-record event-probability sums are all-gathered (a few MB
+genome-wide) and the sort/threshold is replicated (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..calling.variants import collect_variants
+from ..io.vcf import VcfReader, VcfWriter
+from ..utils.logprob import (
+    LOG_ZERO,
+    NUMERICAL_EPSILON,
+    PROB_05,
+    np_ln_one_minus_exp,
+    np_ln_sum_exp,
+    np_log_from_phred,
+)
+
+VARTYPE_KINDS = {
+    "SNV": {"snv"},
+    "MNV": {"mnv"},
+    "INS": {"insertion"},
+    "DEL": {"deletion"},
+    "INV": {"inversion"},
+    "DUP": {"duplication"},
+    "REP": {"replacement"},
+    "BND": {"breakend"},
+    "REF": {"none"},
+    "METH": {"methylation"},
+}
+
+
+def _record_vartype_match(rec, vartype: str | None, min_len=None, max_len=None):
+    if vartype is None:
+        return True
+    kinds = VARTYPE_KINDS.get(vartype.upper())
+    variants = collect_variants(rec, skip_imprecise=False)
+    if not variants:
+        return False
+    v = variants[0]
+    if kinds and v.kind not in kinds:
+        return False
+    if min_len is not None or max_len is not None:
+        svlen = abs(v.svlen) if v.svlen else abs(
+            len(v.alt_allele) - len(v.ref_allele)
+        )
+        if min_len is not None and svlen < min_len:
+            return False
+        if max_len is not None and svlen >= max_len:
+            return False
+    return True
+
+
+def tags_prob_sum(rec, tags) -> float | None:
+    """Sum of linear probs of PROB_* tags in log space, overshoot-capped
+    (utils/mod.rs:177-212)."""
+    probs = []
+    for tag in tags:
+        raw = rec.info_get(tag)
+        if raw is None or raw is True:
+            continue
+        try:
+            phred = float(str(raw).split(",")[0])
+        except ValueError:
+            continue
+        if math.isnan(phred):
+            continue
+        probs.append(np_log_from_phred(phred))
+    if not probs:
+        return None
+    p = np_ln_sum_exp(np.array(probs))
+    if 0.0 < p <= NUMERICAL_EPSILON:
+        p = 0.0
+    return min(p, 0.0)
+
+
+def expected_fdr(sorted_peps):
+    """bio::stats::bayesian::expected_fdr: cumulative mean of sorted PEPs."""
+    peps = np.asarray(sorted_peps, dtype=np.float64)
+    if len(peps) == 0:
+        return np.array([])
+    lin = np.exp(peps)
+    cum = np.cumsum(lin)
+    return np.log(np.maximum(cum / np.arange(1, len(peps) + 1), 1e-300))
+
+
+def control_fdr(
+    in_vcf,
+    out_vcf,
+    events: list[str],
+    alpha: float,
+    vartype: str | None = None,
+    min_len=None,
+    max_len=None,
+    local: bool = False,
+    smart: bool = False,
+    smart_retain_artifacts: bool = False,
+) -> int:
+    """Filter calls at FDR alpha; returns number of records kept."""
+    reader = VcfReader(in_vcf)
+    records = reader.records()
+    tags = [f"PROB_{e.upper()}" for e in events]
+    ln_alpha = math.log(alpha) if alpha > 0 else LOG_ZERO
+
+    threshold = None
+    if local:
+        threshold = np_ln_one_minus_exp(ln_alpha)
+    elif alpha < 1.0:
+        if smart:
+            dist_tags = ["PROB_ABSENT"]
+            if not smart_retain_artifacts:
+                dist_tags.append("PROB_ARTIFACT")
+        else:
+            dist_tags = tags
+        # collect probability distribution (dedupe breakend events)
+        seen_events = set()
+        prob_dist = []
+        for rec in records:
+            if not _record_vartype_match(rec, vartype, min_len, max_len):
+                continue
+            ev = rec.info_get("EVENT")
+            if ev and ev is not True:
+                if ev in seen_events:
+                    continue
+                seen_events.add(ev)
+            p = tags_prob_sum(rec, dist_tags)
+            if p is not None:
+                prob_dist.append(p)
+        prob_dist.sort()
+        prob_dist = prob_dist[::-1]  # descending
+        if smart:
+            prob_dist = [np_ln_one_minus_exp(p) for p in prob_dist]
+        pep_dist = [np_ln_one_minus_exp(p) for p in prob_dist]
+        fdrs = expected_fdr(pep_dist)
+        if len(fdrs) == 0:
+            threshold = None
+        elif fdrs[0] > ln_alpha:
+            threshold = 0.0  # ln_one: nothing passes
+        else:
+            for i in range(len(fdrs) - 1, -1, -1):
+                if fdrs[i] <= ln_alpha and (
+                    i == 0 or pep_dist[i] != pep_dist[i - 1]
+                ):
+                    threshold = prob_dist[i]
+                    break
+
+    # second pass: filter
+    n = 0
+    bnd_decisions = {}
+    tags_q = list(tags)
+    absent_tags = ["PROB_ABSENT"]
+    if smart and smart_retain_artifacts:
+        tags_q.append("PROB_ARTIFACT")
+    else:
+        absent_tags.append("PROB_ARTIFACT")
+
+    with VcfWriter(
+        out_vcf, sample_names=reader.sample_names, header_lines=reader.header_lines
+    ) as w:
+        for rec in records:
+            if not _record_vartype_match(rec, vartype, min_len, max_len):
+                continue
+            ev = rec.info_get("EVENT")
+            keep = bnd_decisions.get(ev) if ev and ev is not True else None
+            if keep is None:
+                prob_events = tags_prob_sum(rec, tags_q)
+                if smart:
+                    pa = tags_prob_sum(rec, absent_tags)
+                    p = np_ln_one_minus_exp(pa) if pa is not None else None
+                else:
+                    p = prob_events
+                if p is not None and threshold is not None:
+                    keep = p > threshold or math.isclose(
+                        p, threshold, rel_tol=1e-9, abs_tol=1e-12
+                    )
+                elif p is not None and threshold is None:
+                    keep = True
+                else:
+                    keep = False
+                if smart:
+                    keep = keep and (
+                        prob_events is not None and prob_events > PROB_05
+                    )
+                if ev and ev is not True:
+                    bnd_decisions[ev] = keep
+            if keep:
+                w.write(rec)
+                n += 1
+    return n

@@ -104,6 +104,12 @@ def all_artifact_combinations(
     return combos
 
 
+# the fixed full combo layout used by the caller and benches
+FULL_COMBOS_DEFAULT = [BiasCombo()] + all_artifact_combinations(
+    True, True, True, True, True, True
+)
+
+
 @dataclass
 class LearnedBiasParams:
     """Per-locus learned parameters (bias learn_parameters hooks)."""

@@ -60,7 +60,8 @@ def np_ln_sum_exp(x, axis=None):
     x = np.asarray(x, dtype=np.float64)
     m = np.max(x, axis=axis, keepdims=True) if x.size else np.float64(LOG_ZERO)
     m_safe = np.where(np.isneginf(m), 0.0, m)
-    s = np.log(np.sum(np.exp(x - m_safe), axis=axis, keepdims=True)) + m_safe
+    with np.errstate(divide="ignore"):
+        s = np.log(np.sum(np.exp(x - m_safe), axis=axis, keepdims=True)) + m_safe
     s = np.where(np.isneginf(m), LOG_ZERO, s)
     if axis is None:
         return float(s.reshape(()))
