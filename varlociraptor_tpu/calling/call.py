@@ -317,10 +317,16 @@ def call_generic(
     """
     options = options or CallOptions()
     caller = GenericCaller(scenario, options)
-    readers = [
-        ObservationReader(observation_paths[name]) for name in scenario.sample_names
+    # samples without observation files get empty pileups (the reference
+    # models per-sample readers as Option<bcf::Reader>, calling.rs:55-81)
+    iters = [
+        iter(ObservationReader(observation_paths[name]))
+        if name in observation_paths
+        else None
+        for name in scenario.sample_names
     ]
-    iters = [iter(r) for r in readers]
+    if all(it is None for it in iters):
+        raise ValueError("no observation files given")
 
     sample_names = scenario.sample_names
     event_names = [n for n in scenario.event_formulas.keys() if n != "absent"]
@@ -360,16 +366,22 @@ def call_generic(
         while True:
             recs = []
             done = 0
+            n_present = 0
             for it in iters:
+                if it is None:
+                    recs.append(None)
+                    continue
+                n_present += 1
                 try:
                     recs.append(next(it))
                 except StopIteration:
+                    recs.append(None)
                     done += 1
-            if done == len(iters):
+            if done == n_present:
                 break
             if done:
                 raise ValueError("inconsistent observation files (different lengths)")
-            variants = [v for v, _ in recs]
+            variants = [v for r in recs if r is not None for v in [r[0]]]
             v0 = variants[0]
             for v in variants[1:]:
                 if (v.chrom, v.pos, v.ref_allele, v.alt_allele) != (
@@ -379,7 +391,7 @@ def call_generic(
                     v0.alt_allele,
                 ):
                     raise ValueError("inconsistent observation files (different loci)")
-            pileups = [p for _, p in recs]
+            pileups = [r[1] if r is not None else Pileup() for r in recs]
             item = caller.make_work_item(n, v0, pileups)
             if batch_contig is not None and (
                 v0.chrom != batch_contig or len(batch_items) >= options.batch_size

@@ -18,7 +18,7 @@ from ..evidence.extraction import extract_observations
 from ..evidence.variants import Mnv, RefSite, Snv
 from ..io.bam import BamReader
 from ..io.fasta import FastaBuffer
-from ..io.vcf import VcfReader
+from ..io.vcf import open_variant_file
 from .observations import ObservationWriter
 from .variants import VariantInfo, collect_variants
 
@@ -122,7 +122,7 @@ def preprocess(
             "bam": str(bam_path),
         },
     ) as writer:
-        for rec in VcfReader(candidates_path):
+        for rec in open_variant_file(candidates_path):
             for info in collect_variants(rec):
                 try:
                     variant = build_variant(

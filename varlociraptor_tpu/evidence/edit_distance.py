@@ -1,0 +1,274 @@
+"""Edit-distance engine: semiglobal alignment, third-allele rescue,
+homopolymer indel extraction.
+
+Re-implements ``/root/reference/src/variants/evidence/realignment/edit_distance.rs``:
+best-hit semiglobal edit alignment of the read window against an allele
+window (the reference uses Myers bit-parallel; we use a vectorized numpy DP
+with traceback — identical results), per-allele edit-operation counts
+restricted to the variant's ref range, the "explainable by error rates"
+classification, read-derived ("third") allele patching
+(``edit_distance.rs:360-467``), and the homopolymer indel operation
+(``/root/reference/src/utils/homopolymers.rs:53-160``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+EDIT_BAND = 4  # pairhmm.rs:21
+
+M, S, I, D = 0, 1, 2, 3  # match, subst, ins (read base), del (allele base)
+
+
+@dataclass
+class EditHit:
+    dist: int
+    start: int  # allele index of alignment start
+    end: int  # allele-window upper bound for banding (start of last + len + dist)
+    ops: list  # [(op, ...)] traceback ops, allele-axis leftmost alignment
+    n_subst_in_range: int = 0
+    n_ins_in_range: int = 0
+    n_del_in_range: int = 0
+    explainable: bool | None = None
+    homopolymer_indel_len: int | None = None
+
+    @property
+    def in_range_dist(self):
+        return self.n_subst_in_range + self.n_ins_in_range + self.n_del_in_range
+
+
+def semiglobal_edit(allele: np.ndarray, read: np.ndarray) -> tuple[int, int, list]:
+    """Edit distance of `read` against any substring-anchored placement in
+    `allele` (free start/end on allele axis). Returns (dist, start, ops)."""
+    a = np.frombuffer(bytes(allele), dtype=np.uint8) & ~np.uint8(0x20)
+    r = np.frombuffer(bytes(read), dtype=np.uint8) & ~np.uint8(0x20)
+    X, Y = len(a), len(r)
+    # dp[j] over read axis; iterate allele columns; free start: dp row j=0 is 0
+    # at every column. We need full matrix for traceback: keep it (X+1, Y+1).
+    dp = np.zeros((X + 1, Y + 1), dtype=np.int32)
+    dp[:, 0] = 0  # free start gap in allele
+    dp[0, :] = np.arange(Y + 1)  # leading read bases must be inserted
+    ar = np.arange(Y + 1, dtype=np.int32)
+    for i in range(1, X + 1):
+        sub = dp[i - 1, :-1] + (a[i - 1] != r)
+        cand = np.minimum(sub, dp[i - 1, 1:] + 1)  # subst/match | del (allele)
+        row = dp[i]
+        row[1:] = cand  # row[0] stays 0 (free start gap in allele)
+        # insertions (read bases): row[j] = min_{k<=j} row[k] + (j-k), via the
+        # min-prefix trick on (row - j)
+        t = row - ar
+        np.minimum.accumulate(t, out=t)
+        dp[i] = t + ar
+    # best end: min over dp[i, Y]
+    ends = dp[:, Y]
+    best_i = int(np.argmin(ends))
+    dist = int(ends[best_i])
+    # traceback from (best_i, Y)
+    ops = []
+    i, j = best_i, Y
+    while j > 0:
+        if i > 0 and dp[i, j] == dp[i - 1, j - 1] + (a[i - 1] != r[j - 1]):
+            ops.append(M if a[i - 1] == r[j - 1] else S)
+            i -= 1
+            j -= 1
+        elif i > 0 and dp[i, j] == dp[i - 1, j] + 1:
+            ops.append(D)
+            i -= 1
+        elif dp[i, j] == dp[i, j - 1] + 1:
+            ops.append(I)
+            j -= 1
+        else:  # pragma: no cover - fallback
+            ops.append(S)
+            i = max(0, i - 1)
+            j -= 1
+    ops.reverse()
+    start = i
+    return dist, start, ops
+
+
+def calc_hit(
+    emission,
+    read: np.ndarray,
+    props,
+    read_error_rate: float,
+    is_patched: bool = False,
+) -> EditHit | None:
+    """EditDistanceCalculation::calc_best_hit (edit_distance.rs:164-358)."""
+    allele = emission.seq
+    if len(allele) == 0 or len(read) == 0:
+        return None
+    dist, start, ops = semiglobal_edit(allele, read)
+    end = min(start + len(read) + dist, len(allele))
+    hit = EditHit(dist=dist, start=start, end=end, ops=ops)
+
+    vrange = getattr(emission, "variant_ref_range", None)
+    if not is_patched and vrange is not None:
+        lo, hi = vrange
+        pos = emission.ref_offset + start
+        n_s = n_i = n_d = 0
+        aln_start = pos
+        for op in ops:
+            in_range = lo <= pos < hi
+            if op == S:
+                if in_range:
+                    n_s += 1
+                pos += 1
+            elif op == D:
+                if in_range:
+                    n_d += 1
+                pos += 1
+            elif op == I:
+                if in_range:
+                    n_i += 1
+            else:
+                pos += 1
+        hit.n_subst_in_range = n_s
+        hit.n_ins_in_range = n_i
+        hit.n_del_in_range = n_d
+        aln_len = pos - aln_start
+        hit.explainable = is_explainable_by_error_rates(
+            n_s, n_i, n_d, aln_len, props, read_error_rate
+        )
+
+    # homopolymer indel length (edit_distance.rs:239-...; homopolymers.rs)
+    hrange = getattr(emission, "homopolymer_ref_range", None)
+    if not is_patched and hrange is not None:
+        op_res = homopolymer_indel_operation(
+            np.frombuffer(bytes(allele), dtype=np.uint8)[start:], read, ops
+        )
+        if op_res is not None:
+            oplen, text_pos = op_res
+            ref_pos = emission.ref_offset + start + text_pos
+            lo, hi = hrange
+            if lo <= ref_pos < hi and (oplen > 0 or lo <= ref_pos + abs(oplen) < hi):
+                hit.homopolymer_indel_len = oplen
+    return hit
+
+
+def is_explainable_by_error_rates(
+    n_subs, n_ins, n_del, alignment_len, props, read_error_rate
+):
+    """edit_distance.rs:31-47."""
+    expected = lambda lp: alignment_len * math.exp(lp)  # noqa: E731
+    return (
+        n_subs <= expected(read_error_rate)
+        and n_ins <= expected(props.gap_params.prob_insertion_artifact)
+        and n_del <= expected(props.gap_params.prob_deletion_artifact)
+    )
+
+
+def derive_patched_allele(emission, read: np.ndarray, hit: EditHit) -> bytes | None:
+    """edit_distance.rs:360-467: patch the allele with the read's edits that
+    fall inside the variant ref range."""
+    if hit.explainable is None or hit.explainable:
+        return None
+    allele = np.frombuffer(bytes(emission.seq), dtype=np.uint8)
+    vrange = emission.variant_ref_range
+    lo, hi = vrange
+    pos_ref = hit.start
+    pos_read = 0
+    out = bytearray(bytes(allele[: hit.start]))
+    read_b = np.asarray(read, dtype=np.uint8)
+    for op in hit.ops:
+        in_range = lo <= (pos_ref + emission.ref_offset) < hi
+        if op == M:
+            out.append(allele[pos_ref])
+            pos_ref += 1
+            pos_read += 1
+        elif op == S:
+            out.append(read_b[pos_read] if in_range else allele[pos_ref])
+            pos_ref += 1
+            pos_read += 1
+        elif op == D:
+            if not in_range:
+                out.append(allele[pos_ref])
+            pos_ref += 1
+        elif op == I:
+            if in_range:
+                out.append(read_b[pos_read])
+            pos_read += 1
+    del_len = abs(min(emission.alt_vs_ref_len_diff, 0))
+    tail_end = max(len(allele) - del_len, pos_ref)
+    out.extend(bytes(allele[pos_ref:tail_end]))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# homopolymer indel op (homopolymers.rs:53-160)
+# ---------------------------------------------------------------------------
+
+
+def _is_homopolymer(seq) -> bool:
+    return len(seq) > 0 and len(set(bytes(seq))) == 1
+
+
+def _extend_stretch(base, it) -> int:
+    n = 0
+    for c in it:
+        if c == base:
+            n += 1
+        else:
+            break
+    return n
+
+
+def homopolymer_indel_operation(text: np.ndarray, pattern: np.ndarray, ops):
+    """Returns (indel_len, text_pos) if exactly one homopolymer indel,
+    else None. text = allele from alignment start, pattern = read."""
+    text = np.asarray(text, dtype=np.uint8)
+    pattern = np.asarray(pattern, dtype=np.uint8)
+    rpos = qpos = 0
+    found = None
+    text_pos = 0
+
+    def is_extendable(rpos, base):
+        if len(text) == 0:
+            return False
+        min_len = 0 if rpos < len(text) - 1 and text[rpos] == base else 1
+        fwd = (
+            rpos < len(text) - 1
+            and _extend_stretch(base, text[rpos + 1 :]) > min_len
+        )
+        bwd = rpos > 0 and _extend_stretch(base, text[:rpos][::-1]) > min_len
+        return fwd or bwd
+
+    # group consecutive identical ops
+    groups = []
+    for op in ops:
+        if groups and groups[-1][0] == op:
+            groups[-1][1] += 1
+        else:
+            groups.append([op, 1])
+    for op, length in groups:
+        if op in (M, S):
+            qpos += length
+            rpos += length
+        elif op == D:
+            seg = text[rpos : rpos + length]
+            if length < 256 and _is_homopolymer(seg) and is_extendable(rpos, seg[0]):
+                if found is None:
+                    found = -length
+                    text_pos = rpos
+                else:
+                    return None
+            rpos += length
+        elif op == I:
+            seg = pattern[qpos : qpos + length]
+            if (
+                length <= 256
+                and _is_homopolymer(seg)
+                and rpos < len(text)
+                and is_extendable(rpos, seg[0])
+            ):
+                if found is None:
+                    found = length
+                    text_pos = rpos
+                else:
+                    return None
+            qpos += length
+    if found is None:
+        return None
+    return found, text_pos

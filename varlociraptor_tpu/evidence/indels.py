@@ -375,7 +375,8 @@ class Insertion(RealignedVariant):
             AlleleEmission(
                 seq=seq,
                 ref_offset=ref_offset,
-                variant_ref_range=(start, start + 1),
+                # insertion.rs:267-269: range covers the inserted segment
+                variant_ref_range=(start, start + l),
                 homopolymer_ref_range=self.homopolymer,
                 alt_vs_ref_len_diff=l,
             )
@@ -507,7 +508,8 @@ class Replacement(RealignedVariant):
             AlleleEmission(
                 seq=seq,
                 ref_offset=ref_offset,
-                variant_ref_range=(self.pos, self.end),
+                # replacement.rs:290-292: repl_start..repl_alt_end
+                variant_ref_range=(self.pos, self.pos + len(self.alt_allele)),
                 alt_vs_ref_len_diff=len(self.alt_allele) - len(self.ref_allele),
             )
         ]
@@ -521,8 +523,10 @@ class HomopolymerErrorModel:
     def __init__(self, variant_indel_len: int, props):
         self.variant_homopolymer_indel_len = variant_indel_len
         model = props.wildtype_homopolymer_error_model
-        total = sum(model.values()) or 1.0
-        self._probs = {k: v / total for k, v in model.items()}
+        # homopolymers.rs:180-216: normalize over valid nonzero indel lens
+        valid = {k: v for k, v in model.items() if k != 0 and -128 <= k <= 127}
+        total = sum(valid.values()) or 1.0
+        self._probs = {k: v / total for k, v in valid.items()}
 
     def prob_observable(self, indel_len: int) -> float:
         p = self._probs.get(int(indel_len), 0.0)

@@ -141,10 +141,16 @@ class ReadObservation:
         return self.prob_ref_adj if self.prob_ref_adj is not None else self.prob_ref
 
     def bayes_factor_alt(self) -> float:
-        return math.exp(self.prob_alt - self.prob_ref) if self.prob_ref > LOG_ZERO else math.inf
+        if self.prob_alt == self.prob_ref:
+            return 1.0
+        d = self.prob_alt - self.prob_ref
+        return math.inf if d > 700 else math.exp(d)
 
     def bayes_factor_ref(self) -> float:
-        return math.exp(self.prob_ref - self.prob_alt) if self.prob_alt > LOG_ZERO else math.inf
+        if self.prob_alt == self.prob_ref:
+            return 1.0
+        d = self.prob_ref - self.prob_alt
+        return math.inf if d > 700 else math.exp(d)
 
     def is_uniquely_mapping(self) -> bool:
         return self.eff_prob_mapping() >= PROB_095

@@ -162,14 +162,34 @@ class Realigner:
             else:
                 merged.append(r)
 
+        from .edit_distance import (
+            EDIT_BAND,
+            calc_hit,
+            derive_patched_allele,
+        )
+
         ref_seq = self.reference.seq(variant.contig)
         prob_ref_all = 0.0
         prob_alt_all = 0.0
         strand = STRAND_NONE
+        homopolymer_indel_len = None
+        is_third_allele = False
+        alt_edit_dist = None
 
         for region in merged:
             read_window = record.seq[region.read_start : region.read_end]
             qual_window = record.qual[region.read_start : region.read_end]
+            # ReadEmission::error_rate: window miscall mass over full read len
+            miscalls = -qual_window.astype(np.float64) * math.log(10.0) / 10.0
+            with np.errstate(divide="ignore"):
+                error_rate = (
+                    float(
+                        np.log(np.sum(np.exp(miscalls)))
+                        - math.log(max(record.read_len, 1))
+                    )
+                    if len(miscalls)
+                    else LOG_ZERO
+                )
 
             ref_alleles = [
                 AlleleEmission(
@@ -187,13 +207,59 @@ class Realigner:
                 ref_seq, region.ref_start, region.ref_end, self.ref_window
             )
 
-            alleles = [a.seq for a in ref_alleles + alt_alleles]
-            n = len(alleles)
+            all_emissions = ref_alleles + alt_alleles
+            hits = [
+                calc_hit(em, read_window, props, error_rate)
+                for em in all_emissions
+            ]
+            # shrink each allele window to its edit hit +- EDIT_BAND
+            # (calculate_prob_allele, realignment/mod.rs:526-543)
+            shrunk = []
+            for em, hit in zip(all_emissions, hits):
+                if hit is None:
+                    shrunk.append(em.seq)
+                else:
+                    lo = max(hit.start - EDIT_BAND, 0)
+                    hi = min(hit.end + EDIT_BAND, len(em.seq))
+                    shrunk.append(em.seq[lo:hi])
             probs = self.hmm.forward(
-                alleles, [read_window] * n, [qual_window] * n
+                shrunk, [read_window] * len(shrunk), [qual_window] * len(shrunk)
             )
-            prob_ref = float(np.max(probs[: len(ref_alleles)]))
-            prob_alt = float(np.max(probs[len(ref_alleles) :]))
+            n_ref = len(ref_alleles)
+            ref_idx = int(np.argmax(probs[:n_ref]))
+            alt_rel = int(np.argmax(probs[n_ref:]))
+            prob_ref = float(probs[ref_idx])
+            prob_alt = float(probs[n_ref + alt_rel])
+            alt_emission = alt_alleles[alt_rel]
+            alt_hit = hits[n_ref + alt_rel]
+
+            # third-allele rescue (realignment/mod.rs:317-348). The reference
+            # fires on prob_alt > prob_ref strictly; when both alleles are
+            # terrible (e.g. a read carrying an unrelated indel) the two sides
+            # are near-tied and the tie direction is numerical noise, so we
+            # allow a small epsilon — semantically the read comes from a third
+            # allele either way, and the patched-allele check below still
+            # guards the replacement.
+            if prob_alt > prob_ref - 1.0 and alt_hit is not None:
+                patched = derive_patched_allele(alt_emission, read_window, alt_hit)
+                if patched is not None:
+                    phit = calc_hit(
+                        AlleleEmission(seq=patched, ref_offset=alt_emission.ref_offset),
+                        read_window,
+                        props,
+                        error_rate,
+                        is_patched=True,
+                    )
+                    lo = max(phit.start - EDIT_BAND, 0)
+                    hi = min(phit.end + EDIT_BAND, len(patched))
+                    p_inferred = float(
+                        self.hmm.forward(
+                            [patched[lo:hi]], [read_window], [qual_window]
+                        )[0]
+                    )
+                    if p_inferred > prob_ref:
+                        prob_ref = p_inferred
+                        is_third_allele = True
 
             # normalization: only the ratio matters (mod.rs:350-376)
             if prob_ref > LOG_ZERO and prob_alt > LOG_ZERO:
@@ -202,6 +268,14 @@ class Realigner:
                 prob_alt -= total
             if prob_ref == LOG_ZERO and prob_alt == LOG_ZERO:
                 prob_ref = prob_alt = math.log(0.5)
+
+            if prob_ref != prob_alt:
+                if homopolymer_indel_len is None and alt_hit is not None:
+                    homopolymer_indel_len = alt_hit.homopolymer_indel_len
+
+            if alt_hit is not None and alt_hit.explainable is not None:
+                d = alt_hit.in_range_dist
+                alt_edit_dist = d if alt_edit_dist is None else alt_edit_dist + d
 
             prob_ref_all += prob_ref
             prob_alt_all += prob_alt
@@ -213,6 +287,6 @@ class Realigner:
             prob_ref=prob_ref_all,
             prob_alt=prob_alt_all,
             strand=strand,
-            homopolymer_indel_len=None,
-            third_allele_evidence=None,
+            homopolymer_indel_len=homopolymer_indel_len,
+            third_allele_evidence=alt_edit_dist if is_third_allele else None,
         )

@@ -22,6 +22,11 @@ from . import formula as fm
 DEFAULT_RESOLUTION = 0.01
 
 
+def _maybe_float(x):
+    """YAML 1.1 leaves '1e-6' (no dot) as a string; coerce rates to float."""
+    return None if x is None else float(x)
+
+
 @dataclass
 class VariantTypeFraction:
     """grammar/mod.rs:375-425."""
@@ -166,8 +171,10 @@ class Scenario:
                 contamination=contamination,
                 resolution=float(s.get("resolution", DEFAULT_RESOLUTION)),
                 universe=s.get("universe"),
-                somatic_effective_mutation_rate=s.get("somatic_effective_mutation_rate"),
-                germline_mutation_rate=s.get("germline_mutation_rate"),
+                somatic_effective_mutation_rate=_maybe_float(
+                    s.get("somatic_effective_mutation_rate")
+                ),
+                germline_mutation_rate=_maybe_float(s.get("germline_mutation_rate")),
                 ploidy=s.get("ploidy"),
                 inheritance=s.get("inheritance"),
                 sex=s.get("sex"),
@@ -177,9 +184,11 @@ class Scenario:
             s = s or {}
             sd = self.samples[name]
             if "somatic-effective-mutation-rate" in s:
-                sd.somatic_effective_mutation_rate = s["somatic-effective-mutation-rate"]
+                sd.somatic_effective_mutation_rate = _maybe_float(
+                    s["somatic-effective-mutation-rate"]
+                )
             if "germline-mutation-rate" in s:
-                sd.germline_mutation_rate = s["germline-mutation-rate"]
+                sd.germline_mutation_rate = _maybe_float(s["germline-mutation-rate"])
 
         self.sample_names = list(self.samples.keys())  # sorted
         self.sample_idx = {n: i for i, n in enumerate(self.sample_names)}
@@ -210,9 +219,11 @@ class Scenario:
                 sv=vf.get("sv", 0.01),
             )
         return Species(
-            heterozygosity=doc.get("heterozygosity"),
-            germline_mutation_rate=doc.get("germline-mutation-rate"),
-            somatic_effective_mutation_rate=doc.get("somatic-effective-mutation-rate"),
+            heterozygosity=_maybe_float(doc.get("heterozygosity")),
+            germline_mutation_rate=_maybe_float(doc.get("germline-mutation-rate")),
+            somatic_effective_mutation_rate=_maybe_float(
+                doc.get("somatic-effective-mutation-rate")
+            ),
             variant_type_fractions=vtf,
             ploidy=doc.get("ploidy"),
         )

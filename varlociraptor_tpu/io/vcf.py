@@ -61,6 +61,26 @@ def _format_info(info: dict) -> str:
     return ";".join(parts)
 
 
+def open_variant_file(path):
+    """Auto-detect VCF text / gzipped VCF / BCF (plain or BGZF)."""
+    import gzip as _gzip
+
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:3] == b"BCF":
+        from .bcf import BcfReader
+
+        return BcfReader(path)
+    if head[:2] == b"\x1f\x8b":
+        with _gzip.open(path, "rb") as f:
+            inner = f.read(4)
+        if inner[:3] == b"BCF":
+            from .bcf import BcfReader
+
+            return BcfReader(path)
+    return VcfReader(path)
+
+
 class VcfReader:
     def __init__(self, path):
         self.path = Path(path)

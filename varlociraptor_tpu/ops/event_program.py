@@ -115,7 +115,8 @@ class LfcConstraint:
         else:
             lfc = np.log2(vaf_a / vaf_b)
         return {
-            "==": lfc == self.value,
+            "==": bool(np.isclose(lfc, self.value)),
+            "!=": not bool(np.isclose(lfc, self.value)),
             "<": lfc < self.value,
             "<=": lfc <= self.value,
             ">": lfc > self.value,

@@ -167,16 +167,20 @@ class BatchedPairHMM:
     """Convenience wrapper with shape bucketing + numpy I/O."""
 
     def __init__(self, gap_params):
+        # zero (= -inf log) extension probability means multi-base spurious
+        # gaps are impossible through the gap states (rust-bio semantics:
+        # X->X only via the extension transition) — the default model, where
+        # gaps model per-base sequencing errors and real indels live in the
+        # alt-allele emission instead.
+        def _f(x):
+            return x if math.isfinite(x) else NEG_INF
+
         self.gap = np.array(
             [
-                gap_params.prob_insertion_artifact,
-                gap_params.prob_deletion_artifact,
-                gap_params.prob_insertion_extend_artifact
-                if math.isfinite(gap_params.prob_insertion_extend_artifact)
-                else gap_params.prob_insertion_artifact,
-                gap_params.prob_deletion_extend_artifact
-                if math.isfinite(gap_params.prob_deletion_extend_artifact)
-                else gap_params.prob_deletion_artifact,
+                _f(gap_params.prob_insertion_artifact),
+                _f(gap_params.prob_deletion_artifact),
+                _f(gap_params.prob_insertion_extend_artifact),
+                _f(gap_params.prob_deletion_extend_artifact),
             ],
             dtype=np.float32,
         )

@@ -192,6 +192,33 @@ class PosteriorEngine:
         self.event_is_artifact = [ev.is_artifact for ev in events]
         self.event_all_absent = [ev.all_absent() for ev in events]
 
+        # l2fc constraints: per-branch pairwise [G,G] masks over the grid
+        # (utils/log2_fold_change.rs; vaftree NodeKind::Log2FoldChange)
+        self.branch_lfc_masks = {}  # bi -> list[(sample_a, sample_b, mask [G,G])]
+        gvals = grid.values.astype(np.float64)
+        for bi, (ei, br) in enumerate(self.branches):
+            if not br.lfcs:
+                continue
+            by_pair = {}
+            for lfc in br.lfcs:
+                m = np.zeros((G, G), dtype=bool)
+                for ia, va in enumerate(gvals):
+                    for ib, vb in enumerate(gvals):
+                        m[ia, ib] = lfc.holds(va, vb)
+                # canonicalize to (min_sample, max_sample) orientation
+                if lfc.sample_a <= lfc.sample_b:
+                    key = (lfc.sample_a, lfc.sample_b)
+                else:
+                    key = (lfc.sample_b, lfc.sample_a)
+                    m = m.T
+                by_pair[key] = by_pair.get(key, np.ones((G, G), dtype=bool)) & m
+            samples_used = [s for pair in by_pair for s in pair]
+            if len(set(samples_used)) != 2 * len(by_pair):
+                raise NotImplementedError("chained l2fc constraints")
+            self.branch_lfc_masks[bi] = [
+                (a, b, m) for (a, b), m in by_pair.items()
+            ]
+
         # contraction units
         self.pairs = [
             (si, s.contaminated_by, s.contamination_fraction)
@@ -320,6 +347,38 @@ class PosteriorEngine:
             T = T + val
             Z = Z + Uzero[key]
 
+        # branches with l2fc constraints: re-contract the constrained sample
+        # pairs jointly under the pairwise grid mask
+        if self.branch_lfc_masks:
+            w_s = jnp.swapaxes(w, 1, 2)  # [L,S,NB,G]
+            zi = self.zero_idx
+            for bi, lfc_list in self.branch_lfc_masks.items():
+                coupled = {s for (a, b, _) in lfc_list for s in (a, b)}
+                for s in coupled:
+                    if s not in self.singletons:
+                        raise NotImplementedError(
+                            "l2fc on contaminated samples not supported yet"
+                        )
+                t_bi = jnp.zeros((L, B))
+                z_bi = jnp.zeros((L, B))
+                for key, val in U.items():
+                    if key[0] == "s" and key[1] in coupled:
+                        continue
+                    t_bi = t_bi + val[:, :, bi]
+                    z_bi = z_bi + Uzero[key][:, :, bi]
+                for a, b, mask_np in lfc_list:
+                    da = loglik[:, a] + w_s[:, a, bi][:, None, :]  # [L,B,G]
+                    db = loglik[:, b] + w_s[:, b, bi][:, None, :]
+                    lfc_mask = jnp.where(jnp.asarray(mask_np), 0.0, NEG_INF)
+                    joint_ab = (
+                        da[:, :, :, None] + db[:, :, None, :] + lfc_mask[None, None]
+                    )
+                    t_bi = t_bi + _lse(joint_ab, axis=(-2, -1))
+                    z00 = da[:, :, zi] + db[:, :, zi] + lfc_mask[zi, zi]
+                    z_bi = z_bi + z00
+                T = T.at[:, :, bi].set(t_bi)
+                Z = Z.at[:, :, bi].set(z_bi)
+
         z0 = jnp.asarray(self.branch_has_zero_point)
         T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
         Z = jnp.where(branch_gates[:, None, :] & z0[None, None], Z, NEG_INF)
@@ -353,7 +412,13 @@ class PosteriorEngine:
         marginal = _lse(joint, axis=-1)
         posteriors = joint - marginal[:, None]
 
-        # per-event per-sample marginal densities over grid (MAP / AFD)
+        # per-event per-sample marginal densities over grid (MAP / AFD):
+        # the reference's MAP scan compares unweighted joint densities at grid
+        # points (calling.rs:844-937), so the sample's own axis uses the
+        # spectrum indicator mask, not the trapezoid dx weights
+        wmask = jnp.where(w > NEG_INF / 2, 0.0, NEG_INF)
+        U_m, own_m, _ = self._unit_terms(loglik, pair_logliks, wmask)
+        U, own = U_m, own_m
         densities = []
         for ei in range(n_events):
             idxs = tuple(self.event_branch_idx[ei])
