@@ -108,8 +108,18 @@ def preprocess(
 
         alignment_properties = estimate(bam, omit_insert_size=options.omit_insert_size)
 
+    # haplotype feature index: last record index per haplotype id
+    # (preprocessing/haplotype_feature_index.rs:10-50)
+    records = list(open_variant_file(candidates_path))
+    last_of_haplotype = {}
+    for i, rec in enumerate(records):
+        for info in collect_variants(rec):
+            if info.haplotype is not None:
+                last_of_haplotype[info.haplotype] = i
+
     n = 0
     skipped = {}
+    pending_groups: dict[str, list] = {}
     with ObservationWriter(
         output_path,
         sample_name=sample_name,
@@ -122,8 +132,47 @@ def preprocess(
             "bam": str(bam_path),
         },
     ) as writer:
-        for rec in open_variant_file(candidates_path):
+        for i, rec in enumerate(records):
             for info in collect_variants(rec):
+                if info.kind == "breakend" and info.haplotype is not None:
+                    from ..evidence.breakends import Breakend
+
+                    ci = (0, 0)
+                    if not info.precise:
+                        raw = rec.info_get("CIPOS")
+                        if raw and raw is not True:
+                            parts = str(raw).split(",")
+                            ci = (int(parts[0]), int(parts[1]))
+                    try:
+                        bnd = Breakend.parse(
+                            info.chrom,
+                            info.pos,
+                            info.ref_allele,
+                            info.spec,
+                            rec.id or ".",
+                            str(rec.info_get("MATEID") or "") or None,
+                            precise=info.precise,
+                            ci=ci,
+                        )
+                    except ValueError:
+                        skipped["breakend"] = skipped.get("breakend", 0) + 1
+                        continue
+                    if bnd is not None:
+                        pending_groups.setdefault(info.haplotype, []).append(
+                            (info, bnd)
+                        )
+                    if last_of_haplotype.get(info.haplotype) == i:
+                        members = pending_groups.pop(info.haplotype, [])
+                        n += _process_breakend_group(
+                            members,
+                            reference,
+                            bam,
+                            alignment_properties,
+                            options,
+                            writer,
+                            skipped,
+                        )
+                    continue
                 try:
                     variant = build_variant(
                         info, reference, options, alignment_properties
@@ -145,3 +194,37 @@ def preprocess(
 
         print(f"preprocess: skipped unsupported variants: {skipped}", file=sys.stderr)
     return n
+
+
+def _process_breakend_group(
+    members, reference, bam, props, options, writer, skipped
+) -> int:
+    """Extract one shared pileup for a completed breakend group and write one
+    observation record per member (preprocessing/mod.rs:344-396)."""
+    if not members:
+        return 0
+    from ..evidence.breakends import BreakendGroup
+    from ..evidence.realignment import Realigner
+
+    realigner = Realigner(
+        reference=reference,
+        props=props,
+        indel_window=options.indel_window,
+        max_window=options.indel_window,
+    )
+    infos = [info for info, _ in members]
+    bnds = [bnd for _, bnd in members]
+    group = BreakendGroup.build(infos[0].chrom, bnds, realigner)
+    if group is None:
+        skipped["breakend"] = skipped.get("breakend", 0) + len(members)
+        return 0
+    pileup = extract_observations(
+        group,
+        bam,
+        props,
+        max_depth=options.max_depth,
+        do_adjust_prob_mapping=options.adjust_prob_mapping,
+    )
+    for info in infos:
+        writer.write_record(info, pileup)
+    return len(infos)

@@ -383,92 +383,93 @@ class Insertion(RealignedVariant):
         ]
 
 
-class Inversion(RealignedVariant):
+class _BreakendBacked(RealignedVariant):
+    """INV/DUP delegate to a 4-breakend group exactly like the reference
+    (inversion.rs:22-95, duplication.rs:20-95): the group's per-breakend
+    assembled alt alleles cover both junction orientations and windows."""
+
     def __init__(self, contig, start, length, realigner):
         super().__init__(contig, realigner)
         self.start = start
         self.first_pos = start
         self.len = int(length)
         self.end = start + self.len
+        from .breakends import Breakend, BreakendGroup
+
+        self.group = BreakendGroup(
+            contig, self._make_breakends(Breakend, realigner), realigner
+        )
 
     def realign_loci(self):
-        return [(self.start, self.start + 1), (self.end - 1, self.end)]
+        return self.group.realign_loci()
 
     def fetch_intervals(self):
-        return self.realign_loci()
+        return self.group.fetch_intervals()
 
     def is_valid_evidence(self, ev: Evidence, props):
-        for rec in ev.records():
-            for s, e in self.realign_loci():
-                if locus_overlap(rec, s, e, True) != 0:
-                    return [0, 1]
-        return None
+        return self.group.is_valid_evidence(ev, props)
+
+    def alt_emission_params(self, ref_seq, region_start, region_end, ref_window):
+        return self.group.alt_emission_params(
+            ref_seq, region_start, region_end, ref_window
+        )
 
     def enclosable_len(self):
         return self.len
 
-    def alt_emission_params(self, ref_seq, region_start, region_end, ref_window):
-        # inverted segment is [start+1, end] in the reference's breakend
-        # construction; window covers both breakpoints when small
-        seg = revcomp(ref_seq[self.start + 1 : self.end + 1])
-        ref_offset = max(0, self.start - ref_window)
-        ref_end = min(self.end + 1 + ref_window, len(ref_seq))
-        seq = (
-            bytes(ref_seq[ref_offset : self.start + 1])
-            + seg
-            + bytes(ref_seq[self.end + 1 : ref_end])
-        )
-        return [
-            AlleleEmission(
-                seq=seq,
-                ref_offset=ref_offset,
-                variant_ref_range=(self.start, self.end),
-                alt_vs_ref_len_diff=0,
+    def _ref_base(self, pos):
+        return chr(self.realigner.reference.seq(self.contig)[pos])
+
+
+class Inversion(_BreakendBacked):
+    def _make_breakends(self, Breakend, realigner):
+        from .breakends import Join, SIDE_LEFT, SIDE_RIGHT
+
+        s, e = self.start, self.end
+
+        def bnd(pos, l2r, jpos, side, bid, mid):
+            return Breakend(
+                contig=self.contig,
+                pos=pos,
+                ref_allele=self._ref_base(pos),
+                replacement=self._ref_base(pos),
+                join=Join(contig=self.contig, pos=jpos, side=side, revcomp=True),
+                is_left_to_right=l2r,
+                id=bid,
+                mateid=mid,
             )
+
+        return [
+            bnd(s - 1, True, e - 1, SIDE_LEFT, "w", "u"),
+            bnd(s, False, e, SIDE_RIGHT, "v", "x"),
+            bnd(e - 1, True, s - 1, SIDE_LEFT, "u", "w"),
+            bnd(e, False, s, SIDE_RIGHT, "x", "v"),
         ]
 
 
-class Duplication(RealignedVariant):
-    def __init__(self, contig, start, length, realigner):
-        super().__init__(contig, realigner)
-        self.start = start
-        self.first_pos = start
-        self.len = int(length)
-        self.end = start + self.len
+class Duplication(_BreakendBacked):
+    def _make_breakends(self, Breakend, realigner):
+        from .breakends import Join, SIDE_LEFT, SIDE_RIGHT
 
-    def realign_loci(self):
-        return [(self.start, self.start + 1), (self.end - 1, self.end)]
+        s, e = self.start, self.end
 
-    def fetch_intervals(self):
-        return self.realign_loci()
-
-    def is_valid_evidence(self, ev: Evidence, props):
-        for rec in ev.records():
-            for s, e in self.realign_loci():
-                if locus_overlap(rec, s, e, True) != 0:
-                    return [0, 1]
-        return None
-
-    def enclosable_len(self):
-        return self.len
-
-    def alt_emission_params(self, ref_seq, region_start, region_end, ref_window):
-        # tandem duplication: the segment appears twice
-        ref_offset = max(0, self.start - ref_window)
-        ref_end = min(self.end + ref_window, len(ref_seq))
-        seg = bytes(ref_seq[self.start : self.end])
-        seq = (
-            bytes(ref_seq[ref_offset : self.end])
-            + seg
-            + bytes(ref_seq[self.end : ref_end])
-        )
-        return [
-            AlleleEmission(
-                seq=seq,
-                ref_offset=ref_offset,
-                variant_ref_range=(self.start, self.end),
-                alt_vs_ref_len_diff=self.len,
+        def bnd(pos, l2r, jpos, side, bid, mid):
+            return Breakend(
+                contig=self.contig,
+                pos=pos,
+                ref_allele=self._ref_base(pos),
+                replacement=self._ref_base(pos),
+                join=Join(contig=self.contig, pos=jpos, side=side, revcomp=False),
+                is_left_to_right=l2r,
+                id=bid,
+                mateid=mid,
             )
+
+        return [
+            bnd(s, False, e - 1, SIDE_LEFT, "u", "w"),
+            bnd(s - 1, True, s, SIDE_RIGHT, "v", "."),
+            bnd(e - 1, True, s, SIDE_RIGHT, "w", "u"),
+            bnd(e, False, e - 1, SIDE_LEFT, "x", "."),
         ]
 
 
