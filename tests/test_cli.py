@@ -1,0 +1,171 @@
+"""End-to-end CLI tests: preprocess -> call -> filter -> conversions."""
+
+import json
+
+import pytest
+
+from varlociraptor_tpu.cli import run
+from varlociraptor_tpu.io.vcf import VcfReader
+
+
+@pytest.fixture(scope="module")
+def testcase_dir(ref_resources):
+    return ref_resources / "testcases" / "test01"
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory, testcase_dir):
+    """Run preprocess for both samples + tumor-normal calling once."""
+    tmp = tmp_path_factory.mktemp("cli")
+    # write the inline reference
+    import yaml
+
+    doc = yaml.safe_load(open(testcase_dir / "testcase.yaml"))
+    ref_path = tmp / "ref.fa"
+    ref_path.write_text(f">{doc['reference']['name']}\n{doc['reference']['seq']}\n")
+    props = tmp / "props.json"
+    props.write_text(doc["samples"]["tumor"]["properties"])
+
+    for name in ("tumor", "normal"):
+        assert (
+            run(
+                [
+                    "preprocess",
+                    "variants",
+                    str(ref_path),
+                    "--bam",
+                    str(testcase_dir / f"{name}.bam"),
+                    "--candidates",
+                    str(testcase_dir / "candidates.vcf"),
+                    "--output",
+                    str(tmp / f"{name}.obs.jsonl"),
+                    "--sample-name",
+                    name,
+                    "--alignment-properties",
+                    str(props),
+                ]
+            )
+            == 0
+        )
+    assert (
+        run(
+            [
+                "call",
+                "variants",
+                "tumor-normal",
+                "--tumor",
+                str(tmp / "tumor.obs.jsonl"),
+                "--normal",
+                str(tmp / "normal.obs.jsonl"),
+                "--purity",
+                "1.0",
+                "--output",
+                str(tmp / "calls.vcf"),
+            ]
+        )
+        == 0
+    )
+    return tmp
+
+
+def test_call_output(pipeline):
+    recs = VcfReader(pipeline / "calls.vcf").records()
+    assert len(recs) == 1
+    assert "PROB_SOMATIC_TUMOR" in recs[0].info
+    assert "PROB_ABSENT" in recs[0].info
+
+
+def test_fdr_filter(pipeline):
+    assert (
+        run(
+            [
+                "filter-calls",
+                "control-fdr",
+                str(pipeline / "calls.vcf"),
+                "--output",
+                str(pipeline / "fdr.vcf"),
+                "--events",
+                "somatic_tumor",
+                "--fdr",
+                "1.0",
+            ]
+        )
+        == 0
+    )
+    VcfReader(pipeline / "fdr.vcf").records()
+
+
+def test_posterior_odds(pipeline):
+    assert (
+        run(
+            [
+                "filter-calls",
+                "posterior-odds",
+                str(pipeline / "calls.vcf"),
+                "--output",
+                str(pipeline / "odds.vcf"),
+                "--events",
+                "somatic_tumor",
+                "--odds",
+                "none",
+            ]
+        )
+        == 0
+    )
+
+
+def test_decode_phred_and_genotype(pipeline):
+    assert (
+        run(
+            [
+                "decode-phred",
+                str(pipeline / "calls.vcf"),
+                "--output",
+                str(pipeline / "plain.vcf"),
+            ]
+        )
+        == 0
+    )
+    rec = VcfReader(pipeline / "plain.vcf").records()[0]
+    p = float(rec.info["PROB_ABSENT"])
+    assert 0.0 <= p <= 1.0
+    assert (
+        run(
+            [
+                "genotype",
+                str(pipeline / "calls.vcf"),
+                "--output",
+                str(pipeline / "gt.vcf"),
+            ]
+        )
+        == 0
+    )
+    rec = VcfReader(pipeline / "gt.vcf").records()[0]
+    assert rec.samples[0]["GT"] in ("0/0", "0/1", "1/1", "./.")
+
+
+def test_methylation_candidates(tmp_path):
+    fa = tmp_path / "m.fa"
+    fa.write_text(">c\nACGCGATCTT\n")
+    out = tmp_path / "meth.vcf"
+    assert run(["methylation-candidates", str(fa), str(out)]) == 0
+    recs = VcfReader(out).records()
+    assert len(recs) == 2  # CG at 2 and 4? (ACGCGATC: CG at idx 1? -> verify >0)
+    assert all(r.alts == ["<METH>"] for r in recs)
+
+
+def test_estimate_alignment_properties_cli(ref_tests, capsys):
+    assert (
+        run(
+            [
+                "estimate",
+                "alignment-properties",
+                str(ref_tests / "chr17.prefix.fa"),
+                "--bam",
+                str(ref_tests / "test.bam"),
+            ]
+        )
+        == 0
+    )
+    props = json.loads(capsys.readouterr().out)
+    assert props["max_read_len"] > 0

@@ -1,0 +1,31 @@
+"""PHRED -> linear probability conversion of PROB_* INFO fields.
+
+Port of ``/root/reference/src/conversion/decode_phred.rs``.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+from ..io.vcf import VcfReader, VcfWriter
+from ..utils.logprob import np_log_from_phred
+
+
+def decode_phred(in_path, out_path=None):
+    reader = VcfReader(in_path)
+    records = reader.records()
+    header = [
+        l.replace("PHRED", "linear") if "PROB_" in l else l
+        for l in reader.header_lines
+    ]
+    with VcfWriter(out_path, sample_names=reader.sample_names, header_lines=header) as w:
+        for rec in records:
+            for key, val in list(rec.info.items()):
+                if key.startswith("PROB_") and val is not True:
+                    try:
+                        phred = float(str(val).split(",")[0])
+                    except ValueError:
+                        continue
+                    rec.info[key] = f"{math.exp(np_log_from_phred(phred)):.6g}"
+            w.write(rec)
