@@ -277,7 +277,27 @@ class GenericCaller:
                     afd = None
                 else:
                     dens = out["densities"][li, best_ei, si]
-                    af = float(grid.values[int(np.argmax(dens))])
+                    gi = int(np.argmax(dens))
+                    af = float(grid.values[gi])
+                    # quadratic refinement between grid points (the reference's
+                    # adaptive integration reports off-grid MAP VAFs;
+                    # a log-parabola through the peak recovers them)
+                    if 0 < gi < grid.size - 1:
+                        dm, d0, dp = dens[gi - 1], dens[gi], dens[gi + 1]
+                        if np.isfinite(dm) and np.isfinite(dp):
+                            denom = dm - 2 * d0 + dp
+                            if denom < -1e-12:
+                                step = 0.5 * (dm - dp) / denom
+                                if abs(step) <= 1.0:
+                                    left = grid.values[gi] - grid.values[gi - 1]
+                                    right = grid.values[gi + 1] - grid.values[gi]
+                                    af = float(
+                                        np.clip(
+                                            af + step * (right if step > 0 else left),
+                                            grid.values[gi - 1],
+                                            grid.values[gi + 1],
+                                        )
+                                    )
                     denom = out["marginal"][li]
                     afd = {
                         float(g): float(d - denom)

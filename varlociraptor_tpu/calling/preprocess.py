@@ -85,6 +85,10 @@ def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
         return Replacement(
             info.chrom, info.pos, info.ref_allele.encode(), info.alt_seq.encode(), realigner
         )
+    if info.kind == "methylation":
+        from ..evidence.methylation import Methylation
+
+        return Methylation(info.chrom, info.pos)
     raise NotImplementedError(f"variant type {info.kind} not yet routed")
 
 
