@@ -116,10 +116,24 @@ def preprocess(
     # (preprocessing/haplotype_feature_index.rs:10-50)
     records = list(open_variant_file(candidates_path))
     last_of_haplotype = {}
+    locus_groups: dict[tuple, list] = {}
+    _REALIGNABLE = {
+        "snv",
+        "mnv",
+        "deletion",
+        "insertion",
+        "inversion",
+        "duplication",
+        "replacement",
+    }
     for i, rec in enumerate(records):
         for info in collect_variants(rec):
             if info.haplotype is not None:
                 last_of_haplotype[info.haplotype] = i
+            if info.kind in _REALIGNABLE:
+                # same-locus candidates act as competing alt alleles during
+                # realignment (utils/variant_buffer.rs:14-138)
+                locus_groups.setdefault((info.chrom, info.pos), []).append(info)
 
     n = 0
     skipped = {}
@@ -177,6 +191,22 @@ def preprocess(
                             skipped,
                         )
                     continue
+                if info.haplotype is not None and info.kind in _REALIGNABLE:
+                    # non-BND haplotype block member (haplotype_block.rs)
+                    key = "hb:" + info.haplotype
+                    pending_groups.setdefault(key, []).append((info, None))
+                    if last_of_haplotype.get(info.haplotype) == i:
+                        members = [m for m, _ in pending_groups.pop(key, [])]
+                        n += _process_haplotype_block(
+                            members,
+                            reference,
+                            bam,
+                            alignment_properties,
+                            options,
+                            writer,
+                            skipped,
+                        )
+                    continue
                 try:
                     variant = build_variant(
                         info, reference, options, alignment_properties
@@ -184,11 +214,24 @@ def preprocess(
                 except NotImplementedError:
                     skipped[info.kind] = skipped.get(info.kind, 0) + 1
                     continue
+                alt_variants = []
+                for other in locus_groups.get((info.chrom, info.pos), []):
+                    if other is info:
+                        continue
+                    try:
+                        alt_variants.append(
+                            build_variant(
+                                other, reference, options, alignment_properties
+                            )
+                        )
+                    except NotImplementedError:
+                        pass
                 pileup = extract_observations(
                     variant,
                     bam,
                     alignment_properties,
                     max_depth=options.max_depth,
+                    alt_variants=alt_variants,
                     do_adjust_prob_mapping=options.adjust_prob_mapping,
                 )
                 writer.write_record(info, pileup)
@@ -198,6 +241,36 @@ def preprocess(
 
         print(f"preprocess: skipped unsupported variants: {skipped}", file=sys.stderr)
     return n
+
+
+def _process_haplotype_block(
+    members, reference, bam, props, options, writer, skipped
+) -> int:
+    """Joint pileup for non-BND variants sharing an EVENT
+    (haplotype_block.rs; preprocessing/mod.rs:398-462)."""
+    if not members:
+        return 0
+    from ..evidence.haplotype_block import HaplotypeBlock
+
+    variants = []
+    for info in members:
+        try:
+            variants.append(build_variant(info, reference, options, props))
+        except NotImplementedError:
+            skipped[info.kind] = skipped.get(info.kind, 0) + 1
+    if not variants:
+        return 0
+    block = HaplotypeBlock(members[0].chrom, variants)
+    pileup = extract_observations(
+        block,
+        bam,
+        props,
+        max_depth=options.max_depth,
+        do_adjust_prob_mapping=options.adjust_prob_mapping,
+    )
+    for info in members:
+        writer.write_record(info, pileup)
+    return len(members)
 
 
 def _process_breakend_group(

@@ -246,6 +246,7 @@ def compile_scenario_events(
     Returns (events, grid_points): events ordered [absent, e1.., artifact-e1..]
     and the set of discrete VAFs referenced (for grid construction).
     """
+    scenario.validate(contig)
     events = []
     # absent event
     events.append(

@@ -265,6 +265,89 @@ class Scenario:
             for name, f in self.event_formulas.items()
         }
 
+    def validate(self, contig: str):
+        """Error if one event is exactly the disjunction of two others
+        (grammar/mod.rs:224-278). Events are compared via canonical merged
+        branch sets (the reference compares BDD-simplified formulas)."""
+        import itertools
+
+        from .compiler import compile_event
+
+        sets = {}
+        for name, f in self.event_formulas.items():
+            if name == "absent":
+                continue
+            ev = compile_event(name, f, self, contig)
+            sets[name] = _merged_branch_set(ev.branches)
+        names = sorted(sets)
+        by_set = {}
+        for name in names:
+            by_set.setdefault(sets[name], []).append(name)
+        for n1, n2 in itertools.combinations(names, 2):
+            union = _merged_branch_set(
+                tuple(b for n in (n1, n2) for b in _branch_set_to_branches(sets[n]))
+            )
+            if union in by_set and not set(by_set[union]) <= {n1, n2}:
+                raise OverlappingEventsError(
+                    f"event {by_set[union]} is the disjunction of "
+                    f"{n1!r} and {n2!r}; overlapping events are not allowed"
+                )
+
+
+class OverlappingEventsError(ValueError):
+    pass
+
+
+def _merged_branch_set(branches):
+    """Canonical frozenset of branch spectra, with single-sample spectrum
+    unions applied to fixpoint (mirrors the BDD + merge_atoms pipeline)."""
+    from ..ops.event_program import BranchSpec
+
+    items = {
+        (br.spectra, br.snv_gates, br.lfcs) for br in branches
+    }
+    changed = True
+    while changed:
+        changed = False
+        for a, b in itertools_combinations(items):
+            if a[1] != b[1] or a[2] != b[2]:
+                continue
+            diff = [
+                i for i, (x, y) in enumerate(zip(a[0], b[0])) if x != y
+            ]
+            if len(diff) != 1:
+                continue
+            i = diff[0]
+            from .compiler import _spec_to_spectrum, _spectrum_to_spec
+
+            u = fm._try_union_spectra(
+                _spec_to_spectrum(a[0][i]), _spec_to_spectrum(b[0][i])
+            )
+            if u is None:
+                continue
+            spectra = list(a[0])
+            spectra[i] = _spectrum_to_spec(u)
+            items.discard(a)
+            items.discard(b)
+            items.add((tuple(spectra), a[1], a[2]))
+            changed = True
+            break
+    return frozenset(items)
+
+
+def _branch_set_to_branches(bset):
+    from ..ops.event_program import BranchSpec
+
+    return [
+        BranchSpec(spectra=s, snv_gates=g, lfcs=l) for (s, g, l) in bset
+    ]
+
+
+def itertools_combinations(items):
+    import itertools
+
+    return itertools.combinations(list(items), 2)
+
     def variant_type_fractions(self) -> VariantTypeFraction:
         if self.species:
             return self.species.variant_type_fractions
