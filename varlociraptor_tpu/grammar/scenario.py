@@ -265,6 +265,11 @@ class Scenario:
             for name, f in self.event_formulas.items()
         }
 
+    def variant_type_fractions(self) -> VariantTypeFraction:
+        if self.species:
+            return self.species.variant_type_fractions
+        return VariantTypeFraction()
+
     def validate(self, contig: str):
         """Error if one event is exactly the disjunction of two others
         (grammar/mod.rs:224-278). Events are compared via canonical merged
@@ -347,11 +352,6 @@ def itertools_combinations(items):
     import itertools
 
     return itertools.combinations(list(items), 2)
-
-    def variant_type_fractions(self) -> VariantTypeFraction:
-        if self.species:
-            return self.species.variant_type_fractions
-        return VariantTypeFraction()
 
 
 def tumor_normal_scenario(purity: float) -> Scenario:
