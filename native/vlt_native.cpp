@@ -1,0 +1,153 @@
+// Native host runtime: parallel BGZF decompression + BAM record scanning.
+//
+// The reference links htslib for BAM/BCF decode (Cargo.toml:65); at pod scale
+// the host-side decode must keep TPU chips fed (SURVEY.md §7.3), so the hot
+// byte-level work lives here: multi-threaded BGZF block inflation and a
+// single-pass BAM record scanner emitting a columnar index (offset, tid, pos,
+// end_pos, flag, mapq) that Python queries with numpy searchsorted.
+//
+// Exposed via a plain C ABI consumed through ctypes (no pybind11 in image).
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+// Scan BGZF blocks; fills offsets/csizes/usizes (caller-allocated, cap
+// max_blocks). Returns number of blocks, or -1 on error.
+int64_t vlt_bgzf_index(const uint8_t* data, int64_t len, int64_t* offsets,
+                       int32_t* csizes, int32_t* usizes, int64_t max_blocks) {
+  int64_t pos = 0;
+  int64_t n = 0;
+  while (pos + 18 <= len && n < max_blocks) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return -1;
+    uint16_t xlen;
+    std::memcpy(&xlen, data + pos + 10, 2);
+    int64_t epos = pos + 12;
+    int64_t eend = epos + xlen;
+    int32_t bsize = -1;
+    while (epos + 4 <= eend) {
+      uint8_t si1 = data[epos], si2 = data[epos + 1];
+      uint16_t slen;
+      std::memcpy(&slen, data + epos + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t bs;
+        std::memcpy(&bs, data + epos + 4, 2);
+        bsize = (int32_t)bs + 1;
+        break;
+      }
+      epos += 4 + slen;
+    }
+    if (bsize < 0) return -1;
+    uint32_t isize;
+    std::memcpy(&isize, data + pos + bsize - 4, 4);
+    offsets[n] = pos;
+    csizes[n] = bsize;
+    usizes[n] = (int32_t)isize;
+    ++n;
+    pos += bsize;
+    if ((int32_t)isize == 0 && bsize == 28) {
+      // EOF block; keep scanning in case of concatenated files
+    }
+  }
+  return n;
+}
+
+// Decompress all blocks (offsets/csizes/usizes from vlt_bgzf_index) into out
+// at out_offsets, using nthreads. Returns 0 on success.
+int32_t vlt_bgzf_inflate(const uint8_t* data, const int64_t* offsets,
+                         const int32_t* csizes, const int32_t* usizes,
+                         const int64_t* out_offsets, int64_t n_blocks,
+                         uint8_t* out, int32_t nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  std::vector<std::thread> threads;
+  std::vector<int32_t> errs(nthreads, 0);
+  auto work = [&](int t) {
+    for (int64_t i = t; i < n_blocks; i += nthreads) {
+      const uint8_t* src = data + offsets[i];
+      uint16_t xlen;
+      std::memcpy(&xlen, src + 10, 2);
+      const uint8_t* cdata = src + 12 + xlen;
+      int64_t clen = csizes[i] - 12 - xlen - 8;
+      z_stream zs;
+      std::memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) {
+        errs[t] = 1;
+        return;
+      }
+      zs.next_in = const_cast<uint8_t*>(cdata);
+      zs.avail_in = (uInt)clen;
+      zs.next_out = out + out_offsets[i];
+      zs.avail_out = (uInt)usizes[i];
+      int r = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (r != Z_STREAM_END && !(r == Z_OK && usizes[i] == 0) &&
+          !(r == Z_BUF_ERROR && usizes[i] == 0)) {
+        errs[t] = 2;
+        return;
+      }
+    }
+  };
+  for (int t = 0; t < nthreads; ++t) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < nthreads; ++t)
+    if (errs[t]) return errs[t];
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// BAM record scan
+// ---------------------------------------------------------------------------
+
+static const uint32_t kConsumesRef = (1u << 0) | (1u << 2) | (1u << 3) |
+                                     (1u << 7) | (1u << 8);  // M D N = X
+
+// Scan BAM records starting at `pos` (just after header+refs). Emits columnar
+// arrays. Returns record count, or -1 on error.
+int64_t vlt_bam_scan(const uint8_t* data, int64_t len, int64_t start,
+                     int64_t* rec_offsets, int32_t* tids, int32_t* positions,
+                     int32_t* end_positions, uint16_t* flags, uint8_t* mapqs,
+                     int64_t max_records) {
+  int64_t pos = start;
+  int64_t n = 0;
+  while (pos + 4 <= len && n < max_records) {
+    int32_t block_size;
+    std::memcpy(&block_size, data + pos, 4);
+    if (block_size < 32 || pos + 4 + block_size > len) return -1;
+    const uint8_t* r = data + pos + 4;
+    int32_t tid, p;
+    std::memcpy(&tid, r, 4);
+    std::memcpy(&p, r + 4, 4);
+    uint8_t l_read_name = r[8];
+    uint8_t mapq = r[9];
+    uint16_t n_cigar, flag;
+    std::memcpy(&n_cigar, r + 12, 2);
+    std::memcpy(&flag, r + 14, 2);
+    const uint8_t* cigar = r + 32 + l_read_name;
+    int64_t ref_len = 0;
+    for (uint16_t c = 0; c < n_cigar; ++c) {
+      uint32_t op;
+      std::memcpy(&op, cigar + 4 * c, 4);
+      uint32_t kind = op & 0xF;
+      if (kConsumesRef & (1u << kind)) ref_len += op >> 4;
+    }
+    rec_offsets[n] = pos;
+    tids[n] = tid;
+    positions[n] = p;
+    end_positions[n] = p + (int32_t)ref_len;
+    flags[n] = flag;
+    mapqs[n] = mapq;
+    ++n;
+    pos += 4 + block_size;
+  }
+  return n;
+}
+
+}  // extern "C"

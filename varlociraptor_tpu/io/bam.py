@@ -241,7 +241,12 @@ class BamReader:
     def __init__(self, path):
         self.path = Path(path)
         raw = self.path.read_bytes()
-        data = _decode_bgzf(raw)
+        # native parallel BGZF inflate when available (io/native.py)
+        from . import native
+
+        data = native.bgzf_decompress(raw) if raw[:2] == b"\x1f\x8b" else None
+        if data is None:
+            data = _decode_bgzf(raw)
         if data[:4] != b"BAM\x01":
             raise ValueError(f"{path} is not BAM")
         l_text = struct.unpack_from("<i", data, 4)[0]
@@ -259,27 +264,63 @@ class BamReader:
             self.ref_lengths.append(l_ref)
             pos += 8 + l_name
         self._tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
+        self._data = data
+        self._rec_cache: dict[int, BamRecord] = {}
 
-        self.records: list[BamRecord] = []
-        n = len(data)
-        while pos + 4 <= n:
-            block_size = struct.unpack_from("<i", data, pos)[0]
-            rec = self._parse_record(data, pos + 4, block_size)
-            self.records.append(rec)
-            pos += 4 + block_size
+        # columnar record index: native single-pass scan when available,
+        # python fallback otherwise; records parse lazily on access
+        idx = native.bam_scan(data, pos)
+        if idx is not None:
+            (
+                self._offsets,
+                self._tids,
+                self._positions,
+                self._ends,
+                _flags,
+                _mapqs,
+            ) = idx
+        else:
+            offsets, tids, positions, ends = [], [], [], []
+            n = len(data)
+            p = pos
+            while p + 4 <= n:
+                block_size = struct.unpack_from("<i", data, p)[0]
+                rec = self._parse_record(data, p + 4, block_size)
+                self._rec_cache[p] = rec
+                offsets.append(p)
+                tids.append(rec.tid)
+                positions.append(rec.pos)
+                ends.append(rec.end_pos)
+                p += 4 + block_size
+            self._offsets = np.array(offsets, dtype=np.int64)
+            self._tids = np.array(tids, dtype=np.int32)
+            self._positions = np.array(positions, dtype=np.int32)
+            self._ends = np.array(ends, dtype=np.int32)
 
-        # per-tid sorted-by-start index
-        self._by_tid: dict[int, list[BamRecord]] = {}
-        for rec in self.records:
-            self._by_tid.setdefault(rec.tid, []).append(rec)
-        self._starts: dict[int, np.ndarray] = {}
+        # per-tid sorted-by-start views
+        self._tid_order: dict[int, np.ndarray] = {}
+        self._tid_starts: dict[int, np.ndarray] = {}
         self._max_span: dict[int, int] = {}
-        for tid, recs in self._by_tid.items():
-            recs.sort(key=lambda r: r.pos)
-            self._starts[tid] = np.array([r.pos for r in recs], dtype=np.int64)
-            self._max_span[tid] = max(
-                (r.end_pos - r.pos for r in recs), default=0
-            )
+        for tid in np.unique(self._tids):
+            sel = np.nonzero(self._tids == tid)[0]
+            order = sel[np.argsort(self._positions[sel], kind="stable")]
+            self._tid_order[int(tid)] = order
+            self._tid_starts[int(tid)] = self._positions[order].astype(np.int64)
+            spans = self._ends[order] - self._positions[order]
+            self._max_span[int(tid)] = int(spans.max()) if len(spans) else 0
+
+    def _record_at(self, index: int) -> BamRecord:
+        off = int(self._offsets[index])
+        rec = self._rec_cache.get(off)
+        if rec is None:
+            block_size = struct.unpack_from("<i", self._data, off)[0]
+            rec = self._parse_record(self._data, off + 4, block_size)
+            self._rec_cache[off] = rec
+        return rec
+
+    @property
+    def records(self) -> list[BamRecord]:
+        return [self._record_at(i) for i in range(len(self._offsets))]
 
     @staticmethod
     def _parse_record(data: bytes, pos: int, block_size: int) -> BamRecord:
@@ -334,16 +375,19 @@ class BamReader:
     def fetch(self, contig: str, start: int, end: int) -> list[BamRecord]:
         """Records overlapping [start, end) on contig, in start order."""
         tid = self._tid_by_name.get(contig)
-        if tid is None or tid not in self._by_tid:
+        if tid is None or tid not in self._tid_order:
             return []
-        recs = self._by_tid[tid]
-        starts = self._starts[tid]
+        order = self._tid_order[tid]
+        starts = self._tid_starts[tid]
         lo = int(np.searchsorted(starts, start - self._max_span[tid], side="left"))
         hi = int(np.searchsorted(starts, end, side="left"))
-        return [r for r in recs[lo:hi] if r.end_pos > start and r.pos < end]
+        cand = order[lo:hi]
+        cand = cand[(self._ends[cand] > start) & (self._positions[cand] < end)]
+        return [self._record_at(int(i)) for i in cand]
 
     def __iter__(self):
-        return iter(self.records)
+        for i in range(len(self._offsets)):
+            yield self._record_at(i)
 
     def __len__(self):
-        return len(self.records)
+        return len(self._offsets)

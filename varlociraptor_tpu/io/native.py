@@ -1,0 +1,142 @@
+"""ctypes bindings for the native host runtime (native/vlt_native.cpp).
+
+Lazily compiles the shared library on first use (g++ -O3, links zlib +
+pthread) and caches it next to the source; falls back to pure Python when no
+compiler is available. The native path parallelizes BGZF inflation — the
+dominant host cost when feeding pileups to the device.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SRC = _NATIVE_DIR / "vlt_native.cpp"
+_LIB = _NATIVE_DIR / "libvlt_native.so"
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                [
+                    "g++",
+                    "-O3",
+                    "-shared",
+                    "-fPIC",
+                    "-std=c++17",
+                    str(_SRC),
+                    "-o",
+                    str(_LIB),
+                    "-lz",
+                    "-lpthread",
+                ],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_LIB))
+        lib.vlt_bgzf_index.restype = ctypes.c_int64
+        lib.vlt_bgzf_inflate.restype = ctypes.c_int32
+        lib.vlt_bam_scan.restype = ctypes.c_int64
+        _lib = lib
+    except Exception:  # noqa: BLE001 - fall back to pure python
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def bgzf_decompress(data: bytes, nthreads: int | None = None) -> bytes | None:
+    """Parallel BGZF decompression; None if native lib unavailable or the
+    input isn't clean BGZF (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nthreads = nthreads or min(8, os.cpu_count() or 1)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    max_blocks = max(16, len(data) // 64)
+    offsets = np.zeros(max_blocks, dtype=np.int64)
+    csizes = np.zeros(max_blocks, dtype=np.int32)
+    usizes = np.zeros(max_blocks, dtype=np.int32)
+    n = lib.vlt_bgzf_index(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(data)),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        csizes.ctypes.data_as(ctypes.c_void_p),
+        usizes.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(max_blocks),
+    )
+    if n <= 0:
+        return None
+    total_in = int(offsets[n - 1] + csizes[n - 1])
+    if total_in != len(data):
+        return None  # trailing plain-gzip member etc.: fall back
+    out_offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(usizes[: n - 1], out=out_offsets[1:]) if n > 1 else None
+    total = int(out_offsets[-1] + usizes[n - 1]) if n else 0
+    out = np.zeros(total, dtype=np.uint8)
+    rc = lib.vlt_bgzf_inflate(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        csizes.ctypes.data_as(ctypes.c_void_p),
+        usizes.ctypes.data_as(ctypes.c_void_p),
+        out_offsets.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(nthreads),
+    )
+    if rc != 0:
+        return None
+    return out.tobytes()
+
+
+def bam_scan(data: bytes, start: int):
+    """Columnar BAM record index: (offsets, tids, positions, end_positions,
+    flags, mapqs) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    max_records = max(16, (len(data) - start) // 36 + 1)
+    offsets = np.zeros(max_records, dtype=np.int64)
+    tids = np.zeros(max_records, dtype=np.int32)
+    positions = np.zeros(max_records, dtype=np.int32)
+    end_positions = np.zeros(max_records, dtype=np.int32)
+    flags = np.zeros(max_records, dtype=np.uint16)
+    mapqs = np.zeros(max_records, dtype=np.uint8)
+    n = lib.vlt_bam_scan(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(data)),
+        ctypes.c_int64(start),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        tids.ctypes.data_as(ctypes.c_void_p),
+        positions.ctypes.data_as(ctypes.c_void_p),
+        end_positions.ctypes.data_as(ctypes.c_void_p),
+        flags.ctypes.data_as(ctypes.c_void_p),
+        mapqs.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(max_records),
+    )
+    if n < 0:
+        return None
+    return (
+        offsets[:n].copy(),
+        tids[:n].copy(),
+        positions[:n].copy(),
+        end_positions[:n].copy(),
+        flags[:n].copy(),
+        mapqs[:n].copy(),
+    )
