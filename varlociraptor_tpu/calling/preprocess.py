@@ -126,8 +126,11 @@ def preprocess(
         "duplication",
         "replacement",
     }
-    for i, rec in enumerate(records):
-        for info in collect_variants(rec):
+    # collect variants exactly once so identity comparisons (self-exclusion
+    # from alt-variant groups) work
+    record_variants = [collect_variants(rec) for rec in records]
+    for i, infos in enumerate(record_variants):
+        for info in infos:
             if info.haplotype is not None:
                 last_of_haplotype[info.haplotype] = i
             if info.kind in _REALIGNABLE:
@@ -151,7 +154,7 @@ def preprocess(
         },
     ) as writer:
         for i, rec in enumerate(records):
-            for info in collect_variants(rec):
+            for info in record_variants[i]:
                 if info.kind == "breakend" and info.haplotype is not None:
                     from ..evidence.breakends import Breakend
 
