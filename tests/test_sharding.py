@@ -1,0 +1,62 @@
+"""Shard-count invariance + multi-device mesh tests (virtual 8-device CPU).
+
+The reference guarantees determinism via seeded subsampling and ordered maps
+(SURVEY.md §5); the TPU equivalent is shard-count-invariant output: the same
+posteriors regardless of how the locus batch is split over devices.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def engine_and_inputs():
+    from varlociraptor_tpu.bench_utils import engine_inputs, tumor_normal_engine
+
+    _, engine = tumor_normal_engine(resolution=0.1)
+    inputs = engine_inputs(engine, n_loci=16, depth=8, seed=3)
+    return engine, inputs
+
+
+def test_eight_devices_visible():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single(engine_and_inputs):
+    from varlociraptor_tpu.parallel.sharding import locus_mesh, run_sharded
+
+    engine, inputs = engine_and_inputs
+    ref = engine.run(*inputs)
+
+    mesh = locus_mesh(jax.devices())
+    out = run_sharded(engine, mesh, *inputs)
+    np.testing.assert_allclose(
+        out["posteriors"], ref["posteriors"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_shard_count_invariance(engine_and_inputs):
+    from varlociraptor_tpu.parallel.sharding import locus_mesh, run_sharded
+
+    engine, inputs = engine_and_inputs
+    out2 = run_sharded(engine, locus_mesh(jax.devices()[:2]), *inputs)
+    out8 = run_sharded(engine, locus_mesh(jax.devices()[:8]), *inputs)
+    np.testing.assert_allclose(
+        out2["posteriors"], out8["posteriors"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_batch_split_invariance(engine_and_inputs):
+    """Evaluating loci in two half-batches equals one batch (padding-free)."""
+    engine, inputs = engine_and_inputs
+    full = engine.run(*inputs)
+    half_a = engine.run(*[a[:8] for a in inputs])
+    half_b = engine.run(*[a[8:] for a in inputs])
+    np.testing.assert_allclose(
+        np.concatenate([half_a["posteriors"], half_b["posteriors"]]),
+        full["posteriors"],
+        rtol=1e-5,
+        atol=1e-5,
+    )

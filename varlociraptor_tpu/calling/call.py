@@ -216,6 +216,11 @@ class GenericCaller:
                 branch_gates[li, bi] = br.passes_snv(it.snv)
 
         ln_prior_absent = np.zeros(L, dtype=np.float32)
+        ln_prior_joint = None
+        if self.options.full_prior and S <= 2:
+            g = grid.values.astype(np.float64)
+            shape = (L,) + (len(g),) * S
+            ln_prior_joint = np.zeros(shape, dtype=np.float32)
         for li, it in enumerate(items):
             prior = self._prior_for(contig, it.variant.kind)
             if it.variant.heterozygosity is not None:
@@ -225,6 +230,17 @@ class GenericCaller:
                     it.variant.somatic_effective_mutation_rate
                 )
             ln_prior_absent[li] = prior.prob_absent()
+            if ln_prior_joint is not None:
+                prior.is_absent_only = False
+                g = grid.values.astype(np.float64)
+                if S == 1:
+                    for i, v in enumerate(g):
+                        ln_prior_joint[li, i] = prior.compute([v])
+                else:
+                    for i, v0 in enumerate(g):
+                        for j, v1 in enumerate(g):
+                            ln_prior_joint[li, i, j] = prior.compute([v0, v1])
+                prior.is_absent_only = True
 
         out = engine.run(
             batch.features,
@@ -235,6 +251,7 @@ class GenericCaller:
             combo_active,
             branch_gates,
             ln_prior_absent,
+            ln_prior_joint=ln_prior_joint,
         )
 
         results = []

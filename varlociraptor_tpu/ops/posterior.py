@@ -236,6 +236,7 @@ class PosteriorEngine:
         self.singletons = [si for si in range(S) if si not in in_pair]
 
         self._run = jax.jit(self._run_impl)
+        self._run_full = jax.jit(self._run_impl)
 
     # ------------------------------------------------------------------
     def _branch_weights(self, n_obs):
@@ -302,6 +303,7 @@ class PosteriorEngine:
         combo_active,
         branch_gates,
         ln_prior_absent,
+        ln_prior_joint=None,
     ):
         grid = jnp.asarray(self.grid.values)
         L, S, D, _ = feats.shape
@@ -379,6 +381,45 @@ class PosteriorEngine:
                 T = T.at[:, :, bi].set(t_bi)
                 Z = Z.at[:, :, bi].set(z_bi)
 
+        # full-prior mode (--full-prior): evaluate the prior pointwise on the
+        # joint grid instead of the absent-only split. Supported for S <= 2.
+        if ln_prior_joint is not None:
+            w_s = jnp.swapaxes(w, 1, 2)  # [L,S,NB,G]
+            if S == 1:
+                d0 = loglik[:, 0, :, None, :] + w_s[:, 0, None, :, :]  # [L,B,NB,G]
+                T = _lse(d0 + ln_prior_joint[:, None, None, :], axis=-1)
+            elif S == 2 and self.pairs:
+                si, by, _ = self.pairs[0]
+                pl = pair_logliks[si]  # [L,B,G,Gc]
+                wp = w_s[:, si, None, :, :, None]
+                wc = w_s[:, by, None, :, None, :]
+                lc = loglik[:, by][:, :, None, None, :]
+                P = (
+                    ln_prior_joint[:, None, None, :, :]
+                    if si < by
+                    else jnp.swapaxes(ln_prior_joint, -1, -2)[:, None, None, :, :]
+                )
+                joint = pl[:, :, None, :, :] + wp + wc + lc + P
+                T = _lse(joint, axis=(-2, -1))
+            elif S == 2:
+                d0 = loglik[:, 0, :, None, :] + w_s[:, 0, None, :, :]
+                d1 = loglik[:, 1, :, None, :] + w_s[:, 1, None, :, :]
+                joint = (
+                    d0[..., :, None]
+                    + d1[..., None, :]
+                    + ln_prior_joint[:, None, None, :, :]
+                )
+                T = _lse(joint, axis=(-2, -1))
+            else:
+                raise NotImplementedError(
+                    "full prior supported for <= 2 samples (use absent-only)"
+                )
+            T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
+            branch_val = jnp.where(combo_active[:, :, None], T, NEG_INF)
+            return self._assemble(
+                branch_val, loglik, pair_logliks, w, branch_gates, combo_active
+            )
+
         z0 = jnp.asarray(self.branch_has_zero_point)
         T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
         Z = jnp.where(branch_gates[:, None, :] & z0[None, None], Z, NEG_INF)
@@ -394,7 +435,15 @@ class PosteriorEngine:
             branch_val = _ln_add_exp(ln_not_absent + nonzero_part, pa + zero_part)
 
         branch_val = jnp.where(combo_active[:, :, None], branch_val, NEG_INF)
+        return self._assemble(
+            branch_val, loglik, pair_logliks, w, branch_gates, combo_active
+        )
 
+    def _assemble(
+        self, branch_val, loglik, pair_logliks, w, branch_gates, combo_active
+    ):
+        L, S, B, G = loglik.shape
+        NB = self.n_branches
         n_events = len(self.events)
         n_artifact_combos = max(1, B - 1)
         event_vals = []
@@ -449,7 +498,6 @@ class PosteriorEngine:
             "marginal": marginal,
             "posteriors": posteriors,
             "densities": densities,
-            "n_obs": n_obs,
         }
 
     # ------------------------------------------------------------------
@@ -463,16 +511,18 @@ class PosteriorEngine:
         combo_active,
         branch_gates,
         ln_prior_absent,
+        ln_prior_joint=None,
     ):
         """Evaluate posteriors for a locus batch.
 
         feats [L,S,D,Fe] f32; mask [L,S,D] bool; bias_* [L,S,B,D] f32;
         combo_active [L,B] bool; branch_gates [L,NB] bool;
-        ln_prior_absent [L] f32.
+        ln_prior_absent [L] f32; ln_prior_joint [L, G,...] optional full
+        prior on the joint grid (--full-prior; S <= 2).
         Returns dict: joint [L,E], posteriors [L,E], marginal [L],
         densities [L,E,S,G], n_obs [L,S] (numpy arrays).
         """
-        out = self._run(
+        args = [
             jnp.asarray(feats, dtype=jnp.float32),
             jnp.asarray(mask),
             jnp.asarray(bias_alt, dtype=jnp.float32),
@@ -481,5 +531,13 @@ class PosteriorEngine:
             jnp.asarray(combo_active),
             jnp.asarray(branch_gates),
             jnp.asarray(ln_prior_absent, dtype=jnp.float32),
-        )
-        return {k: np.asarray(v) for k, v in out.items()}
+        ]
+        if ln_prior_joint is not None:
+            out = self._run_full(
+                *args, jnp.asarray(ln_prior_joint, dtype=jnp.float32)
+            )
+        else:
+            out = self._run(*args)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["n_obs"] = np.asarray(mask).sum(axis=-1)
+        return out
