@@ -473,6 +473,44 @@ class Duplication(_BreakendBacked):
         ]
 
 
+def single_indel_homopolymer_len(ref_allele: bytes, alt_allele: bytes):
+    """HomopolymerIndelOperation::from_text_and_pattern_global
+    (homopolymers.rs:20-50): detect a single homopolymer indel between two
+    allele strings via longest common prefix/suffix (equivalent to the
+    reference's global alignment restricted to the single-indel case)."""
+    from .edit_distance import M, I, homopolymer_indel_operation
+
+    text, pattern = (ref_allele, alt_allele)
+    flip = False
+    if len(text) < len(pattern):
+        text, pattern = pattern, text
+        flip = True
+    if len(text) == len(pattern):
+        return None
+    # longest common prefix/suffix
+    p = 0
+    while p < len(pattern) and text[p] == pattern[p]:
+        p += 1
+    s = 0
+    while s < len(pattern) - p and text[len(text) - 1 - s] == pattern[len(pattern) - 1 - s]:
+        s += 1
+    if p + s < len(pattern):
+        return None  # substitutions or multiple indels involved
+    k = len(text) - len(pattern)
+    from .edit_distance import D
+
+    ops = [M] * p + [D] * k + [M] * (len(pattern) - p)
+    res = homopolymer_indel_operation(
+        np.frombuffer(text, dtype=np.uint8),
+        np.frombuffer(pattern, dtype=np.uint8),
+        ops,
+    )
+    if res is None:
+        return None
+    length, _ = res
+    return -length if flip else length
+
+
 class Replacement(RealignedVariant):
     def __init__(self, contig, pos, ref_allele: bytes, alt_allele: bytes, realigner):
         super().__init__(contig, realigner)
@@ -481,6 +519,17 @@ class Replacement(RealignedVariant):
         self.ref_allele = bytes(b & ~0x20 for b in ref_allele)
         self.alt_allele = bytes(b & ~0x20 for b in alt_allele)
         self.end = pos + len(self.ref_allele)
+        # replacement.rs:43-45: single homopolymer indel detection between
+        # the two alleles (sign: + = insertion in alt, - = deletion)
+        self.homopolymer_indel_len_value = single_indel_homopolymer_len(
+            self.ref_allele, self.alt_allele
+        )
+
+    def homopolymer_error_model(self, props):
+        if self.homopolymer_indel_len_value is None:
+            return None
+        # sign already follows the variant convention (- = deletion)
+        return HomopolymerErrorModel(self.homopolymer_indel_len_value, props)
 
     def realign_loci(self):
         return [(self.pos, self.end)]
@@ -511,6 +560,11 @@ class Replacement(RealignedVariant):
                 ref_offset=ref_offset,
                 # replacement.rs:290-292: repl_start..repl_alt_end
                 variant_ref_range=(self.pos, self.pos + len(self.alt_allele)),
+                homopolymer_ref_range=(
+                    (self.pos, self.pos + len(self.ref_allele))
+                    if self.homopolymer_indel_len_value is not None
+                    else None
+                ),
                 alt_vs_ref_len_diff=len(self.alt_allele) - len(self.ref_allele),
             )
         ]

@@ -449,6 +449,10 @@ class PosteriorEngine:
         event_vals = []
         for ei in range(n_events):
             idxs = tuple(self.event_branch_idx[ei])
+            if not idxs:
+                # event compiled to False (e.g. impossible on this contig)
+                event_vals.append(jnp.full((L,), NEG_INF))
+                continue
             bv = branch_val[:, :, idxs]  # [L,B,nb_e]
             ev_b = _lse(bv, axis=-1)  # [L,B]
             if self.event_is_artifact[ei]:
@@ -471,6 +475,9 @@ class PosteriorEngine:
         densities = []
         for ei in range(n_events):
             idxs = tuple(self.event_branch_idx[ei])
+            if not idxs:
+                densities.append(jnp.full((L, S, G), NEG_INF))
+                continue
             if self.event_is_artifact[ei]:
                 active = combo_active & (
                     jnp.arange(B)[None, :] > 0
