@@ -285,8 +285,10 @@ class GenericCaller:
                         ]
                     )
                 )
+                map_combo = FULL_COMBOS[int(np.argmax(out["combo_joint"][li]))]
             else:
                 best_ei = names.index(best)
+                map_combo = FULL_COMBOS[0]
             for si in range(S):
                 pileup = it.pileups[si]
                 if is_artifact:
@@ -327,6 +329,7 @@ class GenericCaller:
                         "afd": afd,
                         "dp": expected_depth(pileup.read_observations),
                         "pileup": pileup,
+                        "artifacts": map_combo.short_labels(),
                     }
                 )
             results.append(
@@ -381,6 +384,15 @@ def call_generic(
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Expected depth">',
         '##FORMAT=<ID=AF,Number=1,Type=Float,Description="MAP allele frequency">',
         '##FORMAT=<ID=OBS,Number=1,Type=String,Description="Summarized observations">',
+        '##FORMAT=<ID=SAOBS,Number=1,Type=String,Description="Simplified alt observations">',
+        '##FORMAT=<ID=SROBS,Number=1,Type=String,Description="Simplified ref observations">',
+        '##FORMAT=<ID=OOBS,Number=1,Type=Integer,Description="Omitted observations">',
+        '##FORMAT=<ID=SB,Number=1,Type=String,Description="Strand bias MAP indicator">',
+        '##FORMAT=<ID=ROB,Number=1,Type=String,Description="Read orientation bias MAP indicator">',
+        '##FORMAT=<ID=RPB,Number=1,Type=String,Description="Read position bias MAP indicator">',
+        '##FORMAT=<ID=SCB,Number=1,Type=String,Description="Softclip bias MAP indicator">',
+        '##FORMAT=<ID=HE,Number=1,Type=String,Description="Homopolymer error MAP indicator">',
+        '##FORMAT=<ID=ALB,Number=1,Type=String,Description="Alt locus bias MAP indicator">',
         '##FORMAT=<ID=AFD,Number=1,Type=String,Description="VAF density (vaf=phred)">',
     ]
 
@@ -441,25 +453,105 @@ def call_generic(
     return n
 
 
-def _obs_string(pileup: Pileup) -> str:
-    """Simplified observation summary (full generalized-CIGAR form of
-    calling/variants/mod.rs:277-380 lands with the output-parity milestone)."""
-    from ..utils.logprob import kass_raftery, kass_raftery_name
+def _bf_letter(bf: float) -> str:
+    """bayes_factor_to_letter (utils/mod.rs:158-167)."""
+    from ..utils.logprob import (
+        KR_BARELY,
+        KR_NONE,
+        KR_POSITIVE,
+        KR_STRONG,
+        kass_raftery,
+    )
 
-    counts = {}
-    for o in pileup.read_observations:
-        if o.prob_alt > o.prob_ref:
-            bf = o.bayes_factor_alt()
-            key = "A" + kass_raftery_name(kass_raftery(bf))[0]
-        elif o.prob_ref > o.prob_alt:
-            bf = o.bayes_factor_ref()
-            key = "R" + kass_raftery_name(kass_raftery(bf))[0]
+    level = kass_raftery(bf)
+    if level == KR_BARELY:
+        return "B"
+    if level == KR_NONE:
+        return "E" if abs(bf - 1.0) < 1e-9 else "N"
+    if level == KR_POSITIVE:
+        return "P"
+    if level == KR_STRONG:
+        return "S"
+    return "V"
+
+
+def _generalized_cigar(items, aux_sort):
+    """utils/mod.rs:122-156 (unordered variant): count identical items,
+    most-common-first then aux_sort."""
+    from collections import Counter
+
+    counts = Counter(items)
+    ranked = sorted(
+        counts.most_common(), key=lambda kv: (aux_sort(kv), -kv[1])
+    )
+    return "".join(f"{count}{item}" for item, count in ranked)
+
+
+def _obs_string(pileup: Pileup) -> str:
+    """FORMAT OBS: generalized-CIGAR observation audit strings
+    (calling/variants/mod.rs:277-340)."""
+    from ..evidence.observation import (
+        ALT_LOCUS_MAJOR,
+        ALT_LOCUS_SOME,
+        READ_POSITION_MAJOR,
+        RO_F1R2,
+        RO_F2R1,
+        RO_NONE,
+        STRAND_BOTH,
+        STRAND_FORWARD,
+        STRAND_REVERSE,
+    )
+
+    def fmt(o):
+        bf_alt = o.bayes_factor_alt()
+        bf_ref = o.bayes_factor_ref()
+        if bf_alt > bf_ref:
+            score = "A" + _bf_letter(bf_alt)
+        elif bf_ref > bf_alt:
+            score = "R" + _bf_letter(bf_ref)
         else:
-            key = "E"
-        counts[key] = counts.get(key, 0) + 1
-    if not counts:
+            score = "E"
+        score = score.upper() if o.is_max_mapq else score.lower()
+        third = str(o.third_allele_evidence) if o.third_allele_evidence is not None else "."
+        paired = "p" if o.paired else "s"
+        alt_locus = {ALT_LOCUS_MAJOR: "#", ALT_LOCUS_SOME: "*"}.get(o.alt_locus, ".")
+        strand = {
+            STRAND_BOTH: "*",
+            STRAND_REVERSE: "-",
+            STRAND_FORWARD: "+",
+        }.get(o.strand, ".")
+        ro = {RO_F1R2: ">", RO_F2R1: "<", RO_NONE: "*"}.get(o.read_orientation, "!")
+        rp = "^" if o.read_position == READ_POSITION_MAJOR else "*"
+        sc = "$" if o.softclipped else "."
+        he = "*" if o.has_homopolymer_error() else "."
+        return f"{score}{third}{paired}{alt_locus}{strand}{ro}{rp}{sc}{he}"
+
+    if not pileup.read_observations:
         return "."
-    return "".join(f"{v}{k}" for k, v in sorted(counts.items()))
+    return _generalized_cigar(
+        (fmt(o) for o in pileup.read_observations),
+        lambda kv: 2 if kv[0].startswith("N") else (1 if kv[0].startswith("E") else 0),
+    )
+
+
+def _simple_obs_string(pileup: Pileup, alt_allele: bool) -> str:
+    """FORMAT SAOBS/SROBS (calling/variants/mod.rs:342-380)."""
+    items = []
+    for o in pileup.read_observations:
+        bf = o.bayes_factor_alt() if alt_allele else o.bayes_factor_ref()
+        keep = (
+            (alt_allele and o.prob_alt > o.prob_ref)
+            or (not alt_allele and o.prob_alt <= o.prob_ref)
+        )
+        if keep:
+            letter = _bf_letter(bf)
+            items.append(letter.upper() if o.is_max_mapq else letter.lower())
+    if not items:
+        return "."
+    return _generalized_cigar(
+        items,
+        lambda kv: 2 if kv[0].startswith("R") else (1 if kv[0].endswith("E") else 0),
+    )
 
 
 def _result_to_record(res, sample_names) -> VcfRecord:
@@ -493,11 +585,21 @@ def _result_to_record(res, sample_names) -> VcfRecord:
             if afd
             else "."
         )
+        art = si.get("artifacts", {})
         samples.append(
             {
                 "DP": str(si["dp"]),
                 "AF": f"{si['af']:.4f}",
                 "OBS": _obs_string(si["pileup"]),
+                "SAOBS": _simple_obs_string(si["pileup"], True),
+                "SROBS": _simple_obs_string(si["pileup"], False),
+                "OOBS": str(si["pileup"].n_filtered_out),
+                "SB": art.get("SB", "."),
+                "ROB": art.get("ROB", "."),
+                "RPB": art.get("RPB", "."),
+                "SCB": art.get("SCB", "."),
+                "HE": art.get("HE", "."),
+                "ALB": art.get("ALB", "."),
                 "AFD": afd_str or ".",
             }
         )
@@ -508,6 +610,9 @@ def _result_to_record(res, sample_names) -> VcfRecord:
         ref=v.ref_allele,
         alts=[v.alt_allele],
         info=info,
-        format=["DP", "AF", "OBS", "AFD"],
+        format=[
+            "DP", "AF", "OBS", "SAOBS", "SROBS", "OOBS",
+            "SB", "ROB", "RPB", "SCB", "HE", "ALB", "AFD",
+        ],
         samples=samples,
     )

@@ -465,6 +465,18 @@ class PosteriorEngine:
         marginal = _lse(joint, axis=-1)
         posteriors = joint - marginal[:, None]
 
+        # per-combo artifact mass (for MAP artifact-combination reporting)
+        artifact_idxs = tuple(
+            bi
+            for ei in range(n_events)
+            if self.event_is_artifact[ei]
+            for bi in self.event_branch_idx[ei]
+        )
+        if artifact_idxs:
+            combo_joint = _lse(branch_val[:, :, artifact_idxs], axis=-1)  # [L,B]
+        else:
+            combo_joint = jnp.full((L, B), NEG_INF)
+
         # per-event per-sample marginal densities over grid (MAP / AFD):
         # the reference's MAP scan compares unweighted joint densities at grid
         # points (calling.rs:844-937), so the sample's own axis uses the
@@ -505,6 +517,7 @@ class PosteriorEngine:
             "marginal": marginal,
             "posteriors": posteriors,
             "densities": densities,
+            "combo_joint": combo_joint,
         }
 
     # ------------------------------------------------------------------
