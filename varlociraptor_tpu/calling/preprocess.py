@@ -44,6 +44,7 @@ def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
         props=props,
         indel_window=options.indel_window,
         max_window=options.indel_window,
+        mode=options.pairhmm_mode,
     )
     if info.kind == "snv":
         return Snv(

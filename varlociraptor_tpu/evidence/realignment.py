@@ -83,12 +83,73 @@ class AlleleEmission:
     alt_vs_ref_len_diff: int = 0
 
 
+def path_score(ops, read_window, quals, gap):
+    """Fast mode: score only the best edit path under the HMM model
+    (PathHMMRealigner, realignment/mod.rs:546-677)."""
+    from .edit_distance import D, I, M, S
+
+    t_mi, t_md, t_ii, t_dd = (float(g) for g in gap)
+    t_mm = math.log(max(1.0 - math.exp(t_mi) - math.exp(t_md), 1e-12))
+    close_i = math.log(max(1.0 - math.exp(t_ii), 1e-12))
+    close_d = math.log(max(1.0 - math.exp(t_dd), 1e-12))
+    # extend OR close-then-reopen (mod.rs:570-575)
+    ext_or_reopen_i = np.logaddexp(t_ii, close_i + t_mi)
+    ext_or_reopen_d = np.logaddexp(t_dd, close_d + t_md)
+    total = 0.0
+    prev = None
+    j = 0
+    for op in ops:
+        if op in (M, S):
+            if prev == "I":
+                total += close_i
+            elif prev == "D":
+                total += close_d
+            elif prev == "M":
+                total += t_mm
+            mis = -float(quals[j]) * math.log(10.0) / 10.0
+            if op == M:
+                total += math.log1p(-math.exp(mis))
+            else:
+                total += mis + math.log(0.3333)
+            j += 1
+            prev = "M"
+        elif op == I:
+            if prev == "I":
+                total += ext_or_reopen_i
+            elif prev == "D":
+                total += close_d + t_mi
+            else:
+                total += t_mi
+            total += -float(quals[j]) * math.log(10.0) / 10.0
+            j += 1
+            prev = "I"
+        elif op == D:
+            if prev == "D":
+                total += ext_or_reopen_d
+            elif prev == "I":
+                total += close_i + t_md
+            else:
+                total += t_md
+            prev = "D"
+    return total
+
+
 class Realigner:
-    def __init__(self, reference, props, indel_window: int = 64, max_window: int = 64):
+    def __init__(
+        self,
+        reference,
+        props,
+        indel_window: int = 64,
+        max_window: int = 64,
+        mode: str = "exact",
+    ):
         self.reference = reference
         self.props = props
         self.max_window = max_window
-        self.hmm = BatchedPairHMM(props.gap_params)
+        self.mode = mode
+        self.hmm = BatchedPairHMM(
+            props.gap_params, hop_params=props.hop_params, mode=mode
+        )
 
     @property
     def ref_window(self):
@@ -222,9 +283,20 @@ class Realigner:
                     lo = max(hit.start - EDIT_BAND, 0)
                     hi = min(hit.end + EDIT_BAND, len(em.seq))
                     shrunk.append(em.seq[lo:hi])
-            probs = self.hmm.forward(
-                shrunk, [read_window] * len(shrunk), [qual_window] * len(shrunk)
-            )
+            if self.mode == "fast":
+                # fast mode: score the edit-distance path only
+                probs = np.array(
+                    [
+                        path_score(h.ops, read_window, qual_window, self.hmm.gap)
+                        if h is not None
+                        else math.log(0.5)
+                        for h in hits
+                    ]
+                )
+            else:
+                probs = self.hmm.forward(
+                    shrunk, [read_window] * len(shrunk), [qual_window] * len(shrunk)
+                )
             n_ref = len(ref_alleles)
             ref_idx = int(np.argmax(probs[:n_ref]))
             alt_rel = int(np.argmax(probs[n_ref:]))
@@ -252,11 +324,16 @@ class Realigner:
                     )
                     lo = max(phit.start - EDIT_BAND, 0)
                     hi = min(phit.end + EDIT_BAND, len(patched))
-                    p_inferred = float(
-                        self.hmm.forward(
-                            [patched[lo:hi]], [read_window], [qual_window]
-                        )[0]
-                    )
+                    if self.mode == "fast":
+                        p_inferred = path_score(
+                            phit.ops, read_window, qual_window, self.hmm.gap
+                        )
+                    else:
+                        p_inferred = float(
+                            self.hmm.forward(
+                                [patched[lo:hi]], [read_window], [qual_window]
+                            )[0]
+                        )
                     if p_inferred > prob_ref:
                         prob_ref = p_inferred
                         is_third_allele = True

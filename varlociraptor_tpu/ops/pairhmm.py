@@ -159,14 +159,151 @@ def _forward_impl(
     return acc[:, 0]
 
 
+@partial(jax.jit, static_argnames=("x_len", "y_len"))
+def _forward_hp_impl(
+    allele,
+    allele_len,
+    read,
+    miscall,
+    read_len,
+    ins_open,
+    ins_ext,
+    del_open,
+    del_ext,
+    x_len,
+    y_len,
+):
+    """Homopolymer-aware forward: positional gap probabilities.
+
+    Approximates the reference's ``HomopolyPairHMM`` (hop states per base,
+    pairhmm.rs:208-294) by making gap open/extend probabilities
+    position-dependent: a gap involving a base equal to its predecessor (a
+    homopolymer run continuation) uses the per-base hop probabilities from
+    the alignment-properties MLE instead of the global spurious-gap rates.
+
+    ins_open/ins_ext: [B, Y] log-probs per read base (j axis)
+    del_open/del_ext: [B, X] log-probs per allele base (i axis)
+    """
+    B = allele.shape[0]
+    X, Y = x_len, y_len
+    W = Y + 1
+
+    j_idx = jnp.arange(W)
+    no_call = jnp.log1p(-jnp.exp(miscall))
+    mis_j = jnp.concatenate([jnp.full((B, 1), NEG_INF), miscall], axis=1)
+    noc_j = jnp.concatenate([jnp.full((B, 1), NEG_INF), no_call], axis=1)
+    read_j = jnp.concatenate([jnp.zeros((B, 1), jnp.uint8), read], axis=1)
+    ins_open_j = jnp.concatenate([jnp.full((B, 1), NEG_INF), ins_open], axis=1)
+    ins_ext_j = jnp.concatenate([jnp.full((B, 1), NEG_INF), ins_ext], axis=1)
+
+    PAD = W
+    rev = allele[:, ::-1]
+    rev_pad = jnp.concatenate(
+        [jnp.zeros((B, PAD), jnp.uint8), rev, jnp.zeros((B, PAD), jnp.uint8)],
+        axis=1,
+    )
+    del_open_pad = jnp.concatenate(
+        [
+            jnp.full((B, PAD), NEG_INF),
+            del_open[:, ::-1],
+            jnp.full((B, PAD), NEG_INF),
+        ],
+        axis=1,
+    )
+    del_ext_pad = jnp.concatenate(
+        [
+            jnp.full((B, PAD), NEG_INF),
+            del_ext[:, ::-1],
+            jnp.full((B, PAD), NEG_INF),
+        ],
+        axis=1,
+    )
+
+    neg = jnp.full((B, W), NEG_INF)
+
+    def body(carry, k):
+        M2, D2, I2, M1, D1, I1, acc = carry
+        i = k - j_idx[None, :]
+        valid = (
+            (j_idx[None, :] >= 1)
+            & (j_idx[None, :] <= read_len[:, None])
+            & (i >= 1)
+            & (i <= allele_len[:, None])
+        )
+        valid_i0 = (
+            (j_idx[None, :] >= 1)
+            & (j_idx[None, :] <= read_len[:, None])
+            & (i == 0)
+        )
+
+        offset = X - k + PAD
+        ab = jax.lax.dynamic_slice(rev_pad, (0, offset), (B, W))
+        d_open = jax.lax.dynamic_slice(del_open_pad, (0, offset), (B, W))
+        d_ext = jax.lax.dynamic_slice(del_ext_pad, (0, offset), (B, W))
+        match = ab == read_j
+        is_n = read_j == ord("N")
+        e_m = jnp.where(
+            match, noc_j, jnp.where(is_n, math.log(0.25), mis_j + LN_CONFUSION)
+        )
+
+        # positional no-gap probability at this cell
+        t_mm = jnp.log(
+            jnp.maximum(1.0 - jnp.exp(ins_open_j) - jnp.exp(d_open), 1e-12)
+        )
+        t_im = jnp.log(jnp.maximum(1.0 - jnp.exp(ins_ext_j), 1e-12))
+        t_dm = jnp.log(jnp.maximum(1.0 - jnp.exp(d_ext), 1e-12))
+
+        M2s = jnp.concatenate([neg[:, :1], M2[:, :-1]], axis=1)
+        D2s = jnp.concatenate([neg[:, :1], D2[:, :-1]], axis=1)
+        I2s = jnp.concatenate([neg[:, :1], I2[:, :-1]], axis=1)
+        start_m = jnp.where(j_idx[None, :] == 1, 0.0, NEG_INF)
+        Mk = e_m + _lse2(_lse3(t_mm + M2s, t_dm + D2s, t_im + I2s), start_m)
+        Mk = jnp.where(valid, Mk, NEG_INF)
+
+        Dk = _lse2(d_open + M1, d_ext + D1)
+        Dk = jnp.where(valid, Dk, NEG_INF)
+
+        M1s = jnp.concatenate([neg[:, :1], M1[:, :-1]], axis=1)
+        I1s = jnp.concatenate([neg[:, :1], I1[:, :-1]], axis=1)
+        start_i = jnp.where(j_idx[None, :] == 1, ins_open_j, NEG_INF)
+        Ik = mis_j + _lse2(_lse2(ins_open_j + M1s, ins_ext_j + I1s), start_i)
+        Ik = jnp.where(valid | valid_i0, Ik, NEG_INF)
+
+        at_end = j_idx[None, :] == read_len[:, None]
+        fin = jnp.where(at_end, _lse2(Mk, Ik), NEG_INF)
+        m = jnp.max(fin, axis=1)
+        dl = m + jnp.log(jnp.sum(jnp.exp(fin - m[:, None]), axis=1))
+        dl = jnp.where(m <= NEG_INF / 2, NEG_INF, dl)[:, None]
+        acc = _lse2(acc, dl)
+        return (M1, D1, I1, Mk, Dk, Ik, acc), None
+
+    init = (neg, neg, neg, neg, neg, neg, jnp.full((B, 1), NEG_INF))
+    ks = jnp.arange(1, X + Y + 1)
+    (*_, acc), _ = jax.lax.scan(body, init, ks)
+    return acc[:, 0]
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-class BatchedPairHMM:
-    """Convenience wrapper with shape bucketing + numpy I/O."""
+_BASE_IDX = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
 
-    def __init__(self, gap_params):
+
+class BatchedPairHMM:
+    """Convenience wrapper with shape bucketing + numpy I/O.
+
+    mode: "exact" (full forward), "homopolymer" (positional hop gaps from
+    alignment-properties hop params). The "fast" path-scoring mode lives in
+    evidence.realignment (it scores the edit-distance path host-side).
+    """
+
+    def __init__(self, gap_params, hop_params=None, mode: str = "exact"):
+        self.mode = mode
+        self.hop = hop_params
+        self._init_gaps(gap_params)
+
+    def _init_gaps(self, gap_params):
         # zero (= -inf log) extension probability means multi-base spurious
         # gaps are impossible through the gap states (rust-bio semantics:
         # X->X only via the extension transition) — the default model, where
@@ -206,6 +343,29 @@ class BatchedPairHMM:
             read[b, : len(r)] = r & ~np.uint8(0x20)
             rlen[b] = len(r)
             mis[b, : len(q)] = -q * math.log(10.0) / 10.0
+        if self.mode == "homopolymer" and self.hop is not None:
+            io, ie = self._positional_gaps(
+                read, rlen, self.gap[0], self.gap[2],
+                self.hop.prob_seq_homopolymer, self.hop.prob_seq_extend_homopolymer,
+            )
+            do, de = self._positional_gaps(
+                allele, alen, self.gap[1], self.gap[3],
+                self.hop.prob_ref_homopolymer, self.hop.prob_ref_extend_homopolymer,
+            )
+            out = _forward_hp_impl(
+                jnp.asarray(allele),
+                jnp.asarray(alen),
+                jnp.asarray(read),
+                jnp.asarray(mis),
+                jnp.asarray(rlen),
+                jnp.asarray(io),
+                jnp.asarray(ie),
+                jnp.asarray(do),
+                jnp.asarray(de),
+                X,
+                Y,
+            )
+            return np.asarray(out, dtype=np.float64)
         out = _forward_impl(
             jnp.asarray(allele),
             jnp.asarray(alen),
@@ -217,3 +377,21 @@ class BatchedPairHMM:
             Y,
         )
         return np.asarray(out, dtype=np.float64)
+
+    @staticmethod
+    def _positional_gaps(seqs, lens, base_open, base_ext, hop_open, hop_ext):
+        """Per-position gap open/extend: hop probs inside homopolymer runs."""
+        B, N = seqs.shape
+        open_arr = np.full((B, N), base_open, dtype=np.float32)
+        ext_arr = np.full((B, N), base_ext, dtype=np.float32)
+        same = np.zeros((B, N), dtype=bool)
+        same[:, 1:] = (seqs[:, 1:] == seqs[:, :-1]) & (seqs[:, 1:] != 0)
+        for base_ascii, bi in _BASE_IDX.items():
+            sel = same & (seqs == base_ascii)
+            ho = hop_open[bi]
+            he = hop_ext[bi]
+            if math.isfinite(ho):
+                open_arr[sel] = np.maximum(open_arr[sel], np.float32(ho))
+            if math.isfinite(he):
+                ext_arr[sel] = np.maximum(ext_arr[sel], np.float32(he))
+        return open_arr, ext_arr
