@@ -46,7 +46,10 @@ def _unq(x):
 def obs_to_dict(o: ReadObservation) -> dict:
     return {
         "f": o.fragment_id,
-        "pm": _q(o.prob_mapping),
+        # MAPQ adjustment happens at preprocess time, so the *effective*
+        # mapping probability is what gets serialized (the reference
+        # serializes via the adjusted accessor, preprocessing/mod.rs:921+)
+        "pm": _q(o.eff_prob_mapping()),
         "pa": _q(o.prob_alt),
         "pr": _q(o.prob_ref),
         "pme": _q(o.prob_missed_allele),
