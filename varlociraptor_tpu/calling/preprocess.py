@@ -111,7 +111,9 @@ def preprocess(
     if alignment_properties is None:
         from ..estimation.alignment_properties import estimate
 
-        alignment_properties = estimate(bam, omit_insert_size=options.omit_insert_size)
+        alignment_properties = estimate(
+            bam, omit_insert_size=options.omit_insert_size, reference=reference
+        )
 
     # haplotype feature index: last record index per haplotype id
     # (preprocessing/haplotype_feature_index.rs:10-50)

@@ -227,11 +227,13 @@ def run(argv=None):
         if args.what == "alignment-properties":
             from .estimation.alignment_properties import estimate
             from .io.bam import BamReader
+            from .io.fasta import FastaBuffer
 
             props = estimate(
                 BamReader(args.bam),
                 omit_insert_size=args.omit_insert_size,
                 num_records=args.num_records,
+                reference=FastaBuffer(args.reference),
             )
             print(props.to_json())
             return 0

@@ -200,13 +200,220 @@ class AlignmentProperties:
         return is_regular, has_soft_clip
 
 
-def estimate(bam_reader, omit_insert_size: bool = False, num_records: int | None = None):
+# 15-state transition model (alignment_properties.rs:535-560)
+MATCH_A, MATCH_C, MATCH_G, MATCH_T = 0, 1, 2, 3
+GAP_X, GAP_Y = 4, 5
+HOP_X = {65: 6, 67: 8, 71: 10, 84: 12}  # HopAX..HopTX by ref base
+HOP_Y = {65: 7, 67: 9, 71: 11, 84: 13}
+OTHER = 14
+N_STATES = 15
+_MATCH = {65: MATCH_A, 67: MATCH_C, 71: MATCH_G, 84: MATCH_T}
+MIN_HOMOPOLYMER_LEN = 2
+
+_STATE_LUT = np.full(256, OTHER, dtype=np.int64)
+for _b, _s in _MATCH.items():
+    _STATE_LUT[_b] = _s
+    _STATE_LUT[_b | 0x20] = _s
+_ACGT = np.zeros(256, dtype=bool)
+for _b in (65, 67, 71, 84):
+    _ACGT[_b] = True
+
+
+def _match_state(base):
+    return _MATCH.get(int(base) & ~0x20, OTHER)
+
+
+def _is_homopolymer(arr):
+    return len(arr) > 0 and len(set(int(x) & ~0x20 for x in arr)) == 1
+
+
+def _extend_stretch(base, seq):
+    n = 0
+    b = int(base) & ~0x20
+    for c in seq:
+        if (int(c) & ~0x20) == b:
+            n += 1
+        else:
+            break
+    return n
+
+
+def cigar_stats(record, refseq, transitions, hop_counts):
+    """Accumulate 15-state transition counts + homopolymer hop histogram for
+    one record (alignment_properties.rs:693-860)."""
+    from ..io.bam import OP_D, OP_EQ, OP_I, OP_M, OP_N, OP_S, OP_X
+
+    qseq = record.seq
+    qpos = 0
+    rpos = record.pos
+    for op, l in record.cigar:
+        l = int(l)
+        if op == OP_D:
+            if l < 32767 and rpos + l <= len(refseq):
+                base = int(refseq[rpos])
+                seg = refseq[rpos : rpos + l]
+                homo = _is_homopolymer(seg)
+                if homo:
+                    length = l
+                    if rpos + l < len(refseq):
+                        length += _extend_stretch(base, refseq[rpos + l :])
+                    if rpos > 1:
+                        length += _extend_stretch(base, refseq[: rpos - 1][::-1])
+                    if length >= MIN_HOMOPOLYMER_LEN and base in HOP_X:
+                        ms = _match_state(base)
+                        hs = HOP_X[base]
+                        transitions[ms, ms] += l
+                        transitions[ms, hs] += 1
+                        transitions[hs, hs] += max(0, length - max(0, l - 2))
+                        if rpos + length + 1 < len(refseq):
+                            transitions[hs, _match_state(refseq[rpos + length + 1])] += 1
+                        hop_counts.setdefault(base, {}).setdefault((length, length - l), 0)
+                        hop_counts[base][(length, length - l)] += 1
+                if not homo or l == 1:
+                    transitions[_match_state(base), GAP_X] += 1
+                    transitions[GAP_X, GAP_X] += max(0, l - 2)
+                    if rpos + l + 1 < len(refseq):
+                        transitions[GAP_X, _match_state(refseq[rpos + l + 1])] += 1
+            rpos += l
+        elif op == OP_I:
+            if l < 32767 and qpos + l <= len(qseq) and rpos < len(refseq):
+                rbase = int(refseq[rpos])
+                qbase = int(qseq[qpos])
+                base = rbase if (rbase & ~0x20) == (qbase & ~0x20) else qbase
+                homo = _is_homopolymer(qseq[qpos : qpos + l])
+                if homo:
+                    length = l + _extend_stretch(qseq[qpos], refseq[rpos:])
+                    if rpos > 0:
+                        length += _extend_stretch(qseq[qpos], refseq[:rpos][::-1])
+                    if length >= MIN_HOMOPOLYMER_LEN and (base & ~0x20) in HOP_Y:
+                        b = base & ~0x20
+                        ms = _match_state(b)
+                        hs = HOP_Y[b]
+                        transitions[ms, ms] += l
+                        transitions[ms, hs] += 1
+                        transitions[hs, hs] += max(0, length - max(0, l - 2))
+                        if rpos + 1 < len(refseq):
+                            transitions[hs, _match_state(refseq[rpos + 1])] += 1
+                        hop_counts.setdefault(b, {}).setdefault((length - l, l), 0)
+                        hop_counts[b][(length - l, l)] += 1
+                if not homo or l == 1:
+                    b = base & ~0x20
+                    transitions[_match_state(b), GAP_Y] += 1
+                    transitions[GAP_Y, GAP_Y] += max(0, l - 2)
+                    if rpos + l + 1 < len(refseq):
+                        transitions[GAP_Y, _match_state(refseq[rpos + l + 1])] += 1
+            qpos += l
+        elif op in (OP_M, OP_EQ, OP_X):
+            end = min(rpos + l, len(refseq))
+            seg_r = np.asarray(refseq[rpos:end], dtype=np.uint8)
+            seg_q = np.asarray(qseq[qpos : qpos + (end - rpos)], dtype=np.uint8)
+            # match-state chain transitions (vectorized)
+            st = _STATE_LUT[seg_r]
+            if len(st) > 1:
+                np.add.at(transitions, (st[:-1], st[1:]), 1)
+            # error-free homopolymer stretches (hop_counts diagonal)
+            m = min(len(seg_r), len(seg_q))
+            if m >= MIN_HOMOPOLYMER_LEN:
+                up = seg_r[:m] & 0xDF
+                ok = ((seg_q[:m] & 0xDF) == up) & _ACGT[up]
+                brk = np.nonzero((up[1:] != up[:-1]) | (ok[1:] != ok[:-1]))[0] + 1
+                starts = np.concatenate(([0], brk))
+                stops = np.concatenate((brk, [m]))
+                for s, e in zip(starts, stops):
+                    run = int(e - s)
+                    if ok[s] and run >= MIN_HOMOPOLYMER_LEN:
+                        b = int(up[s])
+                        hop_counts.setdefault(b, {}).setdefault((run, run), 0)
+                        hop_counts[b][(run, run)] += 1
+            qpos += l
+            rpos += l
+        elif op == OP_S:
+            qpos += l
+        elif op == OP_N:
+            rpos += l
+
+
+def estimate_gap_params(transitions) -> GapParams | None:
+    """MLE gap params from transition counts
+    (alignment_properties.rs:864-920). None if insufficient counts."""
+    matches = [MATCH_A, MATCH_C, MATCH_G, MATCH_T]
+    out = []
+    for gap in (GAP_X, GAP_Y):
+        from_match_to_gap = sum(transitions[m, gap] for m in matches)
+        extend_gap = transitions[gap, gap]
+        if from_match_to_gap < 100 or extend_gap < 100:
+            return None
+        from_gap = transitions[gap].sum()
+        from_match = sum(transitions[m].sum() for m in matches)
+        prob_start = from_match_to_gap / max(from_match, 1)
+        prob_extend = extend_gap / max(from_gap, 1)
+        out.append((_logprob_from_rate(prob_start), _logprob_from_rate(prob_extend)))
+    (del_open, del_ext), (ins_open, ins_ext) = out  # GapX = deletion axis
+    return GapParams(
+        prob_insertion_artifact=ins_open,
+        prob_deletion_artifact=del_open,
+        prob_insertion_extend_artifact=ins_ext,
+        prob_deletion_extend_artifact=del_ext,
+    )
+
+
+def estimate_hop_params(transitions) -> HopParams | None:
+    """MLE hop params (alignment_properties.rs:923-972)."""
+    seq_h, ref_h, seq_e, ref_e = [], [], [], []
+    for base in (65, 67, 71, 84):
+        m = _match_state(base)
+        vals = []
+        for hop in (HOP_X[base], HOP_Y[base]):
+            start = transitions[m, hop]
+            extend = transitions[hop, hop]
+            if start + extend < 100:
+                return None
+            from_prev = transitions[m].sum()
+            vals.append(_logprob_from_rate((start + extend) / max(from_prev, 1)))
+        ins_p, del_p = vals
+        seq_h.append(ins_p)
+        ref_h.append(del_p)
+        seq_e.append(ins_p)
+        ref_e.append(del_p)
+    return HopParams(
+        prob_seq_homopolymer=seq_h,
+        prob_ref_homopolymer=ref_h,
+        prob_seq_extend_homopolymer=seq_e,
+        prob_ref_extend_homopolymer=ref_e,
+    )
+
+
+def wildtype_homopolymer_error_model(hop_counts) -> dict | None:
+    """alignment_properties.rs:974-1010: indel-length histogram of
+    homopolymer stretches."""
+    n = sum(
+        c for counter in hop_counts.values() for c in counter.values() if c >= 10
+    )
+    if n == 0:
+        return None
+    grouped: dict[int, int] = {}
+    for counter in hop_counts.values():
+        for (a, b), c in counter.items():
+            length = int(a) - int(b)
+            grouped[length] = grouped.get(length, 0) + c
+    return {k: v / n for k, v in grouped.items()}
+
+
+def estimate(
+    bam_reader,
+    omit_insert_size: bool = False,
+    num_records: int | None = None,
+    reference=None,
+):
     """Estimate alignment properties from the first records of a BAM.
 
-    Simplified but behaviorally matching estimator (reference
+    Behaviorally matching estimator (reference
     ``alignment_properties.rs:148-465``): 5-95 percentile-trimmed insert-size
     mean/sd over proper pairs, CIGAR maxima, max read len, max MAPQ observed.
-    Gap/hop MLE from transition counts is deferred to the full estimator.
+    When a reference ``FastaBuffer`` is supplied, the 15-state transition
+    counts are accumulated and gap/hop params + the wildtype homopolymer
+    error model are MLE-estimated (``alignment_properties.rs:535-1010``);
+    insufficient counts fall back to the defaults, like the reference.
     """
     props = AlignmentProperties(initial=True)
     props.max_del_cigar_len = None
@@ -218,24 +425,46 @@ def estimate(bam_reader, omit_insert_size: bool = False, num_records: int | None
     max_mapq = 0
     n = 0
     n_records = num_records or 1_000_000
+    transitions = np.zeros((N_STATES, N_STATES), dtype=np.int64)
+    hop_counts: dict[int, dict[tuple, int]] = {}
+    ref_cache: dict[int, np.ndarray] = {}
+    allow_hardclips = omit_insert_size  # alignment_properties.rs:156
     for rec in bam_reader:
-        if rec.is_unmapped or rec.is_duplicate or rec.is_secondary or rec.is_qc_fail:
+        # skip condition: alignment_properties.rs:294-299 (note mapq==0)
+        if (
+            rec.mapq == 0
+            or rec.is_unmapped
+            or rec.is_duplicate
+            or rec.is_qc_fail
+            or rec.read_len == 0
+        ):
             continue
         n += 1
         if n > n_records:
             break
         max_read_len = max(max_read_len, rec.read_len)
         max_mapq = max(max_mapq, rec.mapq)
-        props.update_max_cigar_ops_len(rec)
+        is_regular, _ = props.update_max_cigar_ops_len(rec, allow_hardclips)
+        if reference is not None and rec.tid >= 0:
+            if rec.tid not in ref_cache:
+                try:
+                    ref_cache[rec.tid] = reference.seq(bam_reader.ref_names[rec.tid])
+                except KeyError:
+                    ref_cache[rec.tid] = None
+            refseq = ref_cache[rec.tid]
+            if refseq is not None:
+                cigar_stats(rec, refseq, transitions, hop_counts)
+        # insert size only from regular, first-in-template proper records
+        # (alignment_properties.rs:318-338)
         if (
             not omit_insert_size
+            and is_regular
             and rec.is_paired
+            and rec.is_first_in_pair
             and not rec.is_mate_unmapped
             and rec.tid == rec.mtid
-            and rec.tlen > 0
-            and not rec.is_supplementary
         ):
-            tlens.append(rec.tlen)
+            tlens.append(abs(rec.tlen))
 
     props.initial = False
     props.max_read_len = max(max_read_len, 1)
@@ -248,4 +477,14 @@ def estimate(bam_reader, omit_insert_size: bool = False, num_records: int | None
             props.insert_size = InsertSize(
                 mean=float(np.mean(trimmed)), sd=float(np.std(trimmed, ddof=1))
             )
+    if reference is not None:
+        gp = estimate_gap_params(transitions)
+        if gp is not None:
+            props.gap_params = gp
+        hp = estimate_hop_params(transitions)
+        if hp is not None:
+            props.hop_params = hp
+        model = wildtype_homopolymer_error_model(hop_counts)
+        if model is not None:
+            props.wildtype_homopolymer_error_model = model
     return props
