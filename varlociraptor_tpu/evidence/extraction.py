@@ -265,10 +265,13 @@ def extract_observations(
     ``is_imprecise``, ``homopolymer_error_model``.
     """
     props = alignment_properties
+    # The reference fetches every variant type in read-pair mode
+    # (types/mod.rs:298-304 passes true unconditionally), so mates far from
+    # the locus — e.g. across a duplication — are paired into the evidence.
     single_read_window = (
         props.max_read_len + (props.max_del_cigar_len or 0) + 10
     )
-    if variant.uses_read_pair_window and props.insert_size is not None:
+    if props.insert_size is not None:
         window = int(props.insert_size.mean + props.insert_size.sd * 6.0)
     else:
         window = single_read_window

@@ -15,6 +15,8 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import numpy as np
+
 from ..utils.logprob import LOG_ZERO, PROB_05, np_ln_add_exp
 from .extraction import (
     Evidence,
@@ -302,9 +304,14 @@ class Mnv(VariantType):
             return self.realigner.allele_support(
                 record, [(self.pos, self.pos + self.len)], self, alt_variants, props
             )
+        # mnv.rs:95-200: true-ref per-base product, plus a third-allele
+        # rescue — if the read prefers ALT but differs from ALT by more
+        # substitutions than the error rate explains, contrast against an
+        # allele derived from the read itself (prob_third).
         prob_ref = 0.0
         prob_alt = 0.0
-        n_excess_subs = 0
+        prob_third = 0.0
+        alt_edit_dist = 0
         first_qpos = None
         for i in range(self.len):
             qpos = record.read_pos(self.pos + i)
@@ -314,15 +321,25 @@ class Mnv(VariantType):
                 first_qpos = qpos
             read_base = int(record.seq[qpos]) & ~0x20
             qual = int(record.qual[qpos])
-            prob_alt += prob_read_base(read_base, self.alt_bases[i], qual)
-            # same multiallelic trick per base
             if read_base != ord("N") and read_base != self.alt_bases[i]:
-                non_alt = read_base
-                if read_base != self.ref_bases[i]:
-                    n_excess_subs += 1
-            else:
-                non_alt = self.ref_bases[i]
-            prob_ref += prob_read_base(read_base, non_alt, qual)
+                alt_edit_dist += 1
+            prob_alt += prob_read_base(read_base, self.alt_bases[i], qual)
+            prob_ref += prob_read_base(read_base, self.ref_bases[i], qual)
+            prob_third += prob_read_base(read_base, read_base, qual)
+        is_third_allele = False
+        if prob_alt > prob_ref and alt_edit_dist > 0:
+            from .edit_distance import is_explainable_by_error_rates
+
+            quals = record.qual.astype(np.float64)
+            miscalls = -quals * math.log(10.0) / 10.0
+            error_rate = float(
+                np.log(np.sum(np.exp(miscalls))) - math.log(max(record.read_len, 1))
+            )
+            if not is_explainable_by_error_rates(
+                alt_edit_dist, 0, 0, self.len, props, error_rate
+            ):
+                prob_ref = prob_third
+                is_third_allele = True
         strand = (
             strand_from_record(record, first_qpos)
             if prob_ref != prob_alt
@@ -333,7 +350,7 @@ class Mnv(VariantType):
             prob_alt=prob_alt,
             strand=strand,
             read_position=first_qpos,
-            third_allele_evidence=n_excess_subs if n_excess_subs > 0 else None,
+            third_allele_evidence=alt_edit_dist if is_third_allele else None,
         )
 
     def allele_support(self, ev: Evidence, props, alt_variants=()):

@@ -114,14 +114,15 @@ class Testcase:
         reference = FastaBuffer(ref_path)
 
         opts = self._options()
-        indel_window = int(
-            opts.get("realignment_window", opts.get("indel_window", 64)) or 64
-        )
-        max_depth = int(opts.get("max_depth", 200) or 200)
 
         # preprocess each sample
         obs_paths = {}
         for name, sample in self.doc["samples"].items():
+            sopts = self._options(name) or opts
+            indel_window = int(
+                sopts.get("realignment_window", sopts.get("indel_window", 64)) or 64
+            )
+            max_depth = int(sopts.get("max_depth", 200) or 200)
             props_raw = sample.get("properties")
             props = (
                 AlignmentProperties.from_json(props_raw)
@@ -143,7 +144,19 @@ class Testcase:
                 sample_name=name,
                 alignment_properties=props,
                 options=PreprocessOptions(
-                    max_depth=max_depth, indel_window=min(indel_window, 64)
+                    max_depth=max_depth,
+                    indel_window=min(indel_window, 64),
+                    # reference CLI flags serialized into the testcase
+                    # (cli.rs:918,939: adjust = !omit_mapq_adjustment,
+                    #  realign = !atomic_candidate_variants)
+                    adjust_prob_mapping=not sopts.get(
+                        "omit_mapq_adjustment", False
+                    ),
+                    realign_indel_reads=not sopts.get(
+                        "atomic_candidate_variants", False
+                    ),
+                    pairhmm_mode=sopts.get("pairhmm_mode", "exact") or "exact",
+                    omit_insert_size=bool(sopts.get("omit_insert_size", False)),
                 ),
                 reference=reference,
             )
