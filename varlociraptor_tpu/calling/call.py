@@ -128,6 +128,10 @@ class GenericCaller:
     def _engine_for(self, contig, events, grid):
         key = (contig, id(events))
         if key not in self._engines:
+            # zero structure of the prior on this contig (ploidy-0 sex
+            # contigs, uniform universes, germline lattice) — vartype
+            # does not affect which points are impossible
+            prior = self._prior_for(contig, "snv")
             self._engines[key] = PosteriorEngine(
                 events,
                 grid,
@@ -137,6 +141,7 @@ class GenericCaller:
                     self.scenario.samples[n].has_uniform_prior()
                     for n in self.scenario.sample_names
                 ),
+                valid_vaf_mask=prior.valid_vaf_mask(grid.values),
             )
         return self._engines[key]
 

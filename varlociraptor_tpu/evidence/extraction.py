@@ -236,16 +236,19 @@ def collect_fragments(bam, contig: str, fetch_intervals, window: int):
 def subsample_keep_mask(n: int, max_depth: int, locus_seed: int) -> np.ndarray:
     """Deterministic, shard-invariant subsampling decision per candidate.
 
-    Reference: SubsampleCandidates (sample.rs:180-212), StdRng seed 48074578.
-    We key the RNG on the locus so the decision is independent of batch/shard
-    boundaries (required for shard-count-invariant output on the TPU mesh).
+    Bit-exact port of the reference's SubsampleCandidates
+    (sample.rs:180-212): ChaCha12 StdRng seeded 48074578, one
+    Uniform(0,1) draw per candidate in BTreeMap (qname-sorted) order.
+    The RNG restarts per locus, so decisions are independent of
+    batch/shard boundaries (required for shard-count-invariant output
+    on the TPU mesh) while matching the reference's kept sets exactly.
     """
     if n <= max_depth:
         return np.ones(n, dtype=bool)
-    rng = np.random.default_rng(
-        zlib.crc32(b"vlt-subsample-%d" % locus_seed) & 0xFFFFFFFF
-    )
-    return rng.random(n) <= max_depth / n
+    from ..utils.rust_rand import SubsampleCandidates
+
+    sub = SubsampleCandidates(max_depth, n)
+    return np.array([sub.keep() for _ in range(n)], dtype=bool)
 
 
 def extract_observations(

@@ -366,10 +366,13 @@ class Insertion(RealignedVariant):
         l = len(self.ins_seq)
         ref_offset = max(0, start - ref_window)
         ref_end = min(start + l + ref_window, len(ref_seq))
+        # len_x = ref_end - ref_offset + ins_len (insertion.rs:271-274):
+        # the ref suffix keeps ref_window + l bases after the anchor so a
+        # read crossing the whole insertion still has allele to align to.
         seq = (
             bytes(ref_seq[ref_offset : start + 1])
             + self.ins_seq
-            + bytes(ref_seq[start + 1 : ref_end - l])
+            + bytes(ref_seq[start + 1 : ref_end])
         )
         return [
             AlleleEmission(

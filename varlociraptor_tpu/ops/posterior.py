@@ -134,6 +134,7 @@ class PosteriorEngine:
         samples: list[SampleConfig],
         resolution: float = 0.01,
         all_uniform_prior: bool = False,
+        valid_vaf_mask=None,
     ):
         self.events = events
         self.grid = grid
@@ -141,6 +142,15 @@ class PosteriorEngine:
         self.resolution = resolution
         self.all_uniform_prior = all_uniform_prior
         self.n_samples = len(samples)
+        # [S, G] bool: per-sample grid points with nonzero prior mass
+        # (prior.rs:298-438 zero structure — ploidy-0 contigs, uniform
+        # universes, germline-multiple constraints). Applied as -inf
+        # integration weight so impossible VAFs never contribute.
+        self.valid_vaf_mask = (
+            np.asarray(valid_vaf_mask, dtype=bool)
+            if valid_vaf_mask is not None
+            else None
+        )
 
         # flatten branches
         self.branches = []
@@ -257,7 +267,12 @@ class PosteriorEngine:
             jnp.broadcast_to(n, shape),
         )  # [L,NB,S,G]
         setw = jnp.where(jnp.asarray(self.set_mask)[None], 0.0, NEG_INF)
-        return jnp.where(jnp.asarray(self.is_range)[None, :, :, None], rw, setw)
+        w = jnp.where(jnp.asarray(self.is_range)[None, :, :, None], rw, setw)
+        if self.valid_vaf_mask is not None:
+            w = w + jnp.where(
+                jnp.asarray(self.valid_vaf_mask)[None, None], 0.0, NEG_INF
+            )
+        return w
 
     # ------------------------------------------------------------------
     def _unit_terms(self, loglik, pair_logliks, w):

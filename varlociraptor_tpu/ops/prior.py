@@ -111,6 +111,39 @@ class Prior:
         n_alt = ploidy * vaf
         return abs(n_alt - round(n_alt)) < 1e-6
 
+    def valid_vaf_mask(self, grid_values) -> "np.ndarray":
+        """[S, G] bool: per-sample VAF points with nonzero prior mass.
+
+        Mirrors the per-sample zero structure of _calc_prob
+        (prior.rs:298-438): vaf 0 is always possible; otherwise a vaf is
+        impossible on ploidy-0 contigs, outside a uniform sample's
+        universe, or (without a somatic rate) off the germline 1/ploidy
+        lattice. Used by the posterior engine to zero impossible grid
+        points in absent-only mode, where the full prior is otherwise
+        only evaluated at the all-zero point.
+        """
+        import numpy as np
+
+        G = len(grid_values)
+        mask = np.ones((self.n_samples, G), dtype=bool)
+        for s in range(self.n_samples):
+            for gi, v in enumerate(grid_values):
+                v = float(v)
+                if v == 0.0:
+                    continue
+                if self.uniform[s]:
+                    mask[s, gi] = any(u.contains(v) for u in self.universes[s])
+                    continue
+                ploidy = self.ploidies[s]
+                if ploidy == 0:
+                    mask[s, gi] = False
+                    continue
+                if self.somatic_effective_mutation_rate[s] is not None:
+                    continue
+                if ploidy is not None and self.heterozygosity is not None:
+                    mask[s, gi] = self._is_valid_germline_vaf(s, v)
+        return mask
+
     # ------------------------------------------------------------------
     def compute(self, vafs) -> float:
         """Log prior for a per-sample VAF vector (prior.rs compute)."""
