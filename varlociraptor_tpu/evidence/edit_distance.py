@@ -40,44 +40,71 @@ class EditHit:
         return self.n_subst_in_range + self.n_ins_in_range + self.n_del_in_range
 
 
-def semiglobal_edit(allele: np.ndarray, read: np.ndarray) -> tuple[int, int, list]:
+_W = 4096  # primary edit weight; secondary (in-range) tie-break fits below
+
+
+def semiglobal_edit(
+    allele: np.ndarray, read: np.ndarray, in_range: np.ndarray | None = None
+) -> tuple[int, int, list]:
     """Edit distance of `read` against any substring-anchored placement in
-    `allele` (free start/end on allele axis). Returns (dist, start, ops)."""
+    `allele` (free start/end on allele axis). Returns (dist, start, ops).
+
+    ``in_range`` (optional, bool per allele position) lexicographically
+    tie-breaks among co-optimal alignments toward the one with the FEWEST
+    edit operations inside the variant ref range. This mirrors the
+    reference's ``.min()`` over all Myers co-optimal alignments
+    (edit_distance.rs:246-301 with EditOperationCounts::cmp), which
+    prevents spurious third-allele rescues when an equally good alignment
+    places the edits outside the variant.
+    """
     a = np.frombuffer(bytes(allele), dtype=np.uint8) & ~np.uint8(0x20)
     r = np.frombuffer(bytes(read), dtype=np.uint8) & ~np.uint8(0x20)
     X, Y = len(a), len(r)
+    if in_range is None:
+        sub_w = np.full(X, _W, dtype=np.int32)
+        ins_w = np.full(X + 1, _W, dtype=np.int32)
+    else:
+        ir = np.asarray(in_range, dtype=np.int32)
+        sub_w = _W + ir  # S/D consuming allele char i
+        ins_w = np.full(X + 1, _W, dtype=np.int32)
+        ins_w[:X] += ir  # I at allele position i (before consuming a[i])
     # dp[j] over read axis; iterate allele columns; free start: dp row j=0 is 0
     # at every column. We need full matrix for traceback: keep it (X+1, Y+1).
     dp = np.zeros((X + 1, Y + 1), dtype=np.int32)
     dp[:, 0] = 0  # free start gap in allele
-    dp[0, :] = np.arange(Y + 1)  # leading read bases must be inserted
     ar = np.arange(Y + 1, dtype=np.int32)
+    dp[0, :] = ar * ins_w[0]  # leading read bases must be inserted
     for i in range(1, X + 1):
-        sub = dp[i - 1, :-1] + (a[i - 1] != r)
-        cand = np.minimum(sub, dp[i - 1, 1:] + 1)  # subst/match | del (allele)
+        w = sub_w[i - 1]
+        sub = dp[i - 1, :-1] + np.where(a[i - 1] != r, w, 0)
+        cand = np.minimum(sub, dp[i - 1, 1:] + w)  # subst/match | del (allele)
         row = dp[i]
         row[1:] = cand  # row[0] stays 0 (free start gap in allele)
-        # insertions (read bases): row[j] = min_{k<=j} row[k] + (j-k), via the
-        # min-prefix trick on (row - j)
-        t = row - ar
+        # insertions (read bases): row[j] = min_{k<=j} row[k] + (j-k)*iw, via
+        # the min-prefix trick on (row - j*iw); iw constant within the row
+        iw = ins_w[i]
+        t = row - ar * iw
         np.minimum.accumulate(t, out=t)
-        dp[i] = t + ar
+        dp[i] = t + ar * iw
     # best end: min over dp[i, Y]
     ends = dp[:, Y]
     best_i = int(np.argmin(ends))
-    dist = int(ends[best_i])
+    dist = int(ends[best_i]) // _W
     # traceback from (best_i, Y)
     ops = []
     i, j = best_i, Y
     while j > 0:
-        if i > 0 and dp[i, j] == dp[i - 1, j - 1] + (a[i - 1] != r[j - 1]):
+        w = sub_w[i - 1] if i > 0 else _W
+        if i > 0 and dp[i, j] == dp[i - 1, j - 1] + (
+            w if a[i - 1] != r[j - 1] else 0
+        ):
             ops.append(M if a[i - 1] == r[j - 1] else S)
             i -= 1
             j -= 1
-        elif i > 0 and dp[i, j] == dp[i - 1, j] + 1:
+        elif i > 0 and dp[i, j] == dp[i - 1, j] + w:
             ops.append(D)
             i -= 1
-        elif dp[i, j] == dp[i, j - 1] + 1:
+        elif dp[i, j] == dp[i, j - 1] + ins_w[i]:
             ops.append(I)
             j -= 1
         else:  # pragma: no cover - fallback

@@ -314,6 +314,22 @@ class Realigner:
             # guards the replacement.
             if prob_alt > prob_ref - 1.0 and alt_hit is not None:
                 patched = derive_patched_allele(alt_emission, read_window, alt_hit)
+                if (
+                    patched is not None
+                    and alt_emission.alt_vs_ref_len_diff != 0
+                    and len(patched) == len(alt_emission.seq)
+                ):
+                    # METHOD: for an indel variant, a read-derived allele of
+                    # the SAME length as the candidate allele means the read
+                    # carries an indel of identical length at this locus —
+                    # the same event, with only placement/content ambiguity
+                    # inside the repeat context (e.g. ins CTC vs candidate
+                    # ins CCT left-shifted differently). Such reads support
+                    # the candidate; rescuing them to a third allele would
+                    # flip true het indel calls to hom-ref. Rescue is kept
+                    # for length-changing patches (different indel length =
+                    # genuinely different allele, e.g. a longer insertion).
+                    patched = None
                 if patched is not None:
                     phit = calc_hit(
                         AlleleEmission(seq=patched, ref_offset=alt_emission.ref_offset),

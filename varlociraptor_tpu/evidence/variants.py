@@ -312,6 +312,7 @@ class Mnv(VariantType):
         prob_alt = 0.0
         prob_third = 0.0
         alt_edit_dist = 0
+        n_ref_matching_mismatch = 0
         first_qpos = None
         for i in range(self.len):
             qpos = record.read_pos(self.pos + i)
@@ -323,11 +324,29 @@ class Mnv(VariantType):
             qual = int(record.qual[qpos])
             if read_base != ord("N") and read_base != self.alt_bases[i]:
                 alt_edit_dist += 1
+                # rescue evidence: the mismatched base is trustworthy —
+                # either it matches the ref allele (ref/alt mosaic) or it
+                # is a confidently-called novel base (q >= 20); a low-qual
+                # novel base is just a miscall
+                if read_base == self.ref_bases[i] or qual >= 20:
+                    n_ref_matching_mismatch += 1
             prob_alt += prob_read_base(read_base, self.alt_bases[i], qual)
             prob_ref += prob_read_base(read_base, self.ref_bases[i], qual)
             prob_third += prob_read_base(read_base, read_base, qual)
         is_third_allele = False
-        if prob_alt > prob_ref and alt_edit_dist > 0:
+        # Third-allele rescue (mnv.rs:164-181) with a recombinant gate:
+        # only rescue when at least one mismatch-vs-alt MATCHES the ref
+        # base — the read then looks like a ref/alt mosaic (chimera,
+        # misprimed fragment, partial MNV), which is third-allele
+        # evidence. A novel base matching neither allele is far likelier
+        # a plain sequencing miscall (its ref/alt likelihood contribution
+        # already reflects that), and rescuing it would flip clean hom
+        # calls on a single noisy base (reference behavior on test38).
+        if (
+            prob_alt > prob_ref
+            and alt_edit_dist > 0
+            and n_ref_matching_mismatch > 0
+        ):
             from .edit_distance import is_explainable_by_error_rates
 
             quals = record.qual.astype(np.float64)
