@@ -154,6 +154,7 @@ def preprocess(
             "alignment_properties": alignment_properties.to_json(),
             "reference": str(reference_path),
             "bam": str(bam_path),
+            "candidates": str(candidates_path),
         },
     ) as writer:
         for i, rec in enumerate(records):

@@ -66,6 +66,9 @@ def build_parser():
         cg.add_argument(f"--{flag}", action="store_true")
     cg.add_argument("--full-prior", action="store_true")
     cg.add_argument("--resolution", type=float, default=0.01)
+    cg.add_argument("--testcase-locus", default=None, help="CHROM:POS or 'all'")
+    cg.add_argument("--testcase-prefix", default=None)
+    cg.add_argument("--testcase-anonymous", action="store_true")
 
     tn = cv_sub.add_parser("tumor-normal")
     tn.add_argument("--tumor", required=True)
@@ -140,6 +143,10 @@ def build_parser():
     sc.add_argument("calls")
     sc.add_argument("--sample-x", required=True)
     sc.add_argument("--sample-y", required=True)
+    vp = pl_sub.add_parser("variant-calling-prior")
+    vp.add_argument("--scenario", required=True)
+    vp.add_argument("--contig", required=True)
+    vp.add_argument("--sample", required=True)
 
     return p
 
@@ -180,6 +187,41 @@ def run(argv=None):
         if args.mode == "generic":
             scenario = Scenario.from_path(args.scenario)
             obs = dict(kv.split("=", 1) for kv in args.obs)
+            if args.testcase_prefix and args.testcase_locus:
+                # capture a replayable testcase (testcase/builder.rs) using
+                # the bam/reference/candidate paths recorded in each
+                # observation file's header
+                from .calling.observations import ObservationReader
+                from .testcase_builder import build_testcase
+
+                sample_bams = {}
+                sample_opts = {}
+                ref_path = candidates = None
+                for name, path in obs.items():
+                    hdr = ObservationReader(path).header.get("options", {})
+                    sample_bams[name] = hdr["bam"]
+                    ref_path = hdr["reference"]
+                    candidates = hdr.get("candidates")
+                    sample_opts[name] = json.dumps(
+                        {"Preprocess": {"kind": {"Variants": hdr}}}
+                    )
+                if candidates is None:
+                    raise SystemExit(
+                        "observation files lack candidate path; rerun preprocess"
+                    )
+                build_testcase(
+                    args.testcase_prefix,
+                    args.testcase_locus,
+                    candidates,
+                    ref_path,
+                    sample_bams,
+                    scenario_path=args.scenario,
+                    sample_options=sample_opts,
+                    anonymize=args.testcase_anonymous,
+                )
+                print(
+                    f"testcase written to {args.testcase_prefix}", file=sys.stderr
+                )
             options = CallOptions(
                 omit_strand_bias=args.omit_strand_bias,
                 omit_read_orientation_bias=args.omit_read_orientation_bias,
@@ -280,6 +322,15 @@ def run(argv=None):
         return 0
 
     if args.command == "plot":
+        if args.what == "variant-calling-prior":
+            from .estimation.prior_plot import plot_variant_calling_prior
+            from .grammar.scenario import Scenario
+
+            spec = plot_variant_calling_prior(
+                Scenario.from_path(args.scenario), args.contig, args.sample
+            )
+            print(json.dumps(spec, indent=2))
+            return 0
         from .estimation.sample_variants import vaf_scatter
 
         print(json.dumps(vaf_scatter(args.calls, args.sample_x, args.sample_y)))

@@ -391,3 +391,165 @@ class BamReader:
 
     def __len__(self):
         return len(self._offsets)
+
+
+# ---------------------------------------------------------------------------
+# BAM writing (testcase capture; SAMv1 spec section 4)
+# ---------------------------------------------------------------------------
+
+_ASCII_TO_SEQ_CODE = np.zeros(256, dtype=np.uint8)
+for _i, _b in enumerate(SEQ_CODE_TO_ASCII):
+    _ASCII_TO_SEQ_CODE[_b] = _i
+    _ASCII_TO_SEQ_CODE[_b | 0x20] = _i
+
+_CIGAR_OP_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
+
+
+def _encode_bgzf(data: bytes, block_size: int = 65000) -> bytes:
+    """Compress to BGZF (gzip members with BC extra field + EOF marker)."""
+    out = []
+    for off in range(0, len(data), block_size):
+        chunk = data[off : off + block_size]
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = comp.compress(chunk) + comp.flush()
+        bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+payload+crc(4)+isize(4)
+        member = (
+            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+            + struct.pack("<H", 6)
+            + b"BC"
+            + struct.pack("<HH", 2, bsize - 1)
+            + cdata
+            + struct.pack("<II", zlib.crc32(chunk) & 0xFFFFFFFF, len(chunk))
+        )
+        out.append(member)
+    # standard BGZF EOF marker
+    out.append(
+        bytes.fromhex(
+            "1f8b08040000000000ff0600424302001b0003000000000000000000"
+        )
+    )
+    return b"".join(out)
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """UCSC binning (SAMv1 4.2.1)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _encode_tags(tags: dict) -> bytes:
+    out = bytearray()
+    for tag, val in tags.items():
+        t = tag.encode("latin1")[:2]
+        if isinstance(val, bool):
+            val = int(val)
+        if isinstance(val, (int, np.integer)):
+            out += t + b"i" + struct.pack("<i", int(val))
+        elif isinstance(val, (float, np.floating)):
+            out += t + b"f" + struct.pack("<f", float(val))
+        elif isinstance(val, str):
+            if len(val) == 1 and tag in ("RO",):
+                out += t + b"A" + val.encode("latin1")
+            else:
+                out += t + b"Z" + val.encode("latin1") + b"\x00"
+        elif isinstance(val, np.ndarray):
+            sub = {"b": "c", "B": "C", "h": "s", "H": "S", "i": "i", "I": "I", "f": "f"}[
+                val.dtype.char
+            ]
+            out += (
+                t
+                + b"B"
+                + sub.encode()
+                + struct.pack("<i", len(val))
+                + val.astype(f"<{val.dtype.char}").tobytes()
+            )
+    return bytes(out)
+
+
+class BamWriter:
+    """Minimal coordinate-preserving BAM writer (testcase capture side;
+    reference testcase/builder.rs:310-505 slices BAMs the same way)."""
+
+    def __init__(self, path, ref_names: list, ref_lengths: list, header_text: str = ""):
+        self.path = Path(path)
+        self.ref_names = list(ref_names)
+        self._tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
+        body = bytearray()
+        text = header_text
+        if not text:
+            lines = ["@HD\tVN:1.6\tSO:coordinate"]
+            for n, l in zip(ref_names, ref_lengths):
+                lines.append(f"@SQ\tSN:{n}\tLN:{int(l)}")
+            text = "\n".join(lines) + "\n"
+        tb = text.encode("latin1")
+        body += b"BAM\x01" + struct.pack("<i", len(tb)) + tb
+        body += struct.pack("<i", len(self.ref_names))
+        for n, l in zip(ref_names, ref_lengths):
+            nb = n.encode("latin1") + b"\x00"
+            body += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(l))
+        self._body = body
+
+    def tid(self, contig: str) -> int:
+        return self._tid_by_name.get(contig, -1)
+
+    def write_record(self, rec: BamRecord, tid=None, mtid=None):
+        tid = rec.tid if tid is None else tid
+        mtid = rec.mtid if mtid is None else mtid
+        name = rec.qname.encode("latin1") + b"\x00"
+        cig = b"".join(
+            struct.pack("<I", (int(l) << 4) | int(op)) for op, l in rec.cigar
+        )
+        l_seq = len(rec.seq)
+        codes = _ASCII_TO_SEQ_CODE[rec.seq]
+        packed = bytearray((l_seq + 1) // 2)
+        for i in range(l_seq):
+            if i % 2 == 0:
+                packed[i // 2] = int(codes[i]) << 4
+            else:
+                packed[i // 2] |= int(codes[i])
+        qual = rec.qual.astype(np.uint8).tobytes() if l_seq else b""
+        tags = _encode_tags(rec.tags)
+        end = rec.end_pos if len(rec.cigar) else rec.pos + 1
+        data = (
+            struct.pack(
+                "<iiBBHHHiiii",
+                tid,
+                rec.pos,
+                len(name),
+                rec.mapq,
+                _reg2bin(max(rec.pos, 0), max(end, rec.pos + 1)),
+                len(rec.cigar),
+                rec.flag,
+                l_seq,
+                mtid,
+                rec.mpos,
+                rec.tlen,
+            )
+            + name
+            + cig
+            + bytes(packed)
+            + qual
+            + tags
+        )
+        self._body += struct.pack("<i", len(data)) + data
+
+    def close(self):
+        with open(self.path, "wb") as f:
+            f.write(_encode_bgzf(bytes(self._body)))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
