@@ -8,12 +8,12 @@ from __future__ import annotations
 import math
 import sys
 
-from ..io.vcf import VcfReader, VcfWriter
+from ..io.vcf import VcfReader, open_variant_file, VcfWriter
 from ..utils.logprob import np_log_from_phred
 
 
 def decode_phred(in_path, out_path=None):
-    reader = VcfReader(in_path)
+    reader = open_variant_file(in_path)
     records = reader.records()
     header = [
         l.replace("PHRED", "linear") if "PROB_" in l else l

@@ -6,7 +6,7 @@ AF >= 0.25 -> 0/1, else 0/0 (missing AF -> ./.).
 
 from __future__ import annotations
 
-from ..io.vcf import VcfReader, VcfWriter
+from ..io.vcf import VcfReader, open_variant_file, VcfWriter
 
 
 def af_to_gt(af: float | None) -> str:
@@ -20,7 +20,7 @@ def af_to_gt(af: float | None) -> str:
 
 
 def genotype(in_path, out_path=None):
-    reader = VcfReader(in_path)
+    reader = open_variant_file(in_path)
     records = reader.records()
     header = reader.header_lines + [
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype from MAP AF">'

@@ -11,7 +11,7 @@ import math
 
 import numpy as np
 
-from ..io.vcf import VcfReader
+from ..io.vcf import VcfReader, open_variant_file
 from ..utils.logprob import np_log_from_phred
 
 
@@ -23,7 +23,7 @@ def collect_estimates(
     mode: str = "curve",
     cutoff: float = 0.2,
 ):
-    reader = VcfReader(calls_path)
+    reader = open_variant_file(calls_path)
     records = reader.records()
     try:
         sample_idx = reader.sample_names.index(sample)

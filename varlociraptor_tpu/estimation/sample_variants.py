@@ -5,11 +5,11 @@ Port of ``/root/reference/src/estimation/sample_variants.rs:18-99``.
 
 from __future__ import annotations
 
-from ..io.vcf import VcfReader
+from ..io.vcf import VcfReader, open_variant_file
 
 
 def vaf_scatter(calls_path, sample_x: str, sample_y: str):
-    reader = VcfReader(calls_path)
+    reader = open_variant_file(calls_path)
     records = reader.records()
     ix = reader.sample_names.index(sample_x)
     iy = reader.sample_names.index(sample_y)

@@ -19,7 +19,7 @@ import math
 import numpy as np
 
 from ..calling.variants import collect_variants
-from ..io.vcf import VcfReader, VcfWriter
+from ..io.vcf import VcfReader, open_variant_file, VcfWriter
 from ..utils.logprob import (
     LOG_ZERO,
     NUMERICAL_EPSILON,
@@ -33,13 +33,21 @@ VARTYPE_KINDS = {
     "SNV": {"snv"},
     "MNV": {"mnv"},
     "INS": {"insertion"},
+    "INSERTION": {"insertion"},
     "DEL": {"deletion"},
+    "DELETION": {"deletion"},
     "INV": {"inversion"},
+    "INVERSION": {"inversion"},
     "DUP": {"duplication"},
+    "DUPLICATION": {"duplication"},
     "REP": {"replacement"},
+    "REPLACEMENT": {"replacement"},
     "BND": {"breakend"},
+    "BREAKEND": {"breakend"},
     "REF": {"none"},
+    "NONE": {"none"},
     "METH": {"methylation"},
+    "METHYLATION": {"methylation"},
 }
 
 
@@ -47,6 +55,8 @@ def _record_vartype_match(rec, vartype: str | None, min_len=None, max_len=None):
     if vartype is None:
         return True
     kinds = VARTYPE_KINDS.get(vartype.upper())
+    if kinds is None:
+        raise ValueError(f"unknown variant type filter {vartype!r}")
     variants = collect_variants(rec, skip_imprecise=False)
     if not variants:
         return False
@@ -110,7 +120,7 @@ def control_fdr(
     smart_retain_artifacts: bool = False,
 ) -> int:
     """Filter calls at FDR alpha; returns number of records kept."""
-    reader = VcfReader(in_vcf)
+    reader = open_variant_file(in_vcf)
     records = reader.records()
     tags = [f"PROB_{e.upper()}" for e in events]
     ln_alpha = math.log(alpha) if alpha > 0 else LOG_ZERO

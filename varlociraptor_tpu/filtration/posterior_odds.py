@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 
-from ..io.vcf import VcfReader, VcfWriter
+from ..io.vcf import VcfReader, open_variant_file, VcfWriter
 from ..utils.logprob import kass_raftery
 from .fdr import tags_prob_sum
 
@@ -17,7 +17,7 @@ KR_LEVELS = {"none": 0, "barely": 1, "positive": 2, "strong": 3, "very-strong": 
 
 
 def filter_by_odds(in_vcf, out_vcf, events: list[str], min_evidence: str) -> int:
-    reader = VcfReader(in_vcf)
+    reader = open_variant_file(in_vcf)
     records = reader.records()
     min_level = KR_LEVELS[min_evidence.lower().replace("_", "-")]
     event_tags = [f"PROB_{e.upper()}" for e in events]

@@ -229,21 +229,46 @@ class PosteriorEngine:
                 (a, b, m) for (a, b), m in by_pair.items()
             ]
 
-        # contraction units
+        # contraction units: the contamination graph is a forest (each sample
+        # has at most one contaminant parent; chains and shared contaminants
+        # are allowed). Components are contracted by variable elimination
+        # along the tree, so the factor tensors never exceed two grid axes.
+        self.parent = [s.contaminated_by for s in samples]
         self.pairs = [
             (si, s.contaminated_by, s.contamination_fraction)
             for si, s in enumerate(samples)
             if s.contaminated_by is not None
         ]
-        in_pair = set()
+        # mutual contamination (A contaminated by B AND B by A) is a 2-cycle:
+        # two pairwise factors over the same two grid axes — fine for the
+        # eliminator. Longer cycles would need loopy contraction; reject.
+        for si in range(S):
+            seen = set()
+            p = si
+            while p is not None:
+                if p in seen:
+                    if self.parent[p] is not None and self.parent[self.parent[p]] == p:
+                        break  # 2-cycle
+                    raise NotImplementedError(
+                        "contamination cycles longer than 2 not supported"
+                    )
+                seen.add(p)
+                p = self.parent[p]
+        comp_of = list(range(S))
+
+        def find(x):
+            while comp_of[x] != x:
+                comp_of[x] = comp_of[comp_of[x]]
+                x = comp_of[x]
+            return x
+
         for si, by, _ in self.pairs:
-            if samples[by].contaminated_by is not None:
-                raise NotImplementedError("chained contamination not supported")
-            in_pair.add(si)
-            in_pair.add(by)
-        if len(in_pair) != 2 * len(self.pairs):
-            raise NotImplementedError("one sample in multiple contamination pairs")
-        self.singletons = [si for si in range(S) if si not in in_pair]
+            comp_of[find(si)] = find(by)
+        groups: dict[int, list] = {}
+        for si in range(S):
+            groups.setdefault(find(si), []).append(si)
+        self.components = [sorted(v) for v in groups.values()]
+        self.singletons = [c[0] for c in self.components if len(c) == 1]
 
         self._run = jax.jit(self._run_impl)
         self._run_full = jax.jit(self._run_impl)
@@ -275,6 +300,80 @@ class PosteriorEngine:
         return w
 
     # ------------------------------------------------------------------
+    def _component_factors(self, comp, loglik, pair_logliks, w_s):
+        """Log factors of one contamination component: a root sample yields
+        a 1-var factor [L,B,NB,G]; a contaminated sample a 2-var factor
+        [L,B,NB,G,Gparent]. Branch weights are absorbed on each sample's
+        own axis."""
+        factors = []
+        for si in comp:
+            p = self.parent[si]
+            if p is None:
+                t = loglik[:, si][:, :, None, :] + w_s[:, si][:, None]
+                factors.append(((si,), t))
+            else:
+                t = (
+                    pair_logliks[si][:, :, None, :, :]
+                    + w_s[:, si][:, None, :, :, None]
+                )
+                factors.append(((si, p), t))
+        return factors
+
+    def _eliminate_component(self, comp, factors, keep):
+        """Tree variable elimination over a component's grid axes; returns
+        [L,B,NB] (keep=None) or [L,B,NB,G] (keep's own axis retained)."""
+        from collections import deque
+
+        adj = {si: set() for si in comp}
+        for si in comp:
+            p = self.parent[si]
+            if p is not None and p in adj:
+                adj[si].add(p)
+                adj[p].add(si)
+        root = keep if keep is not None else comp[0]
+        depth = {root: 0}
+        dq = deque([root])
+        while dq:
+            u0 = dq.popleft()
+            for v2 in adj[u0]:
+                if v2 not in depth:
+                    depth[v2] = depth[u0] + 1
+                    dq.append(v2)
+        order = sorted(comp, key=lambda s: -depth[s])
+
+        fs = list(factors)
+        for v in order:
+            if keep is not None and v == keep:
+                continue
+            group = [f for f in fs if v in f[0]]
+            rest = [f for f in fs if v not in f[0]]
+            uvars = []
+            for vars_, _ in group:
+                for x in vars_:
+                    if x != v and x not in uvars:
+                        uvars.append(x)
+            assert len(uvars) <= 1, "contamination graph is not a tree"
+            u_ = uvars[0] if uvars else None
+            acc = None
+            for vars_, t in group:
+                if vars_ == (v,):
+                    tt = t[..., None, :] if u_ is not None else t
+                elif vars_ == (v, u_):
+                    tt = jnp.swapaxes(t, -1, -2)
+                elif vars_ == (u_, v):
+                    tt = t
+                else:  # pragma: no cover
+                    raise AssertionError(f"unexpected factor vars {vars_}")
+                acc = tt if acc is None else acc + tt
+            msg = _lse(acc, axis=-1)
+            fs = rest + [(((u_,) if u_ is not None else ()), msg)]
+
+        out = None
+        for vars_, t in fs:
+            tt = t if (vars_ or keep is None) else t[..., None]
+            out = tt if out is None else out + tt
+        return out
+
     def _unit_terms(self, loglik, pair_logliks, w):
         """Per-unit branch integrals and per-sample grid-resolved 'own'
         densities.
@@ -289,23 +388,20 @@ class PosteriorEngine:
         own = {}
         Uzero = {}
         zi = self.zero_idx
-        for si in self.singletons:
-            key = ("s", si)
-            d = loglik[:, si, :, None, :] + w_s[:, si, None, :, :]  # [L,B,NB,G]
-            U[key] = _lse(d, axis=-1)
-            own[si] = (d, key)
-            Uzero[key] = d[..., zi]
-        for si, by, _ in self.pairs:
-            key = ("p", si, by)
-            pl = pair_logliks[si]  # [L,B,G,Gc]
-            wp = w_s[:, si, None, :, :, None]  # [L,1,NB,G,1]
-            wc = w_s[:, by, None, :, None, :]  # [L,1,NB,1,Gc]
-            lc = loglik[:, by][:, :, None, None, :]  # [L,B,1,1,Gc]
-            joint = pl[:, :, None, :, :] + wp + wc + lc  # [L,B,NB,G,Gc]
-            U[key] = _lse(joint, axis=(-2, -1))
-            own[si] = (_lse(joint, axis=-1), key)  # primary's grid axis
-            own[by] = (_lse(joint, axis=-2), key)  # contaminant's grid axis
-            Uzero[key] = joint[..., zi, zi]
+        for comp in self.components:
+            key = ("c",) + tuple(comp)
+            factors = self._component_factors(comp, loglik, pair_logliks, w_s)
+            U[key] = self._eliminate_component(comp, factors, None)
+            zval = None
+            for vars_, t in factors:
+                tz = t[..., zi] if len(vars_) == 1 else t[..., zi, zi]
+                zval = tz if zval is None else zval + tz
+            Uzero[key] = zval
+            for si in comp:
+                own[si] = (
+                    self._eliminate_component(comp, factors, si),
+                    key,
+                )
         return U, own, Uzero
 
     def _run_impl(
@@ -369,29 +465,85 @@ class PosteriorEngine:
         if self.branch_lfc_masks:
             w_s = jnp.swapaxes(w, 1, 2)  # [L,S,NB,G]
             zi = self.zero_idx
+            comp_of_sample = {}
+            for comp in self.components:
+                for s in comp:
+                    comp_of_sample[s] = tuple(comp)
             for bi, lfc_list in self.branch_lfc_masks.items():
                 coupled = {s for (a, b, _) in lfc_list for s in (a, b)}
-                for s in coupled:
-                    if s not in self.singletons:
-                        raise NotImplementedError(
-                            "l2fc on contaminated samples not supported yet"
-                        )
+                coupled_comps = {comp_of_sample[s] for s in coupled}
                 t_bi = jnp.zeros((L, B))
                 z_bi = jnp.zeros((L, B))
                 for key, val in U.items():
-                    if key[0] == "s" and key[1] in coupled:
+                    if tuple(key[1:]) in coupled_comps:
                         continue
                     t_bi = t_bi + val[:, :, bi]
                     z_bi = z_bi + Uzero[key][:, :, bi]
                 for a, b, mask_np in lfc_list:
-                    da = loglik[:, a] + w_s[:, a, bi][:, None, :]  # [L,B,G]
-                    db = loglik[:, b] + w_s[:, b, bi][:, None, :]
                     lfc_mask = jnp.where(jnp.asarray(mask_np), 0.0, NEG_INF)
-                    joint_ab = (
-                        da[:, :, :, None] + db[:, :, None, :] + lfc_mask[None, None]
+                    if a in self.singletons and b in self.singletons:
+                        da = loglik[:, a] + w_s[:, a, bi][:, None, :]  # [L,B,G]
+                        db = loglik[:, b] + w_s[:, b, bi][:, None, :]
+                        joint_ab = (
+                            da[:, :, :, None]
+                            + db[:, :, None, :]
+                            + lfc_mask[None, None]
+                        )
+                        t_bi = t_bi + _lse(joint_ab, axis=(-2, -1))
+                        z00 = da[:, :, zi] + db[:, :, zi] + lfc_mask[zi, zi]
+                        z_bi = z_bi + z00
+                        continue
+                    # both contaminated by the same parent (star component,
+                    # e.g. tumor_pre/tumor_post both contaminated by normal):
+                    # contract lse over (ga, gb, gp) with a scan over the
+                    # parent grid so memory stays at [L,B,G,G]
+                    p = self.parent[a]
+                    if (
+                        p is None
+                        or self.parent[b] != p
+                        or self.parent[p] is not None
+                        or comp_of_sample[a] != comp_of_sample[b]
+                    ):
+                        raise NotImplementedError(
+                            "l2fc supported between plain samples or "
+                            "co-contaminated siblings"
+                        )
+                    comp = comp_of_sample[a]
+                    fa = pair_logliks[a] + w_s[:, a, bi][:, None, :, None]
+                    fb = pair_logliks[b] + w_s[:, b, bi][:, None, :, None]
+                    rp = loglik[:, p] + w_s[:, p, bi][:, None, :]  # [L,B,Gp]
+                    rp_zero = rp[..., zi]
+                    for c in comp:
+                        if c in (a, b, p):
+                            continue
+                        fc = pair_logliks[c] + w_s[:, c, bi][:, None, :, None]
+                        rp = rp + _lse(fc, axis=-2)
+                        rp_zero = rp_zero + fc[..., zi, zi]
+
+                    def _gp_step(carry, xs):
+                        fa_g, fb_g, rp_g = xs  # [L,B,G], [L,B,G], [L,B]
+                        slab = (
+                            fa_g[:, :, :, None]
+                            + fb_g[:, :, None, :]
+                            + lfc_mask[None, None]
+                        )
+                        val = _lse(slab, axis=(-2, -1)) + rp_g
+                        return jnp.logaddexp(carry, val), None
+
+                    init = jnp.full((L, B), NEG_INF)
+                    xs = (
+                        jnp.moveaxis(fa, -1, 0),
+                        jnp.moveaxis(fb, -1, 0),
+                        jnp.moveaxis(rp, -1, 0),
                     )
-                    t_bi = t_bi + _lse(joint_ab, axis=(-2, -1))
-                    z00 = da[:, :, zi] + db[:, :, zi] + lfc_mask[zi, zi]
+                    total, _ = jax.lax.scan(_gp_step, init, xs)
+                    t_bi = t_bi + total
+                    z00 = (
+                        fa[..., zi, zi]
+                        + fb[..., zi, zi]
+                        + lfc_mask[zi, zi]
+                        + rp_zero
+                    )
                     z_bi = z_bi + z00
                 T = T.at[:, :, bi].set(t_bi)
                 Z = Z.at[:, :, bi].set(z_bi)
