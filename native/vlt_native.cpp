@@ -151,3 +151,72 @@ int64_t vlt_bam_scan(const uint8_t* data, int64_t len, int64_t start,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Semiglobal edit distance with traceback (hot host kernel of the
+// realignment pre-pass; mirrors the vectorized numpy DP in
+// evidence/edit_distance.py::semiglobal_edit — free start/end gaps on the
+// allele axis, read fully consumed). ops codes: 0=M 1=S 2=I 3=D.
+// ---------------------------------------------------------------------------
+extern "C" int32_t vlt_semiglobal_edit(
+    const uint8_t* allele, int32_t x_len,
+    const uint8_t* read, int32_t y_len,
+    int32_t* out_start,
+    uint8_t* out_ops,      // caller-provided buffer, >= x_len + y_len
+    int32_t* out_n_ops) {
+  if (x_len <= 0 || y_len <= 0) return -1;
+  const int32_t W = y_len + 1;
+  std::vector<int32_t> dp((size_t)(x_len + 1) * W);
+  std::vector<uint8_t> a(x_len), r(y_len);
+  for (int32_t i = 0; i < x_len; i++) a[i] = allele[i] & ~0x20;
+  for (int32_t j = 0; j < y_len; j++) r[j] = read[j] & ~0x20;
+  for (int32_t j = 0; j <= y_len; j++) dp[j] = j;  // leading read inserts
+  for (int32_t i = 1; i <= x_len; i++) {
+    int32_t* row = &dp[(size_t)i * W];
+    const int32_t* prev = &dp[(size_t)(i - 1) * W];
+    row[0] = 0;  // free start gap on allele axis
+    const uint8_t ai = a[i - 1];
+    for (int32_t j = 1; j <= y_len; j++) {
+      int32_t best = prev[j - 1] + (ai != r[j - 1]);
+      const int32_t del = prev[j] + 1;
+      if (del < best) best = del;
+      const int32_t ins = row[j - 1] + 1;
+      if (ins < best) best = ins;
+      row[j] = best;
+    }
+  }
+  // best end over allele axis
+  int32_t best_i = 0, dist = dp[y_len];
+  for (int32_t i = 1; i <= x_len; i++) {
+    const int32_t v = dp[(size_t)i * W + y_len];
+    if (v < dist) { dist = v; best_i = i; }
+  }
+  // traceback (same preference order as the python DP: diag, del, ins)
+  int32_t i = best_i, j = y_len, n = 0;
+  while (j > 0) {
+    const int32_t cur = dp[(size_t)i * W + j];
+    if (i > 0 && cur == dp[(size_t)(i - 1) * W + (j - 1)] + (a[i - 1] != r[j - 1])) {
+      out_ops[n++] = (a[i - 1] == r[j - 1]) ? 0 : 1;
+      i--; j--;
+    } else if (i > 0 && cur == dp[(size_t)(i - 1) * W + j] + 1) {
+      out_ops[n++] = 3;
+      i--;
+    } else if (cur == dp[(size_t)i * W + (j - 1)] + 1) {
+      out_ops[n++] = 2;
+      j--;
+    } else {
+      out_ops[n++] = 1;
+      if (i > 0) i--;
+      j--;
+    }
+  }
+  // reverse ops in place
+  for (int32_t k = 0; k < n / 2; k++) {
+    const uint8_t t = out_ops[k];
+    out_ops[k] = out_ops[n - 1 - k];
+    out_ops[n - 1 - k] = t;
+  }
+  *out_start = i;
+  *out_n_ops = n;
+  return dist;
+}

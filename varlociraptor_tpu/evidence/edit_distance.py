@@ -57,6 +57,12 @@ def semiglobal_edit(
     prevents spurious third-allele rescues when an equally good alignment
     places the edits outside the variant.
     """
+    if in_range is None:
+        from ..io import native
+
+        res = native.semiglobal_edit(bytes(allele), bytes(read))
+        if res is not None:
+            return res
     a = np.frombuffer(bytes(allele), dtype=np.uint8) & ~np.uint8(0x20)
     r = np.frombuffer(bytes(read), dtype=np.uint8) & ~np.uint8(0x20)
     X, Y = len(a), len(r)

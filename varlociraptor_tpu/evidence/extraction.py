@@ -309,13 +309,42 @@ def extract_observations(
 
     hpem = variant.homopolymer_error_model(props)
 
+    # Batched realignment: run the pileup once in record mode (host-only,
+    # queuing every pair-HMM request), execute ONE padded device forward
+    # per realigner, then replay. Cuts device dispatches per locus from
+    # O(reads) to O(1) — the per-call overhead dominates at TPU speeds.
+    realigners = []
+    seen_r = set()
+
+    def _add_realigner(v):
+        r = getattr(v, "realigner", None)
+        if r is not None and id(r) not in seen_r:
+            seen_r.add(id(r))
+            realigners.append(r)
+        for sub in getattr(v, "variants", None) or []:
+            _add_realigner(sub)
+
+    _add_realigner(variant)
+
     observations = []
-    for ev, k in zip(candidates, keep):
-        if not k:
-            continue
-        obs = evidence_to_observation(variant, ev, props, hpem, alt_variants)
-        if obs is not None:
-            observations.append(obs)
+    try:
+        if realigners:
+            for r in realigners:
+                r.begin_record()
+            for ev, k in zip(candidates, keep):
+                if k:
+                    evidence_to_observation(variant, ev, props, hpem, alt_variants)
+            for r in realigners:
+                r.run_batch()
+        for ev, k in zip(candidates, keep):
+            if not k:
+                continue
+            obs = evidence_to_observation(variant, ev, props, hpem, alt_variants)
+            if obs is not None:
+                observations.append(obs)
+    finally:
+        for r in realigners:
+            r.end_batch()
 
     process_observations(observations, props.max_read_len)
     if do_adjust_prob_mapping:

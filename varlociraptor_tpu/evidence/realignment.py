@@ -150,6 +150,52 @@ class Realigner:
         self.hmm = BatchedPairHMM(
             props.gap_params, hop_params=props.hop_params, mode=mode
         )
+        # record/replay batching: extraction runs the pileup twice — once
+        # recording every forward request (device untouched), then one
+        # batched forward for the whole pileup, then a replay pass that
+        # consumes the results in the identical call order. Requires all
+        # forward calls to be host-deterministic (they are: the patched-
+        # allele forward is gated only on edit-distance state).
+        self._batch_mode = None  # None | "record" | "replay"
+        self._requests = None
+        self._results = None
+        self._cursor = 0
+
+    # -- batched dispatch ----------------------------------------------
+    def _forward(self, seqs, reads, quals):
+        if self._batch_mode == "record":
+            self._requests.append((seqs, reads, quals))
+            return np.zeros(len(seqs), dtype=np.float64)
+        if self._batch_mode == "replay":
+            out = self._results[self._cursor : self._cursor + len(seqs)]
+            self._cursor += len(seqs)
+            return out
+        return self.hmm.forward(seqs, reads, quals)
+
+    def begin_record(self):
+        self._batch_mode = "record"
+        self._requests = []
+
+    def run_batch(self):
+        """Execute all recorded forwards in one padded device call."""
+        seqs, reads, quals = [], [], []
+        for s, r, q in self._requests:
+            seqs.extend(s)
+            reads.extend(r)
+            quals.extend(q)
+        self._results = (
+            np.asarray(self.hmm.forward(seqs, reads, quals), dtype=np.float64)
+            if seqs
+            else np.zeros(0)
+        )
+        self._batch_mode = "replay"
+        self._cursor = 0
+
+    def end_batch(self):
+        self._batch_mode = None
+        self._requests = None
+        self._results = None
+        self._cursor = 0
 
     @property
     def ref_window(self):
@@ -294,7 +340,7 @@ class Realigner:
                     ]
                 )
             else:
-                probs = self.hmm.forward(
+                probs = self._forward(
                     shrunk, [read_window] * len(shrunk), [qual_window] * len(shrunk)
                 )
             n_ref = len(ref_alleles)
@@ -312,7 +358,12 @@ class Realigner:
             # allow a small epsilon — semantically the read comes from a third
             # allele either way, and the patched-allele check below still
             # guards the replacement.
-            if prob_alt > prob_ref - 1.0 and alt_hit is not None:
+            # NOTE: the patched-allele forward below is computed from
+            # host-side edit-distance state only (not gated on the HMM
+            # probabilities), so the forward-call sequence is deterministic
+            # and the record/replay batching stays aligned; the HMM-prob
+            # gate is applied when DECIDING whether to use the result.
+            if alt_hit is not None:
                 patched = derive_patched_allele(alt_emission, read_window, alt_hit)
                 if (
                     patched is not None
@@ -346,11 +397,11 @@ class Realigner:
                         )
                     else:
                         p_inferred = float(
-                            self.hmm.forward(
+                            self._forward(
                                 [patched[lo:hi]], [read_window], [qual_window]
                             )[0]
                         )
-                    if p_inferred > prob_ref:
+                    if prob_alt > prob_ref - 1.0 and p_inferred > prob_ref:
                         prob_ref = p_inferred
                         is_third_allele = True
 

@@ -50,6 +50,7 @@ def _load():
         lib.vlt_bgzf_index.restype = ctypes.c_int64
         lib.vlt_bgzf_inflate.restype = ctypes.c_int32
         lib.vlt_bam_scan.restype = ctypes.c_int64
+        lib.vlt_semiglobal_edit.restype = ctypes.c_int32
         _lib = lib
     except Exception:  # noqa: BLE001 - fall back to pure python
         _lib = None
@@ -140,3 +141,26 @@ def bam_scan(data: bytes, start: int):
         flags[:n].copy(),
         mapqs[:n].copy(),
     )
+
+
+def semiglobal_edit(allele: bytes, read: bytes):
+    """Native semiglobal edit DP; returns (dist, start, ops list) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    X, Y = len(allele), len(read)
+    out_start = ctypes.c_int32()
+    out_n = ctypes.c_int32()
+    ops_buf = (ctypes.c_uint8 * (X + Y + 2))()
+    dist = lib.vlt_semiglobal_edit(
+        ctypes.c_char_p(allele),
+        ctypes.c_int32(X),
+        ctypes.c_char_p(read),
+        ctypes.c_int32(Y),
+        ctypes.byref(out_start),
+        ops_buf,
+        ctypes.byref(out_n),
+    )
+    if dist < 0:
+        return None
+    return int(dist), int(out_start.value), list(ops_buf[: out_n.value])
