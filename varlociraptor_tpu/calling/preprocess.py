@@ -32,6 +32,9 @@ class PreprocessOptions:
     pairhmm_mode: str = "exact"
     omit_insert_size: bool = False
     propagate_info_fields: tuple = ()
+    # debug observability: per-locus TSV dump of raw observations
+    # (preprocessing/mod.rs:251-280, --output-raw-observations)
+    output_raw_observations: str | None = None
 
 
 def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
@@ -252,7 +255,19 @@ def preprocess(
                     }
                     or None,
                 )
+                if options.output_raw_observations:
+                    _dump_raw_observations(
+                        options.output_raw_observations, info, pileup
+                    )
                 n += 1
+                if n % 100 == 0:
+                    import sys as _sys
+
+                    print(
+                        f"preprocess: {n} records processed "
+                        f"(at {info.chrom}:{info.pos + 1})",
+                        file=_sys.stderr,
+                    )
     if skipped:
         import sys
 
@@ -322,3 +337,44 @@ def _process_breakend_group(
     for info in infos:
         writer.write_record(info, pileup)
     return len(infos)
+
+
+def _dump_raw_observations(prefix, info, pileup):
+    """Per-locus TSV of raw observations (preprocessing/mod.rs:251-280)."""
+    import os
+
+    os.makedirs(prefix, exist_ok=True)
+    path = os.path.join(
+        prefix, f"{info.chrom}_{info.pos}_{info.kind}.tsv"
+    )
+    cols = [
+        "name",
+        "prob_mapping",
+        "prob_alt",
+        "prob_ref",
+        "prob_missed_allele",
+        "prob_sample_alt",
+        "strand",
+        "read_orientation",
+        "read_position",
+        "softclipped",
+        "paired",
+        "homopolymer_indel_len",
+        "is_max_mapq",
+        "alt_locus",
+        "third_allele_evidence",
+    ]
+    with open(path, "w") as f:
+        print("\t".join(cols), file=f)
+        for o in pileup.read_observations:
+            print(
+                "\t".join(
+                    str(
+                        getattr(o, "eff_prob_mapping", lambda: None)()
+                        if c == "prob_mapping"
+                        else getattr(o, c, None)
+                    )
+                    for c in cols
+                ),
+                file=f,
+            )

@@ -44,6 +44,8 @@ def build_parser():
     pv.add_argument("--pairhmm-mode", default="exact", choices=["exact", "fast", "homopolymer"])
     pv.add_argument("--omit-insert-size", action="store_true")
     pv.add_argument("--report-fragment-ids", action="store_true")
+    pv.add_argument("--output-raw-observations", default=None,
+                    help="directory for per-locus raw-observation TSVs")
     pv.add_argument(
         "--propagate-info-fields",
         nargs="*",
@@ -182,6 +184,7 @@ def run(argv=None):
                 pairhmm_mode=args.pairhmm_mode,
                 omit_insert_size=args.omit_insert_size,
                 propagate_info_fields=tuple(args.propagate_info_fields),
+                output_raw_observations=args.output_raw_observations,
             ),
         )
         print(f"preprocessed {n} candidate records", file=sys.stderr)
