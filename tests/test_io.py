@@ -95,3 +95,18 @@ def test_vcf_writer_roundtrip(tmp_path):
     assert b.pos == 99 and b.ref == "A" and b.alts == ["T"]
     assert float(b.info["PROB_ABSENT"]) == 1.25
     assert b.samples[0]["DP"] == "10"
+
+
+def test_bcf_writer_roundtrip(ref_tests, tmp_path):
+    from varlociraptor_tpu.io.bcf import BcfReader, BcfWriter
+
+    src = BcfReader(ref_tests / "resources/test_fdr_local2/calls.matched.bcf")
+    recs = src.records()
+    out = tmp_path / "rt.bcf"
+    with BcfWriter(out, sample_names=src.sample_names, header_lines=src.header_lines) as w:
+        for r in recs:
+            w.write(r)
+    back = BcfReader(out).records()
+    assert len(back) == len(recs)
+    for a, b in zip(recs, back):
+        assert (a.chrom, a.pos, a.ref, tuple(a.alts)) == (b.chrom, b.pos, b.ref, tuple(b.alts))

@@ -22,7 +22,7 @@ from ..evidence.observation import (
 )
 from ..grammar.compiler import compile_scenario_events
 from ..grammar.scenario import Scenario
-from ..io.vcf import VcfRecord, VcfWriter
+from ..io.vcf import VcfRecord, VcfWriter, open_variant_writer
 from ..ops.biases import (
     ALB_NONE,
     BiasCombo,
@@ -402,7 +402,7 @@ def call_generic(
     ]
 
     n = 0
-    with VcfWriter(output_path, sample_names=sample_names, header_lines=header) as w:
+    with open_variant_writer(output_path, sample_names=sample_names, header_lines=header) as w:
         batch_items = []
         batch_contig = None
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..io.fasta import FastaBuffer
-from ..io.vcf import VcfRecord, VcfWriter
+from ..io.vcf import VcfRecord, VcfWriter, open_variant_writer
 
 H = {65, 67, 84}  # A, C, T
 
@@ -50,7 +50,7 @@ def find_candidates(reference_path, output_path, motif: str = "CG") -> int:
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Type">',
         f"##methylation_motif={motif}",
     ]
-    with VcfWriter(output_path, header_lines=header) as w:
+    with open_variant_writer(output_path, header_lines=header) as w:
         for contig in fasta.contigs():
             seq = fasta.seq(contig)
             for pos in _motif_positions(seq, motif):

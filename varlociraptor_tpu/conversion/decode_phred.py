@@ -8,7 +8,7 @@ from __future__ import annotations
 import math
 import sys
 
-from ..io.vcf import VcfReader, open_variant_file, VcfWriter
+from ..io.vcf import VcfReader, open_variant_file, VcfWriter, open_variant_writer
 from ..utils.logprob import np_log_from_phred
 
 
@@ -19,7 +19,7 @@ def decode_phred(in_path, out_path=None):
         l.replace("PHRED", "linear") if "PROB_" in l else l
         for l in reader.header_lines
     ]
-    with VcfWriter(out_path, sample_names=reader.sample_names, header_lines=header) as w:
+    with open_variant_writer(out_path, sample_names=reader.sample_names, header_lines=header) as w:
         for rec in records:
             for key, val in list(rec.info.items()):
                 if key.startswith("PROB_") and val is not True:

@@ -6,7 +6,7 @@ AF >= 0.25 -> 0/1, else 0/0 (missing AF -> ./.).
 
 from __future__ import annotations
 
-from ..io.vcf import VcfReader, open_variant_file, VcfWriter
+from ..io.vcf import VcfReader, open_variant_file, VcfWriter, open_variant_writer
 
 
 def af_to_gt(af: float | None) -> str:
@@ -25,7 +25,7 @@ def genotype(in_path, out_path=None):
     header = reader.header_lines + [
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype from MAP AF">'
     ]
-    with VcfWriter(out_path, sample_names=reader.sample_names, header_lines=header) as w:
+    with open_variant_writer(out_path, sample_names=reader.sample_names, header_lines=header) as w:
         for rec in records:
             if "GT" not in rec.format:
                 rec.format = ["GT"] + rec.format

@@ -19,7 +19,7 @@ import math
 import numpy as np
 
 from ..calling.variants import collect_variants
-from ..io.vcf import VcfReader, open_variant_file, VcfWriter
+from ..io.vcf import VcfReader, open_variant_file, VcfWriter, open_variant_writer
 from ..utils.logprob import (
     LOG_ZERO,
     NUMERICAL_EPSILON,
@@ -177,7 +177,7 @@ def control_fdr(
     else:
         absent_tags.append("PROB_ARTIFACT")
 
-    with VcfWriter(
+    with open_variant_writer(
         out_vcf, sample_names=reader.sample_names, header_lines=reader.header_lines
     ) as w:
         for rec in records:

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 
-from ..io.vcf import VcfReader, open_variant_file, VcfWriter
+from ..io.vcf import VcfReader, open_variant_file, VcfWriter, open_variant_writer
 from ..utils.logprob import kass_raftery
 from .fdr import tags_prob_sum
 
@@ -31,7 +31,7 @@ def filter_by_odds(in_vcf, out_vcf, events: list[str], min_evidence: str) -> int
     other_tags = [t for t in sorted(all_tags) if t not in event_tags]
 
     n = 0
-    with VcfWriter(
+    with open_variant_writer(
         out_vcf, sample_names=reader.sample_names, header_lines=reader.header_lines
     ) as w:
         for rec in records:

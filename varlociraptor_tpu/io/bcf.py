@@ -173,3 +173,168 @@ class BcfReader:
 
     def records(self):
         return list(self)
+
+
+# ---------------------------------------------------------------------------
+# BCF 2.2 writing (BGZF-compressed), mirroring the implicit-dictionary
+# conventions of the reader above (PASS = 0, then FILTER/INFO/FORMAT header
+# order). Typed encoding follows the BCF spec; value types come from the
+# header's Type= declarations.
+# ---------------------------------------------------------------------------
+
+
+def _typed_desc(count: int, typ: int) -> bytes:
+    if count < 15:
+        return bytes([(count << 4) | typ])
+    return bytes([(15 << 4) | typ]) + _typed_ints([count])
+
+
+def _typed_ints(vals) -> bytes:
+    vals = [int(v) for v in vals]
+    lo = min(vals) if vals else 0
+    hi = max(vals) if vals else 0
+    if -120 <= lo and hi <= 127:
+        return _typed_desc(len(vals), 1) + struct.pack(f"<{len(vals)}b", *vals)
+    if -32000 <= lo and hi <= 32767:
+        return _typed_desc(len(vals), 2) + struct.pack(f"<{len(vals)}h", *vals)
+    return _typed_desc(len(vals), 3) + struct.pack(f"<{len(vals)}i", *vals)
+
+
+def _typed_floats(vals) -> bytes:
+    return _typed_desc(len(vals), 5) + struct.pack(f"<{len(vals)}f", *vals)
+
+
+def _typed_str(s: str) -> bytes:
+    b = s.encode("latin1")
+    return _typed_desc(len(b), 7) + b
+
+
+_MISSING = b"\x00"  # type 0, count 0
+
+
+class BcfWriter:
+    """Write VcfRecord streams as BGZF-compressed BCF 2.2."""
+
+    def __init__(self, path, sample_names=None, header_lines=None):
+        self.path = Path(path)
+        self.sample_names = list(sample_names or [])
+        lines = [l for l in (header_lines or []) if l.startswith("##")]
+        if not any(l.startswith("##fileformat") for l in lines):
+            lines.insert(0, "##fileformat=VCFv4.2")
+        chrom_cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
+        if self.sample_names:
+            chrom_cols += ["FORMAT"] + self.sample_names
+        self.header_text = "\n".join(lines + ["\t".join(chrom_cols)]) + "\n"
+        # dictionaries (same implicit order as BcfReader._parse_header)
+        self._string_idx = {}
+        self._contig_idx = {}
+        if not any(re.match(r"##FILTER=<ID=PASS", l) for l in lines):
+            self._string_idx["PASS"] = 0
+        for line in lines:
+            m = re.match(r"##contig=<[^>]*?ID=([^,>]+)", line)
+            if m:
+                self._contig_idx.setdefault(m.group(1), len(self._contig_idx))
+                continue
+            m = re.match(r"##(?:FILTER|INFO|FORMAT)=<[^>]*?ID=(\w+)", line)
+            if m and m.group(1) not in self._string_idx:
+                self._string_idx[m.group(1)] = len(self._string_idx)
+        # field value types from header declarations
+        self._types = {}
+        for line in lines:
+            m = re.match(r"##(?:INFO|FORMAT)=<[^>]*?ID=(\w+)[^>]*?Type=(\w+)", line)
+            if m:
+                self._types[m.group(1)] = m.group(2)
+        self._body = bytearray()
+
+    # -- encoding ------------------------------------------------------
+    def _encode_value(self, name: str, val) -> bytes:
+        typ = self._types.get(name, "String")
+        if val is True:
+            return _MISSING
+        if isinstance(val, (list, tuple, np.ndarray)):
+            vals = list(val)
+        else:
+            vals = str(val).split(",") if isinstance(val, str) and typ != "String" else [val]
+        if typ == "Integer":
+            try:
+                return _typed_ints([int(float(v)) for v in vals])
+            except (ValueError, OverflowError):
+                return _typed_str(",".join(str(v) for v in vals))
+        if typ == "Float":
+            out = []
+            for v in vals:
+                try:
+                    out.append(float(v))
+                except ValueError:
+                    out.append(float("inf") if str(v) == "inf" else float("nan"))
+            return _typed_floats(out)
+        return _typed_str(",".join(str(v) for v in vals))
+
+    def write(self, rec):
+        info = rec.info or {}
+        shared = bytearray()
+        rid = self._contig_idx.setdefault(rec.chrom, len(self._contig_idx))
+        qual = float("nan") if rec.qual in (".", None, "") else float(rec.qual)
+        n_allele = 1 + len(rec.alts)
+        fmt_keys = [k for k in (rec.format or []) if k in self._string_idx]
+        shared += struct.pack(
+            "<iiif", rid, rec.pos, len(rec.ref), qual
+        )
+        shared += struct.pack("<I", (n_allele << 16) | (len(info) & 0xFFFF))
+        shared += struct.pack(
+            "<I", (len(fmt_keys) << 24) | (len(self.sample_names) & 0xFFFFFF)
+        )
+        shared += _typed_str(rec.id) if rec.id and rec.id != "." else _MISSING
+        shared += _typed_str(rec.ref)
+        for a in rec.alts:
+            shared += _typed_str(a)
+        shared += _MISSING  # FILTER: missing
+        for k, v in info.items():
+            idx = self._string_idx.setdefault(k, len(self._string_idx))
+            shared += _typed_ints([idx])
+            shared += self._encode_value(k, v)
+
+        indiv = bytearray()
+        for k in fmt_keys:
+            indiv += _typed_ints([self._string_idx[k]])
+            vals = [str((s or {}).get(k, ".")) for s in (rec.samples or [])]
+            typ = self._types.get(k, "String")
+            if typ in ("Integer", "Float") and all("," not in v for v in vals):
+                try:
+                    if typ == "Integer":
+                        enc = _typed_desc(1, 2) + b"".join(
+                            struct.pack("<h", int(float(v)) if v != "." else -32768)
+                            for v in vals
+                        )
+                    else:
+                        enc = _typed_desc(1, 5) + b"".join(
+                            struct.pack(
+                                "<f", float(v) if v != "." else float("nan")
+                            )
+                            for v in vals
+                        )
+                    indiv += enc
+                    continue
+                except ValueError:
+                    pass
+            width = max((len(v) for v in vals), default=1)
+            indiv += _typed_desc(width, 7) + b"".join(
+                v.encode("latin1").ljust(width, b"\x00") for v in vals
+            )
+
+        self._body += struct.pack("<II", len(shared), len(indiv))
+        self._body += shared + indiv
+
+    def close(self):
+        from .bam import _encode_bgzf
+
+        text = self.header_text.encode("latin1") + b"\x00"
+        head = b"BCF\x02\x02" + struct.pack("<I", len(text)) + text
+        self.path.write_bytes(_encode_bgzf(bytes(head + self._body)))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

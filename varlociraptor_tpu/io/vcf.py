@@ -182,3 +182,12 @@ class VcfWriter:
             for s in rec.samples:
                 cols.append(":".join(str(s.get(k, ".")) for k in fmt))
         print("\t".join(cols), file=self._fh)
+
+
+def open_variant_writer(path, sample_names=None, header_lines=None):
+    """VcfWriter for text output, BcfWriter when the path ends in .bcf."""
+    if path is not None and str(path).endswith(".bcf"):
+        from .bcf import BcfWriter
+
+        return BcfWriter(path, sample_names=sample_names, header_lines=header_lines)
+    return VcfWriter(path, sample_names=sample_names, header_lines=header_lines)
