@@ -32,6 +32,7 @@ class PreprocessOptions:
     pairhmm_mode: str = "exact"
     omit_insert_size: bool = False
     propagate_info_fields: tuple = ()
+    report_fragment_ids: bool = False
     # debug observability: per-locus TSV dump of raw observations
     # (preprocessing/mod.rs:251-280, --output-raw-observations)
     output_raw_observations: str | None = None
@@ -148,6 +149,10 @@ def preprocess(
     n = 0
     skipped = {}
     pending_groups: dict[str, list] = {}
+    from ..evidence.extraction import FragmentIdFactory
+
+    fragment_ids = FragmentIdFactory() if options.report_fragment_ids else None
+    current_contig = None
     with ObservationWriter(
         output_path,
         sample_name=sample_name,
@@ -237,6 +242,9 @@ def preprocess(
                         )
                     except NotImplementedError:
                         pass
+                if fragment_ids is not None and info.chrom != current_contig:
+                    fragment_ids.reset()
+                    current_contig = info.chrom
                 pileup = extract_observations(
                     variant,
                     bam,
@@ -244,6 +252,7 @@ def preprocess(
                     max_depth=options.max_depth,
                     alt_variants=alt_variants,
                     do_adjust_prob_mapping=options.adjust_prob_mapping,
+                    fragment_id_factory=fragment_ids,
                 )
                 writer.write_record(
                     info,

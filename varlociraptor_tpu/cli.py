@@ -185,6 +185,7 @@ def run(argv=None):
                 omit_insert_size=args.omit_insert_size,
                 propagate_info_fields=tuple(args.propagate_info_fields),
                 output_raw_observations=args.output_raw_observations,
+                report_fragment_ids=args.report_fragment_ids,
             ),
         )
         print(f"preprocessed {n} candidate records", file=sys.stderr)

@@ -251,6 +251,22 @@ def subsample_keep_mask(n: int, max_depth: int, locus_seed: int) -> np.ndarray:
     return np.array([sub.keep() for _ in range(n)], dtype=bool)
 
 
+class FragmentIdFactory:
+    """Stable per-contig fragment-name -> integer ids for downstream
+    phasing (--report-fragment-ids, fragment_id_factory.rs:6-25)."""
+
+    def __init__(self):
+        self._ids: dict[str, int] = {}
+
+    def get(self, qname: str) -> int:
+        if qname not in self._ids:
+            self._ids[qname] = len(self._ids)
+        return self._ids[qname]
+
+    def reset(self):
+        self._ids.clear()
+
+
 def extract_observations(
     variant,
     bam,
@@ -258,6 +274,7 @@ def extract_observations(
     max_depth: int = 200,
     alt_variants=(),
     do_adjust_prob_mapping: bool = True,
+    fragment_id_factory: FragmentIdFactory | None = None,
 ) -> Pileup:
     """Full per-locus pileup extraction for one sample.
 
@@ -341,6 +358,8 @@ def extract_observations(
                 continue
             obs = evidence_to_observation(variant, ev, props, hpem, alt_variants)
             if obs is not None:
+                if fragment_id_factory is not None:
+                    obs.fragment_id = fragment_id_factory.get(ev.qname())
                 observations.append(obs)
     finally:
         for r in realigners:
