@@ -29,7 +29,10 @@ REFERENCE_SKIPS = {
 }
 
 
-def run_one(name, q):
+PAIRHMM_OVERRIDE = None  # set by main() for --mode fast sweeps
+
+
+def run_one(name, q, mode=None):
     import os
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -43,12 +46,12 @@ def run_one(name, q):
         tc = Testcase(TESTCASES / name)
         if name in SHOULD_PANIC:
             try:
-                tc.check()
+                tc.check(pairhmm_mode=mode)
                 q.put((name, "FAIL", "expected scenario validation error", time.time() - t0))
             except Exception:
                 q.put((name, "PASS", "(expected failure)", time.time() - t0))
             return
-        tc.check()
+        tc.check(pairhmm_mode=mode)
         q.put((name, "PASS", "", time.time() - t0))
     except AssertionError as e:
         if name in REFERENCE_SKIPS:
@@ -66,15 +69,31 @@ def main():
     timeout = 240
     if "--timeout" in sys.argv:
         timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
+    mode = None
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
+    only = None
+    if "--fast-list" in sys.argv:
+        # the subset the reference asserts in fast mode (tests/lib.rs)
+        only = set("""test01 test02 test03 test04 test05 test06 test07 test08 test09
+            test10 test11 test12 test13 test14 test15 test16 test17 test18 test19
+            test20 test21 test22 test23 test24 test25 test26 test27 test28 test29
+            test30 test31 test32 test33 test34 test36 test37 test38 test39 test40
+            test41 test42 test43 test45 test47 test48 test52 test53 test54 test55
+            pattern_too_long test_long_pattern test_contig_universe issue_154
+            test_l2fc test_cmp""".split())
     names = sorted(
         d.name
         for d in TESTCASES.iterdir()
-        if d.is_dir() and (d / "testcase.yaml").exists() and pattern in d.name
+        if d.is_dir()
+        and (d / "testcase.yaml").exists()
+        and pattern in d.name
+        and (only is None or d.name in only)
     )
     results = {}
     for name in names:
         q = mp.Queue()
-        p = mp.Process(target=run_one, args=(name, q))
+        p = mp.Process(target=run_one, args=(name, q, mode))
         p.start()
         p.join(timeout)
         if p.is_alive():

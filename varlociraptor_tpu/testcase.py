@@ -98,8 +98,10 @@ class Testcase:
         return 1.0
 
     # ------------------------------------------------------------------
-    def run(self, workdir=None):
-        """Execute the full pipeline; returns (vcf_records, sample_order)."""
+    def run(self, workdir=None, pairhmm_mode=None):
+        """Execute the full pipeline; returns (vcf_records, sample_order).
+        ``pairhmm_mode`` overrides the serialized mode (the reference's
+        testcase! macro runs most cases in both exact and fast modes)."""
         workdir = Path(workdir or tempfile.mkdtemp(prefix="vlt-testcase-"))
         workdir.mkdir(parents=True, exist_ok=True)
         # reference FASTA
@@ -155,7 +157,9 @@ class Testcase:
                     realign_indel_reads=not sopts.get(
                         "atomic_candidate_variants", False
                     ),
-                    pairhmm_mode=sopts.get("pairhmm_mode", "exact") or "exact",
+                    pairhmm_mode=pairhmm_mode
+                    or sopts.get("pairhmm_mode", "exact")
+                    or "exact",
                     omit_insert_size=bool(sopts.get("omit_insert_size", False)),
                 ),
                 reference=reference,
@@ -188,9 +192,9 @@ class Testcase:
         return records, reader.sample_names
 
     # ------------------------------------------------------------------
-    def check(self, workdir=None):
+    def check(self, workdir=None, pairhmm_mode=None):
         """Run + evaluate expectations. Raises AssertionError on failure."""
-        records, sample_order = self.run(workdir)
+        records, sample_order = self.run(workdir, pairhmm_mode=pairhmm_mode)
         if not records:
             raise TestcaseError("no output records")
         is_bnd = records[0].info_get("SVTYPE") == "BND"
