@@ -60,3 +60,48 @@ def test_batch_split_invariance(engine_and_inputs):
         rtol=1e-5,
         atol=1e-5,
     )
+
+
+def test_mutual_contamination_shard_invariance():
+    """The contamination-forest contraction (2-cycle) must be shard-invariant
+    on the device mesh like the plain pair case."""
+    import math
+
+    from varlociraptor_tpu.bench_utils import engine_inputs
+    from varlociraptor_tpu.grammar.compiler import compile_scenario_events
+    from varlociraptor_tpu.grammar.scenario import Scenario
+    from varlociraptor_tpu.ops.grid import AFGrid
+    from varlociraptor_tpu.ops.posterior import PosteriorEngine, SampleConfig
+    from varlociraptor_tpu.parallel.sharding import locus_mesh, run_sharded
+
+    sc = Scenario(
+        {
+            "samples": {
+                "tumor": {
+                    "universe": "[0.0,1.0]",
+                    "resolution": 0.1,
+                    "contamination": {"by": "normal", "fraction": 0.2},
+                },
+                "normal": {
+                    "universe": "0.0 | 0.5 | 1.0",
+                    "contamination": {"by": "tumor", "fraction": 0.05},
+                },
+            },
+            "events": {
+                "somatic": "tumor:]0.0,1.0] & normal:0.0",
+                "germline": "normal:0.5 | normal:1.0",
+            },
+        }
+    )
+    events, pts = compile_scenario_events(sc, "chr1")
+    grid = AFGrid.build(0.1, extra_points=pts)
+    samples = [
+        SampleConfig("tumor", contaminated_by=1, contamination_fraction=0.2),
+        SampleConfig("normal", contaminated_by=0, contamination_fraction=0.05),
+    ]
+    engine = PosteriorEngine(events, grid, samples, resolution=0.1, all_uniform_prior=True)
+    inputs = engine_inputs(engine, n_loci=16, depth=8, seed=11)
+    ref = engine.run(*inputs)
+    mesh = locus_mesh(jax.devices())
+    out = run_sharded(engine, mesh, *inputs)
+    np.testing.assert_allclose(out["posteriors"], ref["posteriors"], rtol=1e-5, atol=1e-5)
