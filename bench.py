@@ -25,7 +25,7 @@ def main():
 
     from varlociraptor_tpu.bench_utils import engine_inputs, tumor_normal_engine
 
-    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     depth = 64
 
     _, engine = tumor_normal_engine()
