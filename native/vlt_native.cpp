@@ -163,7 +163,8 @@ extern "C" int32_t vlt_semiglobal_edit(
     const uint8_t* read, int32_t y_len,
     int32_t* out_start,
     uint8_t* out_ops,      // caller-provided buffer, >= x_len + y_len
-    int32_t* out_n_ops) {
+    int32_t* out_n_ops,
+    int32_t* out_last_start) {  // traceback start of the LAST co-optimal end
   if (x_len <= 0 || y_len <= 0) return -1;
   const int32_t W = y_len + 1;
   std::vector<int32_t> dp((size_t)(x_len + 1) * W);
@@ -185,11 +186,17 @@ extern "C" int32_t vlt_semiglobal_edit(
       row[j] = best;
     }
   }
-  // best end over allele axis
+  // best end over allele axis; also track the LAST co-optimal end
+  // (the reference's hit window spans first..last placements,
+  // edit_distance.rs:225-240)
   int32_t best_i = 0, dist = dp[y_len];
   for (int32_t i = 1; i <= x_len; i++) {
     const int32_t v = dp[(size_t)i * W + y_len];
     if (v < dist) { dist = v; best_i = i; }
+  }
+  int32_t last_i = best_i;
+  for (int32_t i = x_len; i > best_i; i--) {
+    if (dp[(size_t)i * W + y_len] == dist) { last_i = i; break; }
   }
   // traceback (same preference order as the python DP: diag, del, ins)
   int32_t i = best_i, j = y_len, n = 0;
@@ -218,5 +225,23 @@ extern "C" int32_t vlt_semiglobal_edit(
   }
   *out_start = i;
   *out_n_ops = n;
+  if (out_last_start) {
+    // start of the traceback from the last co-optimal end (ops discarded)
+    int32_t li = last_i, lj = y_len;
+    while (lj > 0) {
+      const int32_t cur = dp[(size_t)li * W + lj];
+      if (li > 0 && cur == dp[(size_t)(li - 1) * W + (lj - 1)] + (a[li - 1] != r[lj - 1])) {
+        li--; lj--;
+      } else if (li > 0 && cur == dp[(size_t)(li - 1) * W + lj] + 1) {
+        li--;
+      } else if (cur == dp[(size_t)li * W + (lj - 1)] + 1) {
+        lj--;
+      } else {
+        if (li > 0) li--;
+        lj--;
+      }
+    }
+    *out_last_start = li;
+  }
   return dist;
 }

@@ -44,10 +44,16 @@ _W = 4096  # primary edit weight; secondary (in-range) tie-break fits below
 
 
 def semiglobal_edit(
-    allele: np.ndarray, read: np.ndarray, in_range: np.ndarray | None = None
-) -> tuple[int, int, list]:
+    allele: np.ndarray,
+    read: np.ndarray,
+    in_range: np.ndarray | None = None,
+    with_last: bool = False,
+) -> tuple:
     """Edit distance of `read` against any substring-anchored placement in
-    `allele` (free start/end on allele axis). Returns (dist, start, ops).
+    `allele` (free start/end on allele axis). Returns (dist, start, ops),
+    or (dist, start, ops, last_start) when ``with_last`` — last_start being
+    the traceback start of the LAST co-optimal end position (the reference's
+    hit window spans all co-optimal placements, edit_distance.rs:225-240).
 
     ``in_range`` (optional, bool per allele position) lexicographically
     tie-breaks among co-optimal alignments toward the one with the FEWEST
@@ -62,7 +68,7 @@ def semiglobal_edit(
 
         res = native.semiglobal_edit(bytes(allele), bytes(read))
         if res is not None:
-            return res
+            return res if with_last else res[:3]
     a = np.frombuffer(bytes(allele), dtype=np.uint8) & ~np.uint8(0x20)
     r = np.frombuffer(bytes(read), dtype=np.uint8) & ~np.uint8(0x20)
     X, Y = len(a), len(r)
@@ -96,30 +102,38 @@ def semiglobal_edit(
     ends = dp[:, Y]
     best_i = int(np.argmin(ends))
     dist = int(ends[best_i]) // _W
-    # traceback from (best_i, Y)
-    ops = []
-    i, j = best_i, Y
-    while j > 0:
-        w = sub_w[i - 1] if i > 0 else _W
-        if i > 0 and dp[i, j] == dp[i - 1, j - 1] + (
-            w if a[i - 1] != r[j - 1] else 0
-        ):
-            ops.append(M if a[i - 1] == r[j - 1] else S)
-            i -= 1
-            j -= 1
-        elif i > 0 and dp[i, j] == dp[i - 1, j] + w:
-            ops.append(D)
-            i -= 1
-        elif dp[i, j] == dp[i, j - 1] + ins_w[i]:
-            ops.append(I)
-            j -= 1
-        else:  # pragma: no cover - fallback
-            ops.append(S)
-            i = max(0, i - 1)
-            j -= 1
-    ops.reverse()
-    start = i
-    return dist, start, ops
+
+    def _traceback(i0):
+        ops = []
+        i, j = i0, Y
+        while j > 0:
+            w = sub_w[i - 1] if i > 0 else _W
+            if i > 0 and dp[i, j] == dp[i - 1, j - 1] + (
+                w if a[i - 1] != r[j - 1] else 0
+            ):
+                ops.append(M if a[i - 1] == r[j - 1] else S)
+                i -= 1
+                j -= 1
+            elif i > 0 and dp[i, j] == dp[i - 1, j] + w:
+                ops.append(D)
+                i -= 1
+            elif dp[i, j] == dp[i, j - 1] + ins_w[i]:
+                ops.append(I)
+                j -= 1
+            else:  # pragma: no cover - fallback
+                ops.append(S)
+                i = max(0, i - 1)
+                j -= 1
+        ops.reverse()
+        return i, ops
+
+    start, ops = _traceback(best_i)
+    if not with_last:
+        return dist, start, ops
+    eq = np.nonzero(ends == ends[best_i])[0]
+    last_i = int(eq.max())
+    last_start = start if last_i == best_i else _traceback(last_i)[0]
+    return dist, start, ops, last_start
 
 
 def calc_hit(
@@ -133,8 +147,12 @@ def calc_hit(
     allele = emission.seq
     if len(allele) == 0 or len(read) == 0:
         return None
-    dist, start, ops = semiglobal_edit(allele, read)
-    end = min(start + len(read) + dist, len(allele))
+    dist, start, ops, last_start = semiglobal_edit(allele, read, with_last=True)
+    # the hit window spans from the FIRST co-optimal placement's start to
+    # the LAST one's putative end, so the banded HMM sums the probability
+    # mass of every co-optimal placement (edit_distance.rs:225-240) — in
+    # repeat contexts this is several placements, not one
+    end = min(last_start + len(read) + dist, len(allele))
     hit = EditHit(dist=dist, start=start, end=end, ops=ops)
 
     vrange = getattr(emission, "variant_ref_range", None)

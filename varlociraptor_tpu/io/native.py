@@ -151,6 +151,7 @@ def semiglobal_edit(allele: bytes, read: bytes):
     X, Y = len(allele), len(read)
     out_start = ctypes.c_int32()
     out_n = ctypes.c_int32()
+    out_last_start = ctypes.c_int32()
     ops_buf = (ctypes.c_uint8 * (X + Y + 2))()
     dist = lib.vlt_semiglobal_edit(
         ctypes.c_char_p(allele),
@@ -160,7 +161,13 @@ def semiglobal_edit(allele: bytes, read: bytes):
         ctypes.byref(out_start),
         ops_buf,
         ctypes.byref(out_n),
+        ctypes.byref(out_last_start),
     )
     if dist < 0:
         return None
-    return int(dist), int(out_start.value), list(ops_buf[: out_n.value])
+    return (
+        int(dist),
+        int(out_start.value),
+        list(ops_buf[: out_n.value]),
+        int(out_last_start.value),
+    )
