@@ -169,3 +169,15 @@ def test_estimate_alignment_properties_cli(ref_tests, capsys):
     )
     props = json.loads(capsys.readouterr().out)
     assert props["max_read_len"] > 0
+
+
+def test_meth_candidates_reference_count(ref_tests, tmp_path):
+    """tests/lib.rs:453-458: CG candidates on test_meth_ev_1 == 6."""
+    from varlociraptor_tpu.candidates.methylation import find_candidates
+
+    n = find_candidates(
+        ref_tests / "resources/test_meth_ev_1/genome.fasta",
+        tmp_path / "cand.vcf",
+        motif="CG",
+    )
+    assert n == 6
