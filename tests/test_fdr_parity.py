@@ -53,3 +53,54 @@ def test_fdr_ev1_close(ref_tests, tmp_path):
         max_len=30,
     )
     assert 875 <= n <= 1075
+
+
+def test_tags_prob_sum_overshoot(ref_tests):
+    """utils/mod.rs:486-511: prosolo-style alt-event sum caps at ln(1)."""
+    from varlociraptor_tpu.io.vcf import open_variant_file
+    from varlociraptor_tpu.filtration.fdr import tags_prob_sum
+
+    rec = open_variant_file(
+        ref_tests / "resources/test_tags_prob_sum/overshoot.vcf"
+    ).records()[0]
+    p = tags_prob_sum(
+        rec,
+        [
+            "PROB_ADO_TO_REF",
+            "PROB_ADO_TO_ALT",
+            "PROB_HOM_ALT",
+            "PROB_HET",
+            "PROB_ERR_REF",
+        ],
+    )
+    assert p == 0.0
+
+
+@pytest.mark.parametrize(
+    "vartype,tags,expected",
+    [
+        ("deletion", ["PROB_GERMLINE", "PROB_SOMATIC"], 0.8),
+        ("deletion", ["PROB_ABSENT"], 0.2),
+        ("insertion", ["PROB_GERMLINE", "PROB_SOMATIC"], 0.2),
+        ("insertion", ["PROB_ABSENT"], 0.8),
+    ],
+)
+def test_collect_prob_dist(ref_tests, vartype, tags, expected):
+    """utils/mod.rs:515-566."""
+    import math
+
+    from varlociraptor_tpu.io.vcf import open_variant_file
+    from varlociraptor_tpu.filtration.fdr import (
+        _record_vartype_match,
+        tags_prob_sum,
+    )
+
+    recs = open_variant_file(
+        ref_tests / "resources/test_collect_prob_dist/min.calls.vcf"
+    ).records()
+    vals = [
+        tags_prob_sum(r, tags) for r in recs if _record_vartype_match(r, vartype)
+    ]
+    vals = [v for v in vals if v is not None]
+    assert len(vals) == 1
+    assert abs(math.exp(vals[0]) - expected) < 5e-6
