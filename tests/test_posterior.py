@@ -221,3 +221,42 @@ def test_germline_het_detected():
     post = out["posteriors"][0]
     names = [e.name for e in engine.events]
     assert names[int(np.argmax(post))] == "germline_het"
+
+
+def test_effective_mutation_rate_williams():
+    """effective_mutation_rate.rs:78-84 — Williams et al. 2016 example."""
+    import numpy as np
+
+    from varlociraptor_tpu.estimation.effective_mutation_rate import estimate
+
+    r = estimate(np.linspace(0.12, 0.25, 2539))
+    assert abs(r["mu_per_beta"] - 596.16) < 0.01
+
+
+def test_likelihood_absent_equals_prob_ref():
+    """likelihood.rs:274-345: at af=0 with certain mapping, the per-read
+    likelihood equals the (bias-weighted) prob_ref."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from varlociraptor_tpu.evidence.observation import F, FEATURES
+    from varlociraptor_tpu.ops.likelihood import sample_loglik_grid
+
+    D = 10
+    feats = np.zeros((1, 1, D, len(FEATURES)), dtype=np.float32)
+    feats[..., F["prob_alt"]] = 0.0        # ln(1)
+    feats[..., F["prob_ref"]] = -1e30      # ln(0)
+    feats[..., F["prob_mapping"]] = 0.0    # certain mapping
+    feats[..., F["prob_mismapping"]] = -1e30
+    feats[..., F["prob_missed_allele"]] = 0.0
+    feats[..., F["prob_sample_alt"]] = 0.0
+    mask = np.ones((1, 1, D), dtype=bool)
+    zeros = np.zeros((1, 1, 1, D), dtype=np.float32)
+    grid = jnp.asarray(np.array([0.0, 1.0], dtype=np.float32))
+    ll = sample_loglik_grid(
+        jnp.asarray(feats), jnp.asarray(mask), zeros, zeros, zeros, grid
+    )
+    # af=0 -> every read must come from ref, whose prob is 0 -> -inf-ish
+    assert float(ll[0, 0, 0, 0]) < -1e29
+    # af=1 -> alt explains all reads perfectly
+    assert abs(float(ll[0, 0, 0, 1])) < 1e-5
