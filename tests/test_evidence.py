@@ -118,3 +118,27 @@ def test_observation_batch_collation():
     assert batch.mask[1, 0].sum() == 0
     feats, mask = pileup_to_arrays(p, 4)
     np.testing.assert_allclose(feats[0, 2], -0.5, rtol=1e-6)
+
+
+def test_homopolymer_indel_operation_reference_cases():
+    """utils/homopolymers.rs:233-280 — the reference's six alignment cases."""
+    import numpy as np
+
+    from varlociraptor_tpu.evidence.edit_distance import (
+        I,
+        M,
+        homopolymer_indel_operation,
+    )
+
+    A = lambda s: np.frombuffer(s, dtype=np.uint8)  # noqa: E731
+    cases = [
+        (b"ACGT", b"ACCGT", [M, M, I, M, M], False),
+        (b"ACGT", b"ACCGT", [M, I, M, M, M], False),
+        (b"GTTA", b"GTTTA", [M, I, M, M, M], True),
+        (b"GTTA", b"GTTTA", [M, M, I, M, M], True),
+        (b"GTTA", b"GTTTA", [M, M, M, I, M], True),
+        (b"ACGT", b"ACGTT", [M, M, M, M, I], False),
+    ]
+    for text, pat, ops, expect_some in cases:
+        r = homopolymer_indel_operation(A(text), A(pat), ops)
+        assert (r is not None) == expect_some, (text, pat, ops, r)
