@@ -125,3 +125,68 @@ def test_all_reference_scenarios_parse(ref_resources):
             failures.append((p.split("/")[-2], str(e)[:120]))
     # allow a small number of exotic failures for now but surface them
     assert n_compiled >= len(paths) * 0.9, f"failures: {failures[:10]}"
+
+
+def test_merge_atoms_semantic_equivalence():
+    """formula.rs:1622-1672 (test_merge_atoms): the negated-expression event
+    must cover exactly the same VAF region as its hand-expanded form. The
+    reference asserts syntactic equality after BDD simplification; we assert
+    semantic equality of the compiled branch programs on a probe grid."""
+    import numpy as np
+    import yaml
+
+    from varlociraptor_tpu.grammar.compiler import compile_event
+    from varlociraptor_tpu.grammar.scenario import Scenario
+
+    doc = yaml.safe_load(
+        """
+species:
+  heterozygosity: 0.001
+  germline-mutation-rate: 1e-3
+  ploidy:
+    male: {all: 2, X: 1, Y: 1}
+    female: {all: 2, X: 2, Y: 0}
+  genome-size: 3.5e9
+samples:
+  tumor:
+    sex: female
+    somatic-effective-mutation-rate: 1e-6
+    inheritance: {clonal: {from: normal, somatic: false}}
+    contamination: {by: normal, fraction: 0.11}
+  normal: {sex: female, somatic-effective-mutation-rate: 1e-10}
+expressions:
+  loh: "normal:0.5 & tumor:1.0"
+  loh_or_amplification: "normal:0.5 & tumor:[0.9,1.0["
+events:
+  germline: "(normal:0.5 | normal:1.0) & !($loh | $loh_or_amplification)"
+  expected: "(normal:0.5 & tumor:{0.0, 0.5}) | (normal:0.5 & tumor:]0.0,0.5[) | (normal:0.5 & tumor:]0.5,0.9[) | normal:1.0"
+"""
+    )
+    sc = Scenario(doc)
+
+    def member(ev, nv, tv):
+        for br in ev.branches:
+            ok = True
+            for sp, v in zip(br.spectra, (nv, tv)):
+                if sp.kind == 0:
+                    if not any(abs(v - x) < 1e-9 for x in sp.values):
+                        ok = False
+                        break
+                else:
+                    lo = v > sp.start if sp.left_exclusive else v >= sp.start
+                    hi = v < sp.end if sp.right_exclusive else v <= sp.end
+                    if not (lo and hi):
+                        ok = False
+                        break
+            if ok:
+                return True
+        return False
+
+    g = compile_event("germline", sc.event_formulas["germline"], sc, "all")
+    e = compile_event("expected", sc.event_formulas["expected"], sc, "all")
+    probes = sorted(
+        set(np.linspace(0, 1, 21)) | {0.05, 0.45, 0.55, 0.89, 0.9, 0.91, 0.99, 1.0}
+    )
+    for nv in probes:
+        for tv in probes:
+            assert member(g, nv, tv) == member(e, nv, tv), (nv, tv)
