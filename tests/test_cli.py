@@ -181,3 +181,33 @@ def test_meth_candidates_reference_count(ref_tests, tmp_path):
         motif="CG",
     )
     assert n == 6
+
+
+def test_call_on_reference_observation_file(ref_resources, tmp_path):
+    """Interop: call directly on a varlociraptor-preprocessed observation
+    record (bincode-packed BCF INFO arrays, preprocessing/mod.rs:818-1038).
+    giab_12's embedded observations must yield the het call its testcase
+    expects."""
+    from varlociraptor_tpu.calling.call import CallOptions, call_generic
+    from varlociraptor_tpu.grammar.scenario import Scenario
+    from varlociraptor_tpu.io.vcf import open_variant_file
+
+    td = ref_resources / "testcases/test_giab_12"
+    sc = Scenario.from_path(td / "scenario.yaml")
+    out = tmp_path / "calls.vcf"
+    n = call_generic(sc, {"index": td / "candidates.vcf"}, out, CallOptions())
+    assert n == 1
+    rec = open_variant_file(out).records()[0]
+    assert float(rec.info_get("PROB_HET")) < 0.05
+    assert float(rec.samples[0]["AF"].split(",")[0]) == 0.5
+
+
+def test_reference_observation_decode(ref_resources):
+    from varlociraptor_tpu.calling.ref_obs import open_observations
+
+    r = open_observations(
+        ref_resources / "testcases/test_uzuner_fp_mnv1/candidates.vcf", "sample"
+    )
+    (info, pileup), = list(r)
+    assert info.kind == "mnv" and len(pileup.read_observations) == 102
+    assert all(o.paired for o in pileup.read_observations)

@@ -38,7 +38,7 @@ from ..ops.grid import AFGrid
 from ..ops.posterior import PosteriorEngine, SampleConfig
 from ..ops.prior import build_prior
 from ..utils.logprob import np_ln_sum_exp, np_phred_from_log
-from .observations import ObservationReader
+from .ref_obs import open_observations
 from .variants import VariantInfo
 
 DEFAULT_BATCH = 64
@@ -365,7 +365,7 @@ def call_generic(
     # samples without observation files get empty pileups (the reference
     # models per-sample readers as Option<bcf::Reader>, calling.rs:55-81)
     iters = [
-        iter(ObservationReader(observation_paths[name]))
+        iter(open_observations(observation_paths[name], name))
         if name in observation_paths
         else None
         for name in scenario.sample_names

@@ -1,0 +1,275 @@
+"""Interop reader for the REFERENCE's preprocessed observation files.
+
+varlociraptor serializes per-read observations into BCF INFO arrays:
+each tag is a bincode byte stream (little endian) packed two bytes per
+int value (``preprocessing/mod.rs:818-1038``). This module decodes those
+records into our ``ReadObservation``/``Pileup`` model so calling can run
+directly on observation BCF/VCF files produced by the reference —
+``call variants generic --obs sample=reference_obs.bcf`` just works.
+
+Bincode layouts (bincode 1.x defaults, little endian):
+  Vec<T>           u64 count + elements
+  enum             u32 variant index (+ payload)
+  Option<T>        u8 tag (0 none, 1 some) + payload
+  MiniLogProb      enum { F16(u16)=0, F32(f32)=1 }  (utils/mod.rs:448-474)
+  BitVec<u8>       storage Vec<u8> + u64 nbits (bit-vec serde layout,
+                   MSB-first within each byte)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..evidence.observation import (
+    ALT_LOCUS_MAJOR,
+    ALT_LOCUS_NONE,
+    ALT_LOCUS_SOME,
+    Pileup,
+    READ_POSITION_MAJOR,
+    READ_POSITION_SOME,
+    ReadObservation,
+    RO_BY_NAME,
+    RO_NONE,
+    STRAND_BOTH,
+    STRAND_FORWARD,
+    STRAND_NONE,
+    STRAND_REVERSE,
+    set_prob_mapping,
+    set_prob_overlap,
+)
+from .variants import collect_variants
+
+# reference enum orders (read_observation.rs:51-57,125-129,213-217)
+_STRAND = {0: STRAND_FORWARD, 1: STRAND_REVERSE, 2: STRAND_BOTH, 3: STRAND_NONE}
+_READ_POSITION = {0: READ_POSITION_MAJOR, 1: READ_POSITION_SOME}
+_ALT_LOCUS = {0: ALT_LOCUS_MAJOR, 1: ALT_LOCUS_SOME, 2: ALT_LOCUS_NONE}
+# bio_types::sequence::SequenceReadPairOrientation variant order; only the
+# F1R2/F2R1/None distinction is consumed downstream (bias model + the
+# nonstandard-alignment filter), the middle variants all map to
+# "nonstandard".
+_READ_ORIENTATION = {
+    0: RO_BY_NAME["F1R2"],
+    1: RO_BY_NAME["F2R1"],
+    2: RO_BY_NAME["R1F2"],
+    3: RO_BY_NAME["R2F1"],
+    4: RO_BY_NAME["F1F2"],
+    5: RO_BY_NAME["F2F1"],
+    6: RO_BY_NAME["R1R2"],
+    7: RO_BY_NAME["R2R1"],
+    8: RO_NONE,
+}
+
+_OBS_TAGS = ("PROB_MAPPING", "PROB_REF", "PROB_ALT", "STRAND")
+
+
+class _ByteReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def _unpack(self, fmt, size):
+        v = struct.unpack_from(fmt, self.data, self.pos)[0]
+        self.pos += size
+        return v
+
+    def u8(self):
+        return self._unpack("<B", 1)
+
+    def u32(self):
+        return self._unpack("<I", 4)
+
+    def u64(self):
+        return self._unpack("<Q", 8)
+
+    def i8(self):
+        return self._unpack("<b", 1)
+
+    def f32(self):
+        return self._unpack("<f", 4)
+
+    def f16(self):
+        return self._unpack("<e", 2)
+
+
+def _u16s_to_bytes(vals) -> bytes:
+    return b"".join(struct.pack("<H", int(v) & 0xFFFF) for v in vals)
+
+
+def _mini_logprob(r: _ByteReader) -> float:
+    tag = r.u32()
+    if tag == 0:
+        return float(r.f16())
+    if tag == 1:
+        return float(r.f32())
+    raise ValueError(f"bad MiniLogProb tag {tag}")
+
+
+def _vec(r: _ByteReader, elem):
+    return [elem(r) for _ in range(r.u64())]
+
+
+def _option(r: _ByteReader, elem):
+    return elem(r) if r.u8() == 1 else None
+
+
+def _bitvec(r: _ByteReader):
+    # observed layout of the reference's serialized BitVec<u8>:
+    # u8 0x01 prefix, u64 storage byte count, storage, u64 nbits;
+    # bits are LSB-first within each byte (verified against PAIRED all-ones
+    # with 102 reads -> 12x 0xff + 0x3f)
+    prefix = r.u8()
+    if prefix != 1:  # pragma: no cover - unknown future layout
+        raise ValueError(f"unexpected BitVec prefix {prefix}")
+    storage = bytes(r.u8() for _ in range(r.u64()))
+    nbits = r.u64()
+    return [bool((storage[i // 8] >> (i % 8)) & 1) for i in range(nbits)]
+
+
+def _info_ints(rec, tag):
+    raw = rec.info_get(tag)
+    if raw is None or raw is True:
+        return None
+    if isinstance(raw, (int, float)):
+        return [int(raw)]
+    if isinstance(raw, str):
+        return [int(x) for x in raw.split(",")]
+    return [int(x) for x in raw]
+
+
+def is_reference_observation_record(rec) -> bool:
+    return all(_info_ints(rec, t) is not None for t in _OBS_TAGS)
+
+
+def decode_reference_observations(rec) -> Pileup:
+    """One candidate record with embedded observations -> Pileup."""
+
+    def field(tag, parse, allow_missing=False):
+        vals = _info_ints(rec, tag)
+        if vals is None:
+            if allow_missing:
+                return None
+            raise ValueError(f"missing observation tag {tag}")
+        return parse(_ByteReader(_u16s_to_bytes(vals)))
+
+    ids = field("FRAGMENT_ID", lambda r: _vec(r, lambda rr: _option(rr, _ByteReader.u64)), allow_missing=True)
+    pm = field("PROB_MAPPING", lambda r: _vec(r, _mini_logprob))
+    pr = field("PROB_REF", lambda r: _vec(r, _mini_logprob))
+    pa = field("PROB_ALT", lambda r: _vec(r, _mini_logprob))
+    pme = field("PROB_MISSED_ALLELE", lambda r: _vec(r, _mini_logprob))
+    psa = field("PROB_SAMPLE_ALT", lambda r: _vec(r, _mini_logprob))
+    pdo = field("PROB_DOUBLE_OVERLAP", lambda r: _vec(r, _mini_logprob))
+    phb = field("PROB_HIT_BASE", lambda r: _vec(r, _mini_logprob), allow_missing=True)
+    strand = field("STRAND", lambda r: _vec(r, _ByteReader.u32))
+    ro = field("READ_ORIENTATION", lambda r: _vec(r, _ByteReader.u32))
+    rp = field("READ_POSITION", lambda r: _vec(r, _ByteReader.u32), allow_missing=True)
+    sc = field("SOFTCLIPPED", _bitvec)
+    paired = field("PAIRED", _bitvec, allow_missing=True)
+    pha = field(
+        "PROB_HOMOPOLYMER_ARTIFACT_OBSERVABLE",
+        lambda r: _vec(r, lambda rr: _option(rr, _mini_logprob)),
+        allow_missing=True,
+    )
+    phv = field(
+        "PROB_HOMOPOLYMER_VARIANT_OBSERVABLE",
+        lambda r: _vec(r, lambda rr: _option(rr, _mini_logprob)),
+        allow_missing=True,
+    )
+    hil = field(
+        "HOMOPOLYMER_INDEL_LEN",
+        lambda r: _vec(r, lambda rr: _option(rr, _ByteReader.i8)),
+        allow_missing=True,
+    )
+    mm = field("IS_MAX_MAPQ", _bitvec, allow_missing=True)
+    al = field("ALT_LOCUS", lambda r: _vec(r, _ByteReader.u32), allow_missing=True)
+    ta = field(
+        "THIRD_ALLELE_EVIDENCE",
+        lambda r: _vec(r, lambda rr: _option(rr, _ByteReader.u32)),
+        allow_missing=True,
+    )
+
+    n = len(pm)
+    observations = []
+    for i in range(n):
+        o = ReadObservation()
+        set_prob_mapping(o, min(pm[i], 0.0))
+        o.prob_ref = pr[i]
+        o.prob_alt = pa[i]
+        o.prob_missed_allele = pme[i]
+        o.prob_sample_alt = min(psa[i], 0.0)
+        set_prob_overlap(o, min(pdo[i], 0.0))
+        o.prob_hit_base = phb[i] if phb else 0.0
+        o.strand = _STRAND.get(strand[i], STRAND_NONE)
+        o.read_orientation = _READ_ORIENTATION.get(ro[i], RO_NONE)
+        o.read_position = (
+            _READ_POSITION.get(rp[i], READ_POSITION_SOME)
+            if rp
+            else READ_POSITION_SOME
+        )
+        o.softclipped = sc[i] if i < len(sc) else False
+        o.paired = paired[i] if paired and i < len(paired) else True
+        o.prob_observable_at_homopolymer_artifact = pha[i] if pha else None
+        o.prob_observable_at_homopolymer_variant = phv[i] if phv else None
+        o.homopolymer_indel_len = hil[i] if hil else None
+        o.is_max_mapq = mm[i] if mm and i < len(mm) else True
+        o.alt_locus = _ALT_LOCUS.get(al[i], ALT_LOCUS_NONE) if al else ALT_LOCUS_NONE
+        o.fragment_id = ids[i] if ids else None
+        o.third_allele_evidence = ta[i] if ta else None
+        observations.append(o)
+    return Pileup(read_observations=observations)
+
+
+class ReferenceObservationReader:
+    """Iterate (VariantInfo, Pileup) from a reference observation BCF/VCF."""
+
+    def __init__(self, path, sample_name: str | None = None):
+        from ..io.vcf import open_variant_file
+
+        self.path = path
+        self._reader = open_variant_file(path)
+        self.header = {"format_version": "reference-bcf", "options": {}}
+        self.sample_name = sample_name or "sample"
+
+    def __iter__(self):
+        for rec in self._reader:
+            infos = collect_variants(rec)
+            if not infos:
+                continue
+            pileup = decode_reference_observations(rec)
+            for info in infos:
+                yield info, pileup
+
+    def close(self):
+        pass
+
+
+def open_observations(path, sample_name: str | None = None):
+    """JSON-lines observation file or a reference observation BCF/VCF."""
+    from ..io.vcf import open_variant_file
+
+    head = open(path, "rb").read(4)
+    looks_binary = head[:3] == b"BCF" or head[:2] == b"\x1f\x8b"
+    if not looks_binary:
+        try:
+            text = open(path, "rt", errors="strict").readline()
+            if text.startswith("{"):
+                from .observations import ObservationReader
+
+                return ObservationReader(path)
+        except UnicodeDecodeError:
+            pass
+    if not looks_binary and not head.startswith(b"##"):
+        from .observations import ObservationReader
+
+        return ObservationReader(path)
+    # VCF/BCF: check the first record for observation tags
+    probe = open_variant_file(path)
+    for rec in probe:
+        if is_reference_observation_record(rec):
+            return ReferenceObservationReader(path, sample_name)
+        break
+    raise ValueError(
+        f"{path} is neither a JSON-lines observation file nor a "
+        "varlociraptor observation BCF"
+    )
