@@ -36,6 +36,10 @@ class PreprocessOptions:
     # debug observability: per-locus TSV dump of raw observations
     # (preprocessing/mod.rs:251-280, --output-raw-observations)
     output_raw_observations: str | None = None
+    # region sharding (CHROM or CHROM:START-END, 1-based inclusive): the
+    # ecosystem pattern for data parallelism — run one preprocess per
+    # region shard, then chain the shards at call time
+    region: str | None = None
 
 
 def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
@@ -123,6 +127,18 @@ def preprocess(
     # haplotype feature index: last record index per haplotype id
     # (preprocessing/haplotype_feature_index.rs:10-50)
     records = list(open_variant_file(candidates_path))
+    if options.region:
+        import re as _re
+
+        m = _re.match(r"^([^:]+)(?::(\d+)-(\d+))?$", options.region)
+        if not m:
+            raise ValueError(f"invalid region {options.region!r}")
+        chrom, start, end = m.group(1), m.group(2), m.group(3)
+        lo = int(start) - 1 if start else 0
+        hi = int(end) if end else float("inf")
+        records = [
+            r for r in records if r.chrom == chrom and lo <= r.pos < hi
+        ]
     last_of_haplotype = {}
     locus_groups: dict[tuple, list] = {}
     _REALIGNABLE = {

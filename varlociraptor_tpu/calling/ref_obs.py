@@ -12,8 +12,8 @@ Bincode layouts (bincode 1.x defaults, little endian):
   enum             u32 variant index (+ payload)
   Option<T>        u8 tag (0 none, 1 some) + payload
   MiniLogProb      enum { F16(u16)=0, F32(f32)=1 }  (utils/mod.rs:448-474)
-  BitVec<u8>       storage Vec<u8> + u64 nbits (bit-vec serde layout,
-                   MSB-first within each byte)
+  BitVec<u8>       u8 0x01 prefix + storage Vec<u8> + u64 nbits
+                   (LSB-first within each byte, verified empirically)
 """
 
 from __future__ import annotations
@@ -244,8 +244,28 @@ class ReferenceObservationReader:
         pass
 
 
+class _ChainedReader:
+    def __init__(self, readers):
+        self.readers = readers
+        self.header = readers[0].header
+        self.sample_name = getattr(readers[0], "sample_name", "sample")
+
+    def __iter__(self):
+        for r in self.readers:
+            yield from r
+
+    def close(self):
+        for r in self.readers:
+            r.close()
+
+
 def open_observations(path, sample_name: str | None = None):
-    """JSON-lines observation file or a reference observation BCF/VCF."""
+    """JSON-lines observation file or a reference observation BCF/VCF.
+    A comma-separated list of paths chains region shards in order."""
+    if isinstance(path, str) and "," in path:
+        return _ChainedReader(
+            [open_observations(p, sample_name) for p in path.split(",")]
+        )
     from ..io.vcf import open_variant_file
 
     head = open(path, "rb").read(4)

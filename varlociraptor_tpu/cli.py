@@ -44,6 +44,8 @@ def build_parser():
     pv.add_argument("--pairhmm-mode", default="exact", choices=["exact", "fast", "homopolymer"])
     pv.add_argument("--omit-insert-size", action="store_true")
     pv.add_argument("--report-fragment-ids", action="store_true")
+    pv.add_argument("--region", default=None,
+                    help="restrict to CHROM or CHROM:START-END (region sharding)")
     pv.add_argument("--output-raw-observations", default=None,
                     help="directory for per-locus raw-observation TSVs")
     pv.add_argument(
@@ -186,6 +188,7 @@ def run(argv=None):
                 propagate_info_fields=tuple(args.propagate_info_fields),
                 output_raw_observations=args.output_raw_observations,
                 report_fragment_ids=args.report_fragment_ids,
+                region=args.region,
             ),
         )
         print(f"preprocessed {n} candidate records", file=sys.stderr)
