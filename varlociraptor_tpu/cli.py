@@ -128,7 +128,8 @@ def build_parser():
     mb.add_argument("--events", nargs="+", required=True)
     mb.add_argument("--sample", required=True)
     mb.add_argument("--coding-genome-size", type=float, default=3e7)
-    mb.add_argument("--mode", default="curve", choices=["curve", "hist", "stratified"])
+    mb.add_argument("--mode", default="curve",
+                    choices=["curve", "hist", "multibar", "table"])
     mb.add_argument("--cutoff", type=float, default=0.2)
 
     # ---- conversions ----
@@ -313,7 +314,10 @@ def run(argv=None):
                 mode=args.mode,
                 cutoff=args.cutoff,
             )
-            print(json.dumps(spec, indent=1))
+            if args.mode == "table":
+                print(spec["table"])
+            else:
+                print(json.dumps(spec, indent=1))
             return 0
 
     if args.command == "decode-phred":

@@ -30,9 +30,12 @@ def collect_estimates(
     except ValueError:
         raise ValueError(f"sample {sample} not in calls") from None
 
+    from ..calling.variants import collect_variants
+
     tags = [f"PROB_{e.upper()}" for e in events]
     vafs = []
     probs = []
+    vartypes = []
     for rec in records:
         ps = []
         for tag in tags:
@@ -52,12 +55,54 @@ def collect_estimates(
             continue
         if af != af:
             continue
+        vs = collect_variants(rec)
         vafs.append(af)
         probs.append(prob)
+        vartypes.append(vs[0].kind.upper() if vs else "UNKNOWN")
 
     vafs = np.array(vafs)
     probs = np.array(probs)
+    vartypes = np.array(vartypes)
     per_mb = 1e6 / coding_genome_size
+
+    if mode == "multibar":
+        # TMB at the cutoff, stratified by variant type
+        # (mutational_burden.rs:217-247)
+        data = []
+        m0 = vafs >= cutoff
+        for vt in sorted(set(vartypes)):
+            m = m0 & (vartypes == vt)
+            data.append(
+                {
+                    "vaf": cutoff,
+                    "tmb": float(probs[m].sum() * per_mb),
+                    "vartype": vt,
+                    "sample": sample,
+                }
+            )
+        return {
+            "$schema": "https://vega.github.io/schema/vega-lite/v4.json",
+            "data": {"values": data},
+            "mark": "bar",
+            "encoding": {
+                "x": {"field": "vartype", "type": "nominal"},
+                "y": {"field": "tmb", "type": "quantitative",
+                      "title": "mutations per megabase"},
+                "color": {"field": "sample", "type": "nominal"},
+            },
+        }
+
+    if mode == "table":
+        # TSV rows (min_vaf, tmb, vartype) over 100 cutoffs
+        # (mutational_burden.rs:324-347)
+        rows = ["min_vaf\ttmb\tvartype"]
+        for v in np.linspace(0.0, 1.0, 100):
+            m0 = vafs >= v
+            for vt in sorted(set(vartypes)):
+                m = m0 & (vartypes == vt)
+                if m.any():
+                    rows.append(f"{v:.6f}\t{probs[m].sum() * per_mb:.6f}\t{vt}")
+        return {"table": "\n".join(rows)}
 
     if mode == "hist":
         bins = np.round(np.arange(0.0, 1.01, 0.05), 3)
