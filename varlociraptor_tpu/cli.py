@@ -121,6 +121,7 @@ def build_parser():
     ct.add_argument("--sample", required=True)
     ct.add_argument("--contaminant", required=True)
     ct.add_argument("--output", default=None)
+    ct.add_argument("--output-plot", default=None)
     ct.add_argument("--resolution", type=int, default=100)
 
     mb = est_sub.add_parser("mutational-burden")
@@ -300,8 +301,34 @@ def run(argv=None):
             result = estimate_contamination(
                 args.sample, args.contaminant, resolution=args.resolution
             )
+            # TSV estimate like the reference (contamination.rs:287-402)
             out = open(args.output, "w") if args.output else sys.stdout
-            print(json.dumps(result, indent=1), file=out)
+            print("contamination\tposterior_density", file=out)
+            for row in result["posterior"]:
+                print(
+                    f"{row['contamination']:.4f}\t{row['log_posterior']:.6f}",
+                    file=out,
+                )
+            if args.output:
+                out.close()
+            if args.output_plot:
+                spec = {
+                    "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+                    "data": {"values": result["posterior"]},
+                    "mark": "line",
+                    "encoding": {
+                        "x": {"field": "contamination", "type": "quantitative"},
+                        "y": {"field": "log_posterior", "type": "quantitative"},
+                    },
+                }
+                with open(args.output_plot, "w") as f:
+                    json.dump(spec, f, indent=1)
+            print(
+                f"max posterior contamination: "
+                f"{result['max_posterior_contamination']:.4f} "
+                f"({result['n_variants']} informative variants)",
+                file=sys.stderr,
+            )
             return 0
         if args.what == "mutational-burden":
             from .estimation.mutational_burden import collect_estimates

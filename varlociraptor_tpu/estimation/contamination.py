@@ -51,8 +51,10 @@ def estimate_contamination(
     scenario = Scenario(_SCENARIO)
     caller = GenericCaller(scenario, CallOptions())
 
-    sample_iter = iter(ObservationReader(sample_obs_path))
-    cont_iter = iter(ObservationReader(contaminant_obs_path))
+    from ..calling.ref_obs import open_observations
+
+    sample_iter = iter(open_observations(sample_obs_path))
+    cont_iter = iter(open_observations(contaminant_obs_path))
 
     variant_counts = []  # (k_alt_sample, n_sample, vaf_contaminant)
     for (v_s, p_s), (v_c, p_c) in zip(sample_iter, cont_iter):
