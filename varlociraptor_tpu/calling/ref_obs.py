@@ -153,14 +153,43 @@ def decode_reference_observations(rec) -> Pileup:
             raise ValueError(f"missing observation tag {tag}")
         return parse(_ByteReader(_u16s_to_bytes(vals)))
 
+    def prob_field(tag, allow_missing=False):
+        """Vec<MiniLogProb> in current snapshots; very old snapshots store
+        plain Vec<f64> or Vec<f32> — try each layout."""
+        vals = _info_ints(rec, tag)
+        if vals is None:
+            if allow_missing:
+                return None
+            raise ValueError(f"missing observation tag {tag}")
+        data = _u16s_to_bytes(vals)
+        for parse_elem, width in (
+            (_mini_logprob, None),
+            (lambda r: r._unpack("<d", 8), 8),
+            (lambda r: r._unpack("<f", 4), 4),
+        ):
+            r = _ByteReader(data)
+            try:
+                n = r.u64()
+                if width is not None and not (
+                    n * width <= len(data) - 8 <= n * width + 1
+                ):
+                    continue
+                out = [parse_elem(r) for _ in range(n)]
+                # log-probs: <= ~0, -inf allowed, NaN not
+                if all(v <= 1e-3 and not (v != v) for v in out):
+                    return out
+            except (struct.error, ValueError):
+                continue
+        raise ValueError(f"cannot decode observation tag {tag}")
+
     ids = field("FRAGMENT_ID", lambda r: _vec(r, lambda rr: _option(rr, _ByteReader.u64)), allow_missing=True)
-    pm = field("PROB_MAPPING", lambda r: _vec(r, _mini_logprob))
-    pr = field("PROB_REF", lambda r: _vec(r, _mini_logprob))
-    pa = field("PROB_ALT", lambda r: _vec(r, _mini_logprob))
-    pme = field("PROB_MISSED_ALLELE", lambda r: _vec(r, _mini_logprob))
-    psa = field("PROB_SAMPLE_ALT", lambda r: _vec(r, _mini_logprob))
-    pdo = field("PROB_DOUBLE_OVERLAP", lambda r: _vec(r, _mini_logprob))
-    phb = field("PROB_HIT_BASE", lambda r: _vec(r, _mini_logprob), allow_missing=True)
+    pm = prob_field("PROB_MAPPING")
+    pr = prob_field("PROB_REF")
+    pa = prob_field("PROB_ALT")
+    pme = prob_field("PROB_MISSED_ALLELE")
+    psa = prob_field("PROB_SAMPLE_ALT")
+    pdo = prob_field("PROB_DOUBLE_OVERLAP")
+    phb = prob_field("PROB_HIT_BASE", allow_missing=True)
     strand = field("STRAND", lambda r: _vec(r, _ByteReader.u32))
     ro = field("READ_ORIENTATION", lambda r: _vec(r, _ByteReader.u32))
     rp = field("READ_POSITION", lambda r: _vec(r, _ByteReader.u32), allow_missing=True)
@@ -176,6 +205,28 @@ def decode_reference_observations(rec) -> Pileup:
         lambda r: _vec(r, lambda rr: _option(rr, _mini_logprob)),
         allow_missing=True,
     )
+    if pha is None:
+        # pre-rename snapshots (older tag names + layouts); best-effort —
+        # undecodable layouts degrade to "no homopolymer info"
+        try:
+            pha = field(
+                "PROB_ARTIFACT_HOMOPOLYMER_ERROR",
+                lambda r: _vec(r, lambda rr: _option(rr, _mini_logprob)),
+                allow_missing=True,
+            )
+        except (ValueError, struct.error):
+            pha = None
+    if phv is None:
+        try:
+            phv = field(
+                "PROB_WILDTYPE_HOMOPOLYMER_ERROR",
+                lambda r: _vec(r, lambda rr: _option(rr, _mini_logprob)),
+                allow_missing=True,
+            )
+        except (ValueError, struct.error):
+            phv = None
+    if (pha is None) != (phv is None):
+        pha = phv = None
     hil = field(
         "HOMOPOLYMER_INDEL_LEN",
         lambda r: _vec(r, lambda rr: _option(rr, _ByteReader.i8)),
