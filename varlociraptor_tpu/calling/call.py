@@ -121,7 +121,10 @@ class GenericCaller:
     def _prior_for(self, contig, vartype):
         key = (contig, vartype)
         if key not in self._prior_cache:
+            from ..ops.prior import check_prior
+
             prior = build_prior(self.scenario, contig, vartype)
+            check_prior(prior)
             self._prior_cache[key] = prior
         return self._prior_cache[key]
 

@@ -430,3 +430,37 @@ def build_prior(scenario, contig: str, variant_type: str = "snv") -> Prior:
         inheritance=inh,
         variant_type_fraction=vtf,
     )
+
+
+class InvalidPriorConfiguration(ValueError):
+    pass
+
+
+def check_prior(prior: Prior) -> None:
+    """CheckablePrior::check (prior.rs:788-825): fail fast on scenarios
+    whose inheritance definitions lack the rates/ploidies they require."""
+    for s in range(prior.n_samples):
+        inh = prior.inheritance[s]
+        if inh is None:
+            continue
+        parents = inh.from_samples
+        if any(prior.ploidies[p] is None for p in parents):
+            raise InvalidPriorConfiguration(
+                "inheritance defined but parental samples do not have a "
+                "ploidy: define ploidy for each sample or the species"
+            )
+        if inh.kind == "mendelian" and not (
+            prior.germline_mutation_rate[s] is not None
+            or prior.heterozygosity is not None
+        ):
+            raise InvalidPriorConfiguration(
+                "mendelian inheritance but no germline mutation rate "
+                "defined: define germline mutation rate for child samples "
+                "or the species"
+            )
+        if inh.kind == "subclonal" and prior.somatic_effective_mutation_rate[s] is None:
+            raise InvalidPriorConfiguration(
+                "subclonal inheritance defined but no somatic mutation: "
+                "define somatic effective mutation rate for sample that "
+                "inherits"
+            )
