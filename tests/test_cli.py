@@ -211,3 +211,24 @@ def test_reference_observation_decode(ref_resources):
     (info, pileup), = list(r)
     assert info.kind == "mnv" and len(pileup.read_observations) == 102
     assert all(o.paired for o in pileup.read_observations)
+
+
+def test_region_sharding_and_chaining(ref_resources, tmp_path):
+    """preprocess --region + comma-chained obs shards at call time."""
+    from varlociraptor_tpu.calling.preprocess import PreprocessOptions, preprocess
+    from varlociraptor_tpu.calling.ref_obs import open_observations
+
+    td = ref_resources / "testcases/test_giab_12"
+    s1 = tmp_path / "s1.obs.jsonl"
+    s2 = tmp_path / "s2.obs.jsonl"
+    n1 = preprocess(
+        td / "candidates.vcf", td / "index.bam", td / "ref.fa", s1,
+        options=PreprocessOptions(region="1:1-500"),
+    )
+    n2 = preprocess(
+        td / "candidates.vcf", td / "index.bam", td / "ref.fa", s2,
+        options=PreprocessOptions(region="1:501-2000"),
+    )
+    assert (n1, n2) == (0, 1)
+    items = list(open_observations(f"{s1},{s2}"))
+    assert len(items) == 1 and items[0][0].pos == 1078

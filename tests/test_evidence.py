@@ -142,3 +142,44 @@ def test_homopolymer_indel_operation_reference_cases():
     for text, pat, ops, expect_some in cases:
         r = homopolymer_indel_operation(A(text), A(pat), ops)
         assert (r is not None) == expect_some, (text, pat, ops, r)
+
+
+def test_record_replay_batching_matches_direct(ref_resources):
+    """The batched record/replay realignment path must produce observations
+    identical to direct per-read dispatch (same forward-call alignment)."""
+    import re
+
+    from varlociraptor_tpu.estimation.alignment_properties import (
+        AlignmentProperties,
+    )
+    from varlociraptor_tpu.evidence import extraction
+    from varlociraptor_tpu.evidence.extraction import extract_observations
+    from varlociraptor_tpu.evidence.indels import Insertion
+    from varlociraptor_tpu.evidence.realignment import Realigner
+    from varlociraptor_tpu.io.bam import BamReader
+    from varlociraptor_tpu.io.fasta import FastaBuffer
+
+    td = ref_resources / "testcases/test_giab_12"
+    yaml_text = (td / "testcase.yaml").read_text()
+    props = AlignmentProperties.from_json(
+        re.search(r"properties: '(.*?)'", yaml_text).group(1)
+    )
+    ref = FastaBuffer(td / "ref.fa")
+    bam = BamReader(td / "index.bam")
+
+    def run(batched):
+        r = Realigner(reference=ref, props=props, indel_window=64, max_window=64)
+        v = Insertion("1", 1078, b"CCT", r)
+        if not batched:
+            # disable batching by making begin_record a no-op
+            r.begin_record = lambda: None
+            r.run_batch = lambda: None
+            r.end_batch = lambda: None
+        p = extract_observations(v, bam, props, max_depth=200)
+        return [(o.prob_ref, o.prob_alt, o.strand) for o in p.read_observations]
+
+    a = run(batched=True)
+    b = run(batched=False)
+    assert len(a) == len(b) > 50
+    for (r1, a1, s1), (r2, a2, s2) in zip(a, b):
+        assert abs(r1 - r2) < 1e-9 and abs(a1 - a2) < 1e-9 and s1 == s2
