@@ -36,3 +36,13 @@ def test_golden_testcase(name, ref_resources, tmp_path):
         pytest.skip(f"{name} not present")
     tc = Testcase(d)
     tc.check(tmp_path)
+
+
+# the reference asserts these in fast (path-scoring) mode as well
+# (tests/lib.rs `testcase!(..., exact, fast)`)
+@pytest.mark.parametrize("name", ["test01", "test23", "test29"])
+def test_golden_testcase_fast_mode(name, ref_resources, tmp_path):
+    d = ref_resources / "testcases" / name
+    if not d.exists():
+        pytest.skip(f"{name} not present")
+    Testcase(d).check(tmp_path, pairhmm_mode="fast")
