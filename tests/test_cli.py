@@ -232,3 +232,38 @@ def test_region_sharding_and_chaining(ref_resources, tmp_path):
     assert (n1, n2) == (0, 1)
     items = list(open_observations(f"{s1},{s2}"))
     assert len(items) == 1 and items[0][0].pos == 1078
+
+
+def test_unsorted_candidates_rejected(ref_resources, tmp_path):
+    """variant_buffer.rs parity: coordinate-unsorted candidates error."""
+    import pytest as _pytest
+
+    from varlociraptor_tpu.calling.preprocess import preprocess
+
+    vcf = tmp_path / "unsorted.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr10\t500\t.\tA\tG\t.\t.\t.\nchr10\t100\t.\tA\tG\t.\t.\t.\n"
+    )
+    with _pytest.raises(ValueError, match="not coordinate-sorted"):
+        preprocess(
+            vcf,
+            ref_resources / "tumor-first30000.bam",
+            ref_resources / "chr10.fa",
+            tmp_path / "x.obs.jsonl",
+        )
+
+
+def test_fdr_unknown_event_rejected(ref_resources, tmp_path):
+    """fdr.rs:66-91 InvalidFDRControlEvents parity."""
+    import pytest as _pytest
+
+    from varlociraptor_tpu.filtration.fdr import control_fdr
+
+    with _pytest.raises(ValueError, match="none of the events"):
+        control_fdr(
+            ref_resources / "test_fdr_ev_2/calls.matched.bcf",
+            tmp_path / "y.vcf",
+            events=["NOSUCH"],
+            alpha=0.05,
+        )

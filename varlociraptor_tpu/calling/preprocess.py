@@ -127,6 +127,27 @@ def preprocess(
     # haplotype feature index: last record index per haplotype id
     # (preprocessing/haplotype_feature_index.rs:10-50)
     records = list(open_variant_file(candidates_path))
+    # reject unsorted candidates like the reference (variant_buffer.rs:58-138
+    # state machine assumes coordinate-sorted input)
+    last = {}
+    order = []
+    for r in records:
+        if r.chrom not in last:
+            last[r.chrom] = r.pos
+            order.append(r.chrom)
+        elif r.pos < last[r.chrom]:
+            raise ValueError(
+                f"candidate records are not coordinate-sorted: "
+                f"{r.chrom}:{r.pos + 1} after {r.chrom}:{last[r.chrom] + 1}; "
+                "sort the candidate file first"
+            )
+        elif r.chrom != order[-1]:
+            raise ValueError(
+                f"candidate records are not grouped by contig: {r.chrom} "
+                "reappears after other contigs; sort the candidate file first"
+            )
+        else:
+            last[r.chrom] = r.pos
     if options.region:
         import re as _re
 

@@ -123,6 +123,21 @@ def control_fdr(
     reader = open_variant_file(in_vcf)
     records = reader.records()
     tags = [f"PROB_{e.upper()}" for e in events]
+    # skip events absent from the header; error if none remain
+    # (fdr.rs:66-91 InvalidFDRControlEvents)
+    header_text = "\n".join(reader.header_lines)
+    present = [t for t in tags if f"ID={t}" in header_text]
+    if header_text and not present:
+        raise ValueError(
+            f"none of the events {events} are present in {in_vcf} "
+            "(no matching PROB_* INFO definitions)"
+        )
+    if present and len(present) < len(tags):
+        import sys as _sys
+
+        missing = [t for t in tags if t not in present]
+        print(f"skipping events not in header: {missing}", file=_sys.stderr)
+        tags = present
     ln_alpha = math.log(alpha) if alpha > 0 else LOG_ZERO
 
     threshold = None
