@@ -164,6 +164,19 @@ def build_parser():
 
 
 def run(argv=None):
+    # honor JAX_PLATFORMS even when a site plugin force-selects another
+    # backend (the env var alone is ignored once the plugin registered)
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", platforms)
+        except Exception:  # noqa: BLE001 - leave backend selection to jax
+            pass
+
     args = build_parser().parse_args(argv)
 
     if args.command == "preprocess":
