@@ -250,9 +250,38 @@ class GenericCaller:
                             ln_prior_joint[li, i, j] = prior.compute([v0, v1])
                 prior.is_absent_only = True
 
+        # pad the locus axis to the fixed batch size so partial batches
+        # reuse the compiled program (padded loci carry empty pileups and
+        # their results are dropped below)
+        Lp = self.options.batch_size
+        feats, mask = batch.features, batch.mask
+        if L < Lp:
+            def _pad(a):
+                return np.concatenate(
+                    [a, np.zeros((Lp - L,) + a.shape[1:], dtype=a.dtype)], axis=0
+                )
+
+            feats = _pad(np.asarray(feats))
+            mask = _pad(np.asarray(mask))
+            bias_alt = _pad(bias_alt)
+            bias_ref = _pad(bias_ref)
+            bias_any = _pad(bias_any)
+            combo_active = _pad(combo_active)
+            combo_active[L:, 0] = True
+            branch_gates = np.concatenate(
+                [
+                    branch_gates,
+                    np.ones((Lp - L, engine.n_branches), dtype=bool),
+                ],
+                axis=0,
+            )
+            ln_prior_absent = _pad(ln_prior_absent)
+            if ln_prior_joint is not None:
+                ln_prior_joint = _pad(ln_prior_joint)
+
         out = engine.run(
-            batch.features,
-            batch.mask,
+            feats,
+            mask,
             bias_alt,
             bias_ref,
             bias_any,
@@ -261,6 +290,11 @@ class GenericCaller:
             ln_prior_absent,
             ln_prior_joint=ln_prior_joint,
         )
+        if L < Lp:
+            out = {
+                k: (v[:L] if hasattr(v, "shape") and v.shape[:1] == (Lp,) else v)
+                for k, v in out.items()
+            }
 
         results = []
         names = [e.name for e in events]
