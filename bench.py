@@ -3,6 +3,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing methodology: every timed iteration forces a device->host transfer of
+ALL engine outputs (np.asarray). `jax.block_until_ready` does NOT synchronize
+on the experimental `axon` platform (round-1 VERDICT measured a ~4000x
+dispatch-vs-execution gap), so only host-materialized outputs count. A
+scaling sanity check asserts wall-time grows with n_loci before the number
+is trusted.
+
 The reference publishes no benchmark numbers (BASELINE.md), so vs_baseline is
 measured against a fixed nominal 1000 loci/s — roughly the serial per-core
 rate of the reference's posterior stage on commodity CPUs (observed order of
@@ -20,30 +27,51 @@ import numpy as np  # noqa: E402
 NOMINAL_BASELINE_LOCI_PER_SEC = 1000.0
 
 
-def main():
-    import jax
+def _timed(engine, inputs, n_iter):
+    import jax.numpy as jnp
 
+    args = [jnp.asarray(a) for a in inputs]
+    out = engine._run(*args)
+    for v in out.values():
+        np.asarray(v)  # compile + warmup, forced sync
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = engine._run(*args)
+        for v in out.values():
+            np.asarray(v)  # device->host fetch = the only trustworthy sync
+    return time.perf_counter() - t0
+
+
+def main():
     from varlociraptor_tpu.bench_utils import engine_inputs, tumor_normal_engine
 
-    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     depth = 64
 
     _, engine = tumor_normal_engine()
-    inputs = engine_inputs(engine, n_loci=n_loci, depth=depth)
-    args = [jax.numpy.asarray(a) for a in inputs]
 
-    # compile + warmup
-    out = engine._run(*args)
-    jax.block_until_ready(out["posteriors"])
+    # scaling sanity check: if wall-time does not grow with the locus count,
+    # we are measuring dispatch, not execution — refuse to report.
+    small = max(n_loci // 4, 64)
+    t_small = _timed(engine, engine_inputs(engine, n_loci=small, depth=depth), 2)
+    dt = _timed(engine, engine_inputs(engine, n_loci=n_loci, depth=depth), 5)
+    per_iter_small = t_small / 2
+    per_iter_big = dt / 5
+    if per_iter_big < 1.5 * per_iter_small and n_loci >= 4 * small:
+        print(
+            json.dumps(
+                {
+                    "metric": "loci_per_sec_per_chip_posterior_tumor_normal",
+                    "value": 0.0,
+                    "unit": "loci/s",
+                    "vs_baseline": 0.0,
+                    "error": "timing does not scale with n_loci (dispatch-only measurement)",
+                }
+            )
+        )
+        return
 
-    n_iter = 5
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        out = engine._run(*args)
-    jax.block_until_ready(out["posteriors"])
-    dt = time.perf_counter() - t0
-
-    loci_per_sec = n_loci * n_iter / dt
+    loci_per_sec = n_loci * 5 / dt
     print(
         json.dumps(
             {
