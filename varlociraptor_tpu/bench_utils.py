@@ -64,15 +64,24 @@ def tumor_normal_engine(resolution=0.01, purity=0.75):
         else:
             samples.append(SampleConfig(name))
     engine = PosteriorEngine(
-        events, grid, samples, resolution=resolution, all_uniform_prior=True
+        events,
+        grid,
+        samples,
+        resolution=resolution,
+        all_uniform_prior=True,
+        n_artifact_combos=len(FULL_COMBOS_DEFAULT) - 1,
     )
     return scenario, engine
 
 
 def engine_inputs(engine, n_loci=256, depth=64, seed=0):
+    from .ops.biases import compact_combos
+
     feats, mask, ba, br, by, active = synth_batch(
         n_loci=n_loci, depth=depth, n_combos=len(FULL_COMBOS_DEFAULT), seed=seed
     )
+    # same combo-axis compaction the caller applies (call.py)
+    ba, br, by, active, _ = compact_combos(ba, br, by, active)
     branch_gates = np.ones((n_loci, engine.n_branches), dtype=bool)
     ln_prior_absent = np.full(n_loci, math.log(0.5), dtype=np.float32)
     return feats, mask, ba, br, by, active, branch_gates, ln_prior_absent

@@ -33,6 +33,7 @@ from ..ops.biases import (
     SCB_NONE,
     all_artifact_combinations,
     build_bias_tensor,
+    compact_combos,
 )
 from ..ops.grid import AFGrid
 from ..ops.posterior import PosteriorEngine, SampleConfig
@@ -140,6 +141,7 @@ class GenericCaller:
                 grid,
                 self.sample_configs,
                 resolution=self.options.resolution,
+                n_artifact_combos=max(1, len(FULL_COMBOS) - 1),
                 all_uniform_prior=all(
                     self.scenario.samples[n].has_uniform_prior()
                     for n in self.scenario.sample_names
@@ -209,14 +211,20 @@ class GenericCaller:
         bias_any = np.zeros((L, S, B, depth), dtype=np.float32)
         combo_active = np.zeros((L, B), dtype=bool)
         for li, it in enumerate(items):
-            bt = build_bias_tensor(it.pileups, FULL_COMBOS, depth)
+            allowed = np.array(
+                [_combo_allowed(c, it.flags) for c in FULL_COMBOS]
+            )
+            bt = build_bias_tensor(it.pileups, FULL_COMBOS, depth, allowed=allowed)
             bias_alt[li] = bt.alt
             bias_ref[li] = bt.ref
             bias_any[li] = bt.any
-            combo_active[li] = bt.active & np.array(
-                [_combo_allowed(c, it.flags) for c in FULL_COMBOS]
-            )
+            combo_active[li] = bt.active & allowed
             combo_active[li, 0] = True  # no-artifact always active
+
+        # compact the combo axis: most loci activate 1-3 of the ~9 combos
+        bias_alt, bias_ref, bias_any, combo_active, slot_map = compact_combos(
+            bias_alt, bias_ref, bias_any, combo_active
+        )
 
         branch_gates = np.ones((L, engine.n_branches), dtype=bool)
         for li, it in enumerate(items):
@@ -319,17 +327,9 @@ class GenericCaller:
 
             sample_infos = []
             if is_artifact:
-                best_ei = int(
-                    np.argmax(
-                        [
-                            post[ei] if events[ei].is_artifact else -np.inf
-                            for ei in range(len(events))
-                        ]
-                    )
-                )
-                map_combo = FULL_COMBOS[int(np.argmax(out["combo_joint"][li]))]
+                map_slot = int(np.argmax(out["combo_joint"][li]))
+                map_combo = FULL_COMBOS[int(slot_map[li, map_slot])]
             else:
-                best_ei = names.index(best)
                 map_combo = FULL_COMBOS[0]
             for si in range(S):
                 pileup = it.pileups[si]
@@ -337,7 +337,9 @@ class GenericCaller:
                     af = 0.0
                     afd = None
                 else:
-                    dens = out["densities"][li, best_ei, si]
+                    # densities are computed on device for the MAP
+                    # non-artifact event only ([L,S,G])
+                    dens = out["densities"][li, si]
                     gi = int(np.argmax(dens))
                     af = float(grid.values[gi])
                     # quadratic refinement between grid points (the reference's
@@ -624,7 +626,8 @@ def _result_to_record(res, sample_names) -> VcfRecord:
         afd = si["afd"]
         afd_str = (
             ",".join(
-                f"{vaf}={np_phred_from_log(p):.2f}"
+                f"{np.format_float_positional(np.float32(vaf), unique=True, trim='-')}"
+                f"={np_phred_from_log(p):.2f}"
                 for vaf, p in sorted(afd.items())
                 if np.isfinite(np_phred_from_log(p))
             )

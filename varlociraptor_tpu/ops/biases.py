@@ -446,8 +446,10 @@ class BiasTensor:
 
 
 def build_bias_tensor(
-    pileups: list[Pileup], combos: list[BiasCombo], depth: int
+    pileups: list[Pileup], combos: list[BiasCombo], depth: int, allowed=None
 ) -> BiasTensor:
+    """allowed: optional [n_combos] bool pre-gate (variant-class rules,
+    cli omit flags); factors are only materialized for active combos."""
     params = learn_bias_params(pileups)
     n_samples = len(pileups)
     n_combos = len(combos)
@@ -456,11 +458,15 @@ def build_bias_tensor(
     anyp = np.zeros((n_samples, n_combos, depth), dtype=np.float32)
     active = np.zeros(n_combos, dtype=bool)
     for ci, combo in enumerate(combos):
+        if allowed is not None and not allowed[ci]:
+            continue
         active[ci] = (
             combo_is_possible(combo, pileups, params)
             and combo_is_informative(combo, pileups)
             and combo_is_likely(combo, pileups, params)
         )
+        if not active[ci] and combo.is_artifact:
+            continue  # factors of gated-out combos are never read
         for si, p in enumerate(pileups):
             for oi, o in enumerate(p.read_observations[:depth]):
                 a, r, y = combo_factors_for_obs(combo, o, params)
@@ -468,3 +474,35 @@ def build_bias_tensor(
                 ref[si, ci, oi] = r
                 anyp[si, ci, oi] = y
     return BiasTensor(combos=combos, alt=alt, ref=ref, any=anyp, active=active)
+
+
+def compact_combos(bias_alt, bias_ref, bias_any, combo_active, bucket=True):
+    """Gather each locus's active combos into leading combo slots.
+
+    Most loci activate 1-3 of the ~9 single-artifact combos; evaluating the
+    full combo axis wastes the device kernels' dominant dimension.  Returns
+    (alt, ref, any [L,S,Bc,D], slot_active [L,Bc], slot_map [L,Bc] int —
+    original combo index per slot).  Slot 0 is always the no-artifact combo;
+    Bc is bucketed to a power of two so jit recompiles stay bounded.
+    """
+    L, S, B, D = bias_alt.shape
+    counts = combo_active.sum(axis=1)
+    max_active = max(1, int(counts.max()) if L else 1)
+    Bc = 1 << (max_active - 1).bit_length() if bucket else max_active
+    Bc = min(Bc, B)
+    slot_map = np.zeros((L, Bc), dtype=np.int64)
+    slot_active = np.zeros((L, Bc), dtype=bool)
+    for li in range(L):
+        idxs = np.nonzero(combo_active[li])[0][:Bc]
+        k = len(idxs)
+        slot_map[li, :k] = idxs
+        slot_active[li, :k] = True
+    gather = slot_map[:, None, :, None]
+    take = lambda a: np.take_along_axis(a, gather, axis=2)
+    return (
+        take(bias_alt),
+        take(bias_ref),
+        take(bias_any),
+        slot_active,
+        slot_map,
+    )

@@ -6,6 +6,30 @@ single/contaminated sample models (``likelihood.rs:63-250``), vectorized over
 (locus, bias-combo, AF-grid-point, read).  The reference's LRU caches vanish:
 the dense grid *is* the memoization (SURVEY.md §7.1.4).
 
+TPU formulation: the per-read likelihood is AFFINE in the effective
+alt-sampling weight
+
+    w = psa * nu + kappa * (1 - psa),
+    nu = af                      (single sample)
+    nu = purity*af_p + impurity*af_s   (contaminated mixture,
+                                        likelihood.rs:86-115)
+    kappa = [af == 1]-style bypass mass (prob_sample_alt is skipped at
+            af == 1, likelihood.rs:43-53)
+
+so with per-read max-scaled linear coefficients (three exps per read,
+computed ONCE outside the grid loop)
+
+    t(w) = base + w * diff,      ll = log t + c
+
+the per-grid-cell work is ~3 fused multiply-adds plus ONE log, instead of
+the chain of logaddexp/ln1mexp transcendentals a direct log-space
+evaluation needs.  This matters most for the contaminated kernel, whose
+cell count is L*B*G*G2*D.  Accuracy: identical up to f32 rounding except
+for per-read dynamic range, which is limited to ~e^-87 relative to the
+read's dominant term (beyond that the cell underflows to -inf; the old
+log-space path kept absolute range, but such cells only arise for branch
+likelihoods that are astronomically excluded anyway).
+
 Shapes (per call):
   feats       [L, S, D, Fe]  observation features (observation.FEATURES)
   mask        [L, S, D]      read validity
@@ -14,7 +38,7 @@ Shapes (per call):
 
 Outputs:
   loglik      [L, S, B, G]       per-sample likelihood sums (uncontaminated)
-  loglik_pair [L, S, B, G, G2]   for contaminated samples (primary af x
+  loglik_pair [L, B, G, G2]      for contaminated samples (primary af x
                                  contaminant af), computed on demand
 """
 
@@ -59,9 +83,11 @@ def prob_sample_alt_scaled(ln_af, prob_sample_alt):
 
 
 def likelihood_mapping(ln_af, feats, bias_alt, bias_ref):
-    """P(obs | af, mapped) (likelihood.rs:196-220).
+    """P(obs | af, mapped) (likelihood.rs:196-220), log-space scalar form.
 
-    ln_af broadcasts against feats[..., D, :] leading axes.
+    Kept for reference/parity tests; the grid kernels below use the affine
+    factorization instead.  ln_af broadcasts against feats[..., D, :]
+    leading axes.
     """
     p_alt = feats[..., F["prob_alt"]]
     p_ref = feats[..., F["prob_ref"]]
@@ -75,7 +101,7 @@ def likelihood_mapping(ln_af, feats, bias_alt, bias_ref):
 
 def per_read_likelihood(ln_af, feats, bias_alt, bias_ref, bias_any):
     """Total per-read likelihood incl. mismapping term
-    (likelihood.rs:171-193)."""
+    (likelihood.rs:171-193), log-space scalar form."""
     lm = likelihood_mapping(ln_af, feats, bias_alt, bias_ref)
     p_map = feats[..., F["prob_mapping"]]
     p_mismap = feats[..., F["prob_mismapping"]]
@@ -83,20 +109,66 @@ def per_read_likelihood(ln_af, feats, bias_alt, bias_ref, bias_any):
     return _ln_add_exp(p_map + lm, p_mismap + p_missed + bias_any)
 
 
+# ----------------------------------------------------------------------
+# Affine-coefficient grid kernels
+
+
+def _read_terms(feats, bias_alt, bias_ref, bias_any):
+    """Per-read max-scaled linear coefficients (see module docstring).
+
+    feats [..., D, Fe]; bias_* [..., B, D].
+    Returns (a, r, m, c) each [..., B, D] and psa_lin [..., 1, D]:
+        per-read likelihood = exp(c) * (w*a + (1-w)*r + m)
+    with w the effective alt-sampling weight in [0, 1].  The all-positive
+    form avoids the cancellation a (base + w*diff) form suffers at w ~= 1.
+    """
+    pa = feats[..., F["prob_alt"]][..., None, :]
+    pr = feats[..., F["prob_ref"]][..., None, :]
+    pmap = feats[..., F["prob_mapping"]][..., None, :]
+    pmm = feats[..., F["prob_mismapping"]][..., None, :]
+    pmiss = feats[..., F["prob_missed_allele"]][..., None, :]
+    A = pmap + bias_alt + pa  # alt path (without the w factor)
+    R = pmap + bias_ref + pr  # ref path (without the 1-w factor)
+    M = pmm + pmiss + bias_any  # mismapping path
+    c = jnp.maximum(jnp.maximum(A, R), M)
+    c_safe = jnp.where(jnp.isfinite(c), c, 0.0)
+    a = jnp.exp(A - c_safe)
+    r = jnp.exp(R - c_safe)
+    m = jnp.exp(M - c_safe)
+    # clamp psa <= 1 (the NUMERICAL_EPSILON overshoot capping of
+    # likelihood.rs:43-53 in linear space)
+    psa = jnp.exp(jnp.minimum(feats[..., F["prob_sample_alt"]], 0.0))
+    return a, r, m, c, psa[..., None, :]
+
+
+def _ll_cells(a, r, m, c, w, mask):
+    """Masked read-sum of log(exp(c) * (w*a + (1-w)*r + m)).
+
+    a/r/m/c [..., D]; w broadcastable to them; mask [..., D] bool.
+    Reduces the last (read) axis.
+    """
+    w = jnp.clip(w, 0.0, 1.0)  # fp insurance: keep 1-w >= 0
+    t = w * a + (1.0 - w) * r + m
+    ll = jnp.log(t) + c
+    return jnp.sum(jnp.where(mask, ll, 0.0), axis=-1)
+
+
 @partial(jax.jit, static_argnames=())
 def sample_loglik_grid(feats, mask, bias_alt, bias_ref, bias_any, grid):
     """[L, S, B, G] log-likelihood sums over reads for every AF grid point."""
-    ln_af = jnp.log(jnp.maximum(grid, 1e-38))
-    ln_af = jnp.where(grid == 0.0, NEG_INF, ln_af)  # exact log(0)
-    # broadcast: feats [L,S,1,1,D,Fe]; bias [L,S,B,1,D]; ln_af [G,1]
-    f = feats[:, :, None, None, :, :]
-    ba = bias_alt[:, :, :, None, :]
-    br = bias_ref[:, :, :, None, :]
-    by = bias_any[:, :, :, None, :]
-    af = ln_af[None, None, None, :, None]
-    ll = per_read_likelihood(af, f, ba, br, by)  # [L,S,B,G,D]
-    ll = jnp.where(mask[:, :, None, None, :], ll, 0.0)
-    return jnp.sum(ll, axis=-1)
+    a, r, m, c, psa = _read_terms(feats, bias_alt, bias_ref, bias_any)
+    nu = grid[:, None]  # [G, 1(D)]
+    kappa = (grid == 1.0).astype(feats.dtype)[:, None]
+    # w: [L,S,1,G,D] = psa[L,S,1,1,D]*nu + kappa*(1-psa)
+    w = psa[:, :, :, None, :] * nu + kappa * (1.0 - psa[:, :, :, None, :])
+    return _ll_cells(
+        a[:, :, :, None, :],
+        r[:, :, :, None, :],
+        m[:, :, :, None, :],
+        c[:, :, :, None, :],
+        w,
+        mask[:, :, None, None, :],
+    )
 
 
 @partial(jax.jit, static_argnames=())
@@ -107,22 +179,23 @@ def sample_loglik_grid_contaminated(
     (likelihood.rs:86-115): primary af on axis G, contaminant af on G2.
 
     feats/mask/bias here are for ONE sample: feats [L, D, Fe], mask [L, D],
-    bias_* [L, B, D].
+    bias_* [L, B, D].  The purity-weighted mixture of the two mapping
+    likelihoods collapses to the same affine form with
+    nu = purity*af_p + impurity*af_s (see module docstring).
     """
-    ln_af = jnp.log(jnp.maximum(grid, 1e-38))
-    ln_af = jnp.where(grid == 0.0, NEG_INF, ln_af)
-    f = feats[:, None, None, None, :, :]  # [L,1,1,1,D,Fe]
-    ba = bias_alt[:, :, None, None, :]  # [L,B,1,1,D]
-    br = bias_ref[:, :, None, None, :]
-    by = bias_any[:, :, None, None, :]
-    af_p = ln_af[None, None, :, None, None]  # primary on G axis
-    af_s = ln_af[None, None, None, :, None]  # secondary on G2 axis
-    lm_p = likelihood_mapping(af_p, f, ba, br)  # [L,B,G,1,D] -> broadcast
-    lm_s = likelihood_mapping(af_s, f, ba, br)
-    lm = _ln_add_exp(ln_purity + lm_p, ln_impurity + lm_s)  # [L,B,G,G2,D]
-    p_map = f[..., F["prob_mapping"]]
-    p_mismap = f[..., F["prob_mismapping"]]
-    p_missed = f[..., F["prob_missed_allele"]]
-    ll = _ln_add_exp(p_map + lm, p_mismap + p_missed + by)
-    ll = jnp.where(mask[:, None, None, None, :], ll, 0.0)
-    return jnp.sum(ll, axis=-1)
+    purity = jnp.exp(ln_purity)  # exp(-inf) = 0 handles fraction 0/1
+    impurity = jnp.exp(ln_impurity)
+    a, r, m, c, psa = _read_terms(feats, bias_alt, bias_ref, bias_any)
+    one = (grid == 1.0).astype(feats.dtype)
+    nu = purity * grid[:, None, None] + impurity * grid[None, :, None]  # [G,G2,1]
+    kappa = purity * one[:, None, None] + impurity * one[None, :, None]
+    psa_ = psa[:, :, None, None, :]  # [L,B,1,1,D]
+    w = psa_ * nu + kappa * (1.0 - psa_)  # [L,B,G,G2,D]
+    return _ll_cells(
+        a[:, :, None, None, :],
+        r[:, :, None, None, :],
+        m[:, :, None, None, :],
+        c[:, :, None, None, :],
+        w,
+        mask[:, None, None, None, :],
+    )

@@ -19,6 +19,23 @@ through the two-axis likelihood (likelihood.rs:86-115); all other samples are
 singleton units.  The branch integral is the product (log-sum) of unit
 integrals — the factorization the reference's nested recursion computes
 implicitly.
+
+TPU performance structure (round 2):
+
+* The contaminated two-axis likelihood [L,B,G,G'] is evaluated only on the
+  UNIQUE (nu, kappa) classes of the effective-AF plane
+  (nu = purity*af_p + impurity*af_s; kappa = the af==1 sampling-bias-bypass
+  mass) and gathered back — for percent-scale purities this cuts the
+  transcendental cell count ~15-25x (e.g. purity 0.75 on a 0.01 grid:
+  ~620 classes vs 103^2 cells).
+* Tree variable elimination over contamination components contracts each
+  child axis as a shifted-exp einsum (an MXU matmul) instead of a
+  materialized [L,B,NB,G,G'] logsumexp.  Shifts are taken per
+  spectrum-support class of the eliminated sample so underflow can only
+  drop terms that are negligible relative to the branch's own integral.
+* Per-event AFD/MAP densities are computed for the per-locus MAP
+  (non-artifact) event only, at the no-artifact bias slot only — the only
+  densities the caller reports (calling.rs:844-937).
 """
 
 from __future__ import annotations
@@ -36,8 +53,9 @@ from .likelihood import (
     NEG_INF,
     _ln1mexp,
     _ln_add_exp,
+    _read_terms,
+    _ll_cells,
     sample_loglik_grid,
-    sample_loglik_grid_contaminated,
 )
 
 LN_32 = math.log(3.2)  # Kass-Raftery "positive" threshold
@@ -121,6 +139,42 @@ class SampleConfig:
         self.contamination_fraction = contamination_fraction
 
 
+def _pair_class_setup(grid_values, fraction):
+    """Unique (nu, kappa) classes of the contaminated-likelihood plane.
+
+    Returns (nu_u [U] f32, kappa_u [U] f32, inv [G,G] int32) with
+    plane[g, g2] = class inv[g, g2]."""
+    pur = np.float32(1.0 - fraction)
+    imp = np.float32(fraction)
+    g = grid_values.astype(np.float32)
+    nu = pur * g[:, None] + imp * g[None, :]
+    one = (g == 1.0).astype(np.float32)
+    kappa = pur * one[:, None] + imp * one[None, :]
+    pairs = np.stack([nu.ravel(), kappa.ravel()], axis=1)
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    return (
+        uniq[:, 0].copy(),
+        uniq[:, 1].copy(),
+        inv.reshape(nu.shape).astype(np.int32),
+    )
+
+
+def _pair_loglik_classes(feats, mask, bias_alt, bias_ref, bias_any, nu_u, kappa_u):
+    """[L, B, U] contaminated likelihood sums on the unique classes.
+    feats [L,D,Fe]; bias [L,B,D]; nu_u/kappa_u [U]."""
+    a, r, m, c, psa = _read_terms(feats, bias_alt, bias_ref, bias_any)
+    psa_ = psa[:, :, None, :]  # [L,1,1,D]
+    w = psa_ * nu_u[:, None] + kappa_u[:, None] * (1.0 - psa_)  # [L,1|B,U,D]
+    return _ll_cells(
+        a[:, :, None, :],
+        r[:, :, None, :],
+        m[:, :, None, :],
+        c[:, :, None, :],
+        w,
+        mask[:, None, None, :],
+    )
+
+
 class PosteriorEngine:
     """Compiled engine for one scenario (event set + grid + contamination).
 
@@ -135,6 +189,7 @@ class PosteriorEngine:
         resolution: float = 0.01,
         all_uniform_prior: bool = False,
         valid_vaf_mask=None,
+        n_artifact_combos: int | None = None,
     ):
         self.events = events
         self.grid = grid
@@ -142,6 +197,10 @@ class PosteriorEngine:
         self.resolution = resolution
         self.all_uniform_prior = all_uniform_prior
         self.n_samples = len(samples)
+        # universe size of artifact combinations for the bias prior
+        # (bias/mod.rs:131-218 splits 0.5 over all single-artifact combos,
+        # independent of how many are active at a locus)
+        self.n_artifact_combos = n_artifact_combos
         # [S, G] bool: per-sample grid points with nonzero prior mass
         # (prior.rs:298-438 zero structure — ploidy-0 contigs, uniform
         # universes, germline-multiple constraints). Applied as -inf
@@ -175,12 +234,17 @@ class PosteriorEngine:
         self.set_mask = np.zeros((NB, S, G), dtype=bool)
         self.spectrum_excludes_zero = np.zeros((NB, S), dtype=bool)
         self.spectrum_contains_zero = np.zeros((NB, S), dtype=bool)
+        # static superset of each branch x sample integration support
+        # (inclusive range bounds; used only for einsum shift classes)
+        support = np.zeros((NB, S, G), dtype=bool)
+        gv = grid.values
         for bi, (ei, br) in enumerate(self.branches):
             for si, sp in enumerate(br.spectra):
                 if sp.kind == SPECTRUM_SET:
                     self.set_mask[bi, si] = grid.set_mask(sp.values)
                     self.spectrum_excludes_zero[bi, si] = all(v > 0 for v in sp.values)
                     self.spectrum_contains_zero[bi, si] = 0.0 in sp.values
+                    support[bi, si] = self.set_mask[bi, si]
                 else:
                     self.is_range[bi, si] = True
                     self.rng_start[bi, si] = sp.start
@@ -191,6 +255,24 @@ class PosteriorEngine:
                         sp.start == 0 and sp.left_exclusive
                     )
                     self.spectrum_contains_zero[bi, si] = sp.contains(0.0)
+                    support[bi, si] = (gv >= sp.start - 1e-9) & (
+                        gv <= sp.end + 1e-9
+                    )
+                if self.valid_vaf_mask is not None:
+                    support[bi, si] &= self.valid_vaf_mask[si]
+        # per-sample spectrum-support classes for contraction shifts
+        self.support_classes = []  # per sample: (class_of_branch [NB], masks [K,G])
+        for si in range(S):
+            keys = {}
+            cls = np.zeros(NB, dtype=np.int64)
+            masks = []
+            for bi in range(NB):
+                key = support[bi, si].tobytes()
+                if key not in keys:
+                    keys[key] = len(masks)
+                    masks.append(support[bi, si])
+                cls[bi] = keys[key]
+            self.support_classes.append((cls, np.stack(masks)))
 
         self.branch_has_zero_point = self.spectrum_contains_zero.all(axis=1)
         self.zero_idx = grid.index_of(0.0)
@@ -199,6 +281,9 @@ class PosteriorEngine:
             [bi for bi, (e, _) in enumerate(self.branches) if e == ei]
             for ei in range(len(events))
         ]
+        self.branch_event = np.array(
+            [e for (e, _) in self.branches], dtype=np.int32
+        )
         self.event_is_artifact = [ev.is_artifact for ev in events]
         self.event_all_absent = [ev.all_absent() for ev in events]
 
@@ -239,6 +324,11 @@ class PosteriorEngine:
             for si, s in enumerate(samples)
             if s.contaminated_by is not None
         ]
+        # unique (nu, kappa) gather classes per contaminated sample
+        self.pair_class = {
+            si: _pair_class_setup(grid.values, frac)
+            for si, _, frac in self.pairs
+        }
         # mutual contamination (A contaminated by B AND B by A) is a 2-cycle:
         # two pairwise factors over the same two grid axes — fine for the
         # eliminator. Longer cycles would need loopy contraction; reject.
@@ -300,28 +390,47 @@ class PosteriorEngine:
         return w
 
     # ------------------------------------------------------------------
-    def _component_factors(self, comp, loglik, pair_logliks, w_s):
-        """Log factors of one contamination component: a root sample yields
-        a 1-var factor [L,B,NB,G]; a contaminated sample a 2-var factor
-        [L,B,NB,G,Gparent]. Branch weights are absorbed on each sample's
-        own axis."""
-        factors = []
-        for si in comp:
-            p = self.parent[si]
-            if p is None:
-                t = loglik[:, si][:, :, None, :] + w_s[:, si][:, None]
-                factors.append(((si,), t))
-            else:
-                t = (
-                    pair_logliks[si][:, :, None, :, :]
-                    + w_s[:, si][:, None, :, :, None]
-                )
-                factors.append(((si, p), t))
-        return factors
+    def _lse_contract(self, F, S, classes, class_masks):
+        """logsumexp over v of F[l,b,v,u] + S[l,b,n,v] -> [l,b,n,u].
 
-    def _eliminate_component(self, comp, factors, keep):
-        """Tree variable elimination over a component's grid axes; returns
-        [L,B,NB] (keep=None) or [L,B,NB,G] (keep's own axis retained)."""
+        Shifted-exp einsum (MXU): shifts are taken per spectrum-support
+        class of the eliminated sample so that exp underflow only drops
+        terms negligible relative to the in-support maximum.
+        classes: np [NB] -> class id; class_masks: np [K, Gv] bool.
+        """
+        L, B = F.shape[0], F.shape[1]
+        NB = S.shape[2]
+        Gu = F.shape[3]
+        mS = jnp.max(S, axis=-1)  # [L,B,NB]
+        mS_s = jnp.where(jnp.isfinite(mS), mS, 0.0)
+        Q = jnp.exp(S - mS_s[..., None])  # [L,B,NB,Gv]
+        out = jnp.zeros((L, B, NB, Gu))
+        for k in range(class_masks.shape[0]):
+            idx = tuple(int(i) for i in np.nonzero(classes == k)[0])
+            if not idx:
+                continue
+            cmask = jnp.asarray(class_masks[k])  # [Gv]
+            Fk = jnp.where(cmask[None, None, :, None], F, NEG_INF)
+            mF = jnp.max(Fk, axis=2)  # [L,B,Gu]
+            mF_s = jnp.where(jnp.isfinite(mF), mF, 0.0)
+            P = jnp.where(
+                cmask[None, None, :, None],
+                jnp.exp(Fk - mF_s[:, :, None, :]),
+                0.0,
+            )  # [L,B,Gv,Gu]
+            Qk = Q[:, :, idx, :]
+            R = jnp.einsum("lbvu,lbnv->lbnu", P, Qk)
+            vals = jnp.log(R) + mF_s[:, :, None, :] + mS_s[:, :, idx, None]
+            out = out.at[:, :, idx, :].set(vals)
+        return out
+
+    def _component_reduce(self, comp, loglik, pair_logliks, w_s, keep=None):
+        """Tree variable elimination over a component's grid axes.
+
+        loglik [L,S',B,G] (own-likelihoods of root samples); pair_logliks
+        {si: [L,B,G,Gparent]}; w_s [L,S,NB,G].  Returns [L,B,NB]
+        (keep=None) or [L,B,NB,G] (keep's own axis retained).
+        """
         from collections import deque
 
         adj = {si: set() for si in comp}
@@ -341,68 +450,100 @@ class PosteriorEngine:
                     dq.append(v2)
         order = sorted(comp, key=lambda s: -depth[s])
 
-        fs = list(factors)
+        # per-node 1-var parts: start with weights (+ own loglik for roots)
+        parts = {}
+        for si in comp:
+            p_list = [w_s[:, si][:, None]]  # [L,1,NB,G]
+            if self.parent[si] is None:
+                p_list.append(loglik[:, si][:, :, None, :])  # [L,B,1,G]
+            parts[si] = p_list
+        # 2-var factors: (child, parent) -> F [L,B,Gchild,Gparent]
+        edge_factors = {}
+        for si in comp:
+            p = self.parent[si]
+            if p is not None and p in adj:
+                edge_factors.setdefault(frozenset((si, p)), []).append(
+                    (si, p, pair_logliks[si])
+                )
+
         for v in order:
             if keep is not None and v == keep:
                 continue
-            group = [f for f in fs if v in f[0]]
-            rest = [f for f in fs if v not in f[0]]
-            uvars = []
-            for vars_, _ in group:
-                for x in vars_:
-                    if x != v and x not in uvars:
-                        uvars.append(x)
-            assert len(uvars) <= 1, "contamination graph is not a tree"
-            u_ = uvars[0] if uvars else None
-            acc = None
-            for vars_, t in group:
-                if vars_ == (v,):
-                    tt = t[..., None, :] if u_ is not None else t
-                elif vars_ == (v, u_):
-                    tt = jnp.swapaxes(t, -1, -2)
-                elif vars_ == (u_, v):
-                    tt = t
-                else:  # pragma: no cover
-                    raise AssertionError(f"unexpected factor vars {vars_}")
-                acc = tt if acc is None else acc + tt
-            msg = _lse(acc, axis=-1)
-            fs = rest + [(((u_,) if u_ is not None else ()), msg)]
+            nbrs = [u for u in adj[v] if frozenset((v, u)) in edge_factors]
+            if not nbrs:
+                continue  # singleton root handled at the end
+            assert len(nbrs) == 1, "contamination graph is not a tree"
+            u = nbrs[0]
+            Fs = None
+            for child, par, t in edge_factors.pop(frozenset((v, u))):
+                tt = t if child == v else jnp.swapaxes(t, -1, -2)
+                Fs = tt if Fs is None else Fs + tt  # mutual 2-cycle sums both
+            S_v = None
+            for p_ in parts.pop(v):
+                S_v = p_ if S_v is None else S_v + p_
+            S_v = jnp.broadcast_to(
+                S_v,
+                (S_v.shape[0], Fs.shape[1], w_s.shape[2], S_v.shape[-1]),
+            )
+            classes, class_masks = self.support_classes[v]
+            msg = self._lse_contract(Fs, S_v, classes, class_masks)
+            parts[u].append(msg)
+            adj[u].discard(v)
 
         out = None
-        for vars_, t in fs:
-            tt = t if (vars_ or keep is None) else t[..., None]
-            out = tt if out is None else out + tt
-        return out
+        for p_ in parts[root]:
+            out = p_ if out is None else out + p_
+        out = jnp.broadcast_to(
+            out, (out.shape[0], loglik.shape[2], w_s.shape[2], out.shape[-1])
+        )
+        if keep is not None:
+            return out
+        return _lse(out, axis=-1)
 
     def _unit_terms(self, loglik, pair_logliks, w):
-        """Per-unit branch integrals and per-sample grid-resolved 'own'
-        densities.
+        """Per-unit branch integrals.
 
         Returns:
           U: dict[unit_key] -> [L,B,NB] unit integral
-          own: dict[sample] -> ([L,B,NB,G] own density, unit_key)
           Uzero: dict[unit_key] -> [L,B,NB] unit value at all-zero point
         """
         w_s = jnp.swapaxes(w, 1, 2)  # [L,S,NB,G]
         U = {}
-        own = {}
         Uzero = {}
         zi = self.zero_idx
         for comp in self.components:
             key = ("c",) + tuple(comp)
-            factors = self._component_factors(comp, loglik, pair_logliks, w_s)
-            U[key] = self._eliminate_component(comp, factors, None)
+            U[key] = self._component_reduce(comp, loglik, pair_logliks, w_s)
             zval = None
-            for vars_, t in factors:
-                tz = t[..., zi] if len(vars_) == 1 else t[..., zi, zi]
-                zval = tz if zval is None else zval + tz
-            Uzero[key] = zval
             for si in comp:
-                own[si] = (
-                    self._eliminate_component(comp, factors, si),
-                    key,
-                )
-        return U, own, Uzero
+                tz = w_s[:, si, :, zi][:, None]  # [L,1,NB]
+                if self.parent[si] is None:
+                    tz = tz + loglik[:, si, :, zi][:, :, None]
+                else:
+                    tz = tz + pair_logliks[si][:, :, zi, zi][:, :, None]
+                zval = tz if zval is None else zval + tz
+            Uzero[key] = jnp.broadcast_to(
+                zval, (zval.shape[0], loglik.shape[2], w_s.shape[2])
+            )
+        return U, Uzero
+
+    def _pair_logliks(self, feats, mask, bias_alt, bias_ref, bias_any):
+        """Materialize [L,B,G,G'] contaminated likelihoods via the unique
+        (nu, kappa) class gather."""
+        out = {}
+        for si, by, frac in self.pairs:
+            nu_u, kappa_u, inv = self.pair_class[si]
+            ll_u = _pair_loglik_classes(
+                feats[:, si],
+                mask[:, si],
+                bias_alt[:, si],
+                bias_ref[:, si],
+                bias_any[:, si],
+                jnp.asarray(nu_u),
+                jnp.asarray(kappa_u),
+            )  # [L,B,U]
+            out[si] = ll_u[:, :, jnp.asarray(inv)]  # [L,B,G,G']
+        return out
 
     def _run_impl(
         self,
@@ -427,19 +568,9 @@ class PosteriorEngine:
             feats, mask, bias_alt, bias_ref, bias_any, grid
         )  # [L,S,B,G]
 
-        pair_logliks = {}
-        for si, by, frac in self.pairs:
-            purity = 1.0 - frac
-            pair_logliks[si] = sample_loglik_grid_contaminated(
-                feats[:, si],
-                mask[:, si],
-                bias_alt[:, si],
-                bias_ref[:, si],
-                bias_any[:, si],
-                grid,
-                math.log(purity),
-                math.log(frac) if frac > 0 else NEG_INF,
-            )
+        pair_logliks = self._pair_logliks(
+            feats, mask, bias_alt, bias_ref, bias_any
+        )
 
         # clear-ref shortcut (generic.rs:270-300)
         p_ref = feats[..., F["prob_ref"]]
@@ -452,7 +583,7 @@ class PosteriorEngine:
         kill = clear_ref[:, None, :] & excl0
         w = jnp.where(kill[..., None], NEG_INF, w)
 
-        U, own, Uzero = self._unit_terms(loglik, pair_logliks, w)
+        U, Uzero = self._unit_terms(loglik, pair_logliks, w)
 
         T = jnp.zeros((L, B, NB))
         Z = jnp.zeros((L, B, NB))
@@ -584,7 +715,7 @@ class PosteriorEngine:
             T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
             branch_val = jnp.where(combo_active[:, :, None], T, NEG_INF)
             return self._assemble(
-                branch_val, loglik, pair_logliks, w, branch_gates, combo_active
+                branch_val, loglik, pair_logliks, w, branch_gates
             )
 
         z0 = jnp.asarray(self.branch_has_zero_point)
@@ -603,16 +734,14 @@ class PosteriorEngine:
 
         branch_val = jnp.where(combo_active[:, :, None], branch_val, NEG_INF)
         return self._assemble(
-            branch_val, loglik, pair_logliks, w, branch_gates, combo_active
+            branch_val, loglik, pair_logliks, w, branch_gates
         )
 
-    def _assemble(
-        self, branch_val, loglik, pair_logliks, w, branch_gates, combo_active
-    ):
+    def _assemble(self, branch_val, loglik, pair_logliks, w, branch_gates):
         L, S, B, G = loglik.shape
         NB = self.n_branches
         n_events = len(self.events)
-        n_artifact_combos = max(1, B - 1)
+        n_artifact_combos = self.n_artifact_combos or max(1, B - 1)
         event_vals = []
         for ei in range(n_events):
             idxs = tuple(self.event_branch_idx[ei])
@@ -623,8 +752,11 @@ class PosteriorEngine:
             bv = branch_val[:, :, idxs]  # [L,B,nb_e]
             ev_b = _lse(bv, axis=-1)  # [L,B]
             if self.event_is_artifact[ei]:
-                bias_prior = PROB_05 - math.log(n_artifact_combos)
-                val = bias_prior + _lse(ev_b[:, 1:], axis=-1)
+                if B == 1:  # no artifact combo slot active in this batch
+                    val = jnp.full((L,), NEG_INF)
+                else:
+                    bias_prior = PROB_05 - math.log(n_artifact_combos)
+                    val = bias_prior + _lse(ev_b[:, 1:], axis=-1)
             else:
                 val = PROB_05 + ev_b[:, 0]
             event_vals.append(val)
@@ -641,43 +773,53 @@ class PosteriorEngine:
         )
         if artifact_idxs:
             combo_joint = _lse(branch_val[:, :, artifact_idxs], axis=-1)  # [L,B]
+            # slot 0 (no-artifact) never carries artifact-event mass
+            # (artifact events reduce over slots 1.. only) — exclude it from
+            # the MAP-artifact-combination argmax
+            combo_joint = combo_joint.at[:, 0].set(NEG_INF)
         else:
             combo_joint = jnp.full((L, B), NEG_INF)
 
-        # per-event per-sample marginal densities over grid (MAP / AFD):
-        # the reference's MAP scan compares unweighted joint densities at grid
-        # points (calling.rs:844-937), so the sample's own axis uses the
-        # spectrum indicator mask, not the trapezoid dx weights
-        wmask = jnp.where(w > NEG_INF / 2, 0.0, NEG_INF)
-        U_m, own_m, _ = self._unit_terms(loglik, pair_logliks, wmask)
-        U, own = U_m, own_m
-        densities = []
-        for ei in range(n_events):
-            idxs = tuple(self.event_branch_idx[ei])
-            if not idxs:
-                densities.append(jnp.full((L, S, G), NEG_INF))
-                continue
-            if self.event_is_artifact[ei]:
-                active = combo_active & (
-                    jnp.arange(B)[None, :] > 0
-                )
-            else:
-                active = jnp.arange(B)[None, :] == 0
-                active = jnp.broadcast_to(active, combo_active.shape)
-            per_sample = []
-            for si in range(S):
-                d_own, key = own[si]
-                rest = jnp.zeros((L, B, NB))
-                for k2, val in U.items():
-                    if k2 != key:
-                        rest = rest + val
-                d = d_own + rest[..., None]  # [L,B,NB,G]
-                d = jnp.where(branch_gates[:, None, :, None], d, NEG_INF)
-                d = _lse(d[:, :, idxs, :], axis=2)  # [L,B,G]
-                d = jnp.where(active[:, :, None], d, NEG_INF)
-                per_sample.append(_lse(d, axis=1))  # [L,G]
-            densities.append(jnp.stack(per_sample, axis=1))
-        densities = jnp.stack(densities, axis=1)  # [L,E,S,G]
+        # per-sample marginal densities over the grid (MAP / AFD) for the
+        # per-locus MAP non-artifact event, at the no-artifact bias slot.
+        # The reference's MAP scan compares unweighted joint densities at
+        # grid points (calling.rs:844-937), so the scanned sample's axis uses
+        # the spectrum indicator mask, not the trapezoid dx weights.
+        nonart = jnp.asarray(
+            np.array([not a for a in self.event_is_artifact], dtype=bool)
+        )
+        masked_joint = jnp.where(nonart[None, :], joint, NEG_INF)
+        best_ev = jnp.argmax(masked_joint, axis=-1)  # [L]
+        sel = (
+            jnp.asarray(self.branch_event)[None, :] == best_ev[:, None]
+        ) & branch_gates  # [L,NB]
+
+        wmask = jnp.where(w > NEG_INF / 2, 0.0, NEG_INF)  # [L,NB,S,G]
+        wsel = wmask + jnp.where(sel[:, :, None, None], 0.0, NEG_INF)
+        wsel_s = jnp.swapaxes(wsel, 1, 2)  # [L,S,NB,G]
+        loglik0 = loglik[:, :, :1]  # [L,S,1,G]
+        pair0 = {si: t[:, :1] for si, t in pair_logliks.items()}
+
+        U0 = {}
+        keep_units = {}
+        for comp in self.components:
+            key = ("c",) + tuple(comp)
+            U0[key] = self._component_reduce(comp, loglik0, pair0, wsel_s)
+            for si in comp:
+                keep_units[si] = (key, comp)
+        per_sample = []
+        for si in range(S):
+            key, comp = keep_units[si]
+            d_own = self._component_reduce(
+                comp, loglik0, pair0, wsel_s, keep=si
+            )  # [L,1,NB,G]
+            rest = jnp.zeros((L, 1, NB))
+            for k2, val in U0.items():
+                if k2 != key:
+                    rest = rest + val
+            d = d_own + rest[..., None]  # [L,1,NB,G]
+            per_sample.append(_lse(d[:, 0], axis=1))  # [L,G]
+        densities = jnp.stack(per_sample, axis=1)  # [L,S,G]
 
         return {
             "joint": joint,
@@ -685,6 +827,7 @@ class PosteriorEngine:
             "posteriors": posteriors,
             "densities": densities,
             "combo_joint": combo_joint,
+            "best_nonartifact": best_ev,
         }
 
     # ------------------------------------------------------------------
@@ -707,7 +850,8 @@ class PosteriorEngine:
         ln_prior_absent [L] f32; ln_prior_joint [L, G,...] optional full
         prior on the joint grid (--full-prior; S <= 2).
         Returns dict: joint [L,E], posteriors [L,E], marginal [L],
-        densities [L,E,S,G], n_obs [L,S] (numpy arrays).
+        densities [L,S,G] (MAP non-artifact event), best_nonartifact [L],
+        n_obs [L,S] (numpy arrays).
         """
         args = [
             jnp.asarray(feats, dtype=jnp.float32),
