@@ -45,7 +45,7 @@ def _timed(engine, inputs, n_iter):
 def main():
     from varlociraptor_tpu.bench_utils import engine_inputs, tumor_normal_engine
 
-    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     depth = 64
 
     _, engine = tumor_normal_engine()

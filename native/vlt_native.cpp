@@ -8,6 +8,7 @@
 //
 // Exposed via a plain C ABI consumed through ctypes (no pybind11 in image).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -244,4 +245,132 @@ extern "C" int32_t vlt_semiglobal_edit(
     *out_last_start = li;
   }
   return dist;
+}
+
+// ---------------------------------------------------------------------------
+// Semiglobal pair-HMM forward (linear space, per-row rescaling).
+//
+// Exact port of the JAX wavefront kernel (ops/pairhmm.py::_forward_impl /
+// _forward_hp_impl) for the CPU preprocess path: free start/end gaps on the
+// allele axis (x), read axis (y) fully consumed; per-base miscall emissions
+// with 1/3 confusion; N read bases emit 1/4.  Linear-space f64 with
+// per-row rescaling replaces the log-space lse chains (~10 flops/cell
+// instead of ~8 transcendentals/cell).  Mirrors the reference model of
+// bio::stats::pairhmm invoked at realignment/mod.rs:526-543.
+//
+// Positional-gap (homopolymer) variant: ins_open/ins_ext are per read base
+// (j axis), del_open/del_ext per allele base (i axis); pass nullptr for the
+// global-gap exact mode.  All gap params are LINEAR probabilities here.
+// ---------------------------------------------------------------------------
+
+static double vlt_pairhmm_one(
+    const uint8_t* a, int32_t x_len,
+    const uint8_t* r, int32_t y_len,
+    const float* miscall,           // [y_len] LOG miscall per read base
+    const float gaps[4],            // log t_mi, t_md, t_ii, t_dd
+    const float* ins_open,          // [y_len] log, or nullptr
+    const float* ins_ext,
+    const float* del_open,          // [x_len] log, or nullptr
+    const float* del_ext) {
+  // Column-major (read axis j outer): the DP's dynamic range grows along j
+  // (each consumed read base multiplies in its emission), so per-COLUMN
+  // rescaling keeps every column representable in f64; the free-end-gap sum
+  // only reads the last column, so no cross-scale mixing occurs.
+  const int32_t H = x_len + 1;
+  std::vector<double> M0(H, 0.0), D0(H, 0.0), I0(H, 0.0);
+  std::vector<double> M1(H, 0.0), D1(H, 0.0), I1(H, 0.0);
+  std::vector<double> dop(H), dex(H), tdm(H);
+  std::vector<uint8_t> au(H);
+  const double g_mi = std::exp((double)gaps[0]);
+  const double g_md = std::exp((double)gaps[1]);
+  const double g_ii = std::exp((double)gaps[2]);
+  const double g_dd = std::exp((double)gaps[3]);
+  for (int32_t i = 1; i <= x_len; i++) {
+    au[i] = a[i - 1] & ~0x20;
+    dop[i] = del_open ? std::exp((double)del_open[i - 1]) : g_md;
+    dex[i] = del_ext ? std::exp((double)del_ext[i - 1]) : g_dd;
+    double t = 1.0 - dex[i];
+    tdm[i] = t > 1e-12 ? t : 1e-12;
+  }
+  double log_scale = 0.0;
+  for (int32_t j = 1; j <= y_len; j++) {
+    const uint8_t rj = r[j - 1] & ~0x20;
+    const double m = std::exp((double)miscall[j - 1]);
+    const double noc = 1.0 - m;
+    const double io = ins_open ? std::exp((double)ins_open[j - 1]) : g_mi;
+    const double ie = ins_ext ? std::exp((double)ins_ext[j - 1]) : g_ii;
+    double tim = 1.0 - ie;
+    if (tim < 1e-12) tim = 1e-12;
+    // the free-start contribution enters every M/I cell of column 1 at the
+    // CURRENT scale, so it must be expressed in the accumulated scale
+    const double start_w = (j == 1) ? std::exp(-log_scale) : 0.0;
+    // i = 0: leading pure insertion
+    M1[0] = 0.0; D1[0] = 0.0;
+    I1[0] = m * (ie * I0[0] + start_w * io);
+    double colmax = I1[0];
+    for (int32_t i = 1; i <= x_len; i++) {
+      double e_m;
+      if (au[i] == rj) e_m = noc;
+      else if (rj == 'N') e_m = 0.25;
+      else e_m = m * (1.0 / 3.0);
+      double t_mm = 1.0 - io - dop[i];
+      if (t_mm < 1e-12) t_mm = 1e-12;
+      const double Mv = e_m * (t_mm * M0[i - 1] + tdm[i] * D0[i - 1] +
+                               tim * I0[i - 1] + start_w);
+      const double Iv = m * (io * M0[i] + ie * I0[i] + start_w * io);
+      M1[i] = Mv; I1[i] = Iv;
+      // D depends on current column at i-1 (gap in read)
+      const double Dv = dop[i] * M1[i - 1] + dex[i] * D1[i - 1];
+      D1[i] = Dv;
+      double mx = Mv > Dv ? Mv : Dv;
+      if (Iv > mx) mx = Iv;
+      if (mx > colmax) colmax = mx;
+    }
+    if (colmax > 0.0 && colmax < 1e-120) {
+      const double s = 1e120;
+      for (int32_t i = 0; i <= x_len; i++) { M1[i] *= s; D1[i] *= s; I1[i] *= s; }
+      log_scale -= std::log(s);
+    }
+    M0.swap(M1); D0.swap(D1); I0.swap(I1);
+  }
+  double total = 0.0;
+  for (int32_t i = 0; i <= x_len; i++) total += M0[i] + I0[i];
+  if (total <= 0.0 || y_len == 0) return -1e30;
+  return std::log(total) + log_scale;
+}
+
+extern "C" int32_t vlt_pairhmm_forward_batch(
+    const uint8_t* alleles, const int64_t* allele_off, const int32_t* allele_len,
+    const uint8_t* reads, const int64_t* read_off, const int32_t* read_len,
+    const float* miscalls,          // concatenated, read offsets
+    const float* gaps,              // [4] log
+    const float* ins_open, const float* ins_ext,   // concatenated per read, or nullptr
+    const float* del_open, const float* del_ext,   // concatenated per allele, or nullptr
+    int32_t n_items, int32_t n_threads, double* out) {
+  auto work = [&](int32_t lo, int32_t hi) {
+    for (int32_t b = lo; b < hi; b++) {
+      out[b] = vlt_pairhmm_one(
+          alleles + allele_off[b], allele_len[b],
+          reads + read_off[b], read_len[b],
+          miscalls + read_off[b], gaps,
+          ins_open ? ins_open + read_off[b] : nullptr,
+          ins_ext ? ins_ext + read_off[b] : nullptr,
+          del_open ? del_open + allele_off[b] : nullptr,
+          del_ext ? del_ext + allele_off[b] : nullptr);
+    }
+  };
+  if (n_threads <= 1 || n_items < 64) {
+    work(0, n_items);
+  } else {
+    std::vector<std::thread> ts;
+    const int32_t chunk = (n_items + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+      const int32_t lo = t * chunk;
+      const int32_t hi = lo + chunk < n_items ? lo + chunk : n_items;
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return 0;
 }

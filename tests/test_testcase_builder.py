@@ -20,7 +20,7 @@ def test_bam_writer_roundtrip(ref_tests, tmp_path):
     assert a.qname == b.qname
     assert a.pos == b.pos and a.flag == b.flag and a.mapq == b.mapq
     assert (a.seq == b.seq).all() and (a.qual == b.qual).all()
-    assert (a.cigar == b.cigar).all()
+    assert list(a.cigar) == list(b.cigar)
     assert a.tags.get("NM") == b.tags.get("NM")
 
 

@@ -190,7 +190,14 @@ def preprocess(
 
     fragment_ids = FragmentIdFactory() if options.report_fragment_ids else None
     current_contig = None
-    with ObservationWriter(
+    # .bcf/.vcf output -> the reference's observation format v15 (so the
+    # wider varlociraptor ecosystem can consume our preprocess output);
+    # anything else -> the native versioned JSON-lines format
+    if str(output_path).endswith((".bcf", ".vcf")):
+        from .ref_obs import ReferenceObservationWriter as _WriterCls
+    else:
+        _WriterCls = ObservationWriter
+    with _WriterCls(
         output_path,
         sample_name=sample_name,
         options={

@@ -344,3 +344,284 @@ def open_observations(path, sample_name: str | None = None):
         f"{path} is neither a JSON-lines observation file nor a "
         "varlociraptor observation BCF"
     )
+
+
+# ---------------------------------------------------------------------------
+# Writing (observation format v15, preprocessing/mod.rs:921-1038)
+# ---------------------------------------------------------------------------
+
+# inverse enum maps (read_observation.rs:51-57,125-129,213-217)
+_STRAND_INV = {v: k for k, v in _STRAND.items()}
+_READ_POSITION_INV = {v: k for k, v in _READ_POSITION.items()}
+_ALT_LOCUS_INV = {v: k for k, v in _ALT_LOCUS.items()}
+_READ_ORIENTATION_INV = {v: k for k, v in _READ_ORIENTATION.items()}
+
+OBSERVATION_FORMAT_VERSION_REF = "15"
+
+
+class _ByteWriter:
+    def __init__(self):
+        self.parts = []
+
+    def _pack(self, fmt, v):
+        self.parts.append(struct.pack(fmt, v))
+
+    def u8(self, v):
+        self._pack("<B", v)
+
+    def u32(self, v):
+        self._pack("<I", v)
+
+    def u64(self, v):
+        self._pack("<Q", v)
+
+    def i8(self, v):
+        self._pack("<b", v)
+
+    def f32(self, v):
+        self._pack("<f", v)
+
+    def f16(self, v):
+        self._pack("<e", np.float16(v))
+
+    def bytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _w_mini_logprob(w: _ByteWriter, v: float):
+    """MiniLogProb::new (utils/mod.rs:456-466): f16 iff prob < -10 and the
+    f16 round-trip preserves the integer part."""
+    import math as _math
+
+    v = float(v)
+    half = float(np.float16(v))
+    use16 = v < -10.0 and (
+        (v == -np.inf and half == -np.inf)
+        or (np.isfinite(half) and _math.floor(half) == _math.floor(v))
+    )
+    if use16:
+        w.u32(0)
+        w.f16(v)
+    else:
+        w.u32(1)
+        w.f32(v)
+
+
+def _w_vec(w: _ByteWriter, items, elem):
+    w.u64(len(items))
+    for it in items:
+        elem(w, it)
+
+
+def _w_option(w: _ByteWriter, v, elem):
+    if v is None:
+        w.u8(0)
+    else:
+        w.u8(1)
+        elem(w, v)
+
+
+def _w_bitvec(w: _ByteWriter, bools):
+    w.u8(1)
+    nbytes = (len(bools) + 7) // 8
+    storage = bytearray(nbytes)
+    for i, b in enumerate(bools):
+        if b:
+            storage[i // 8] |= 1 << (i % 8)
+    w.u64(nbytes)
+    for byte in storage:
+        w.u8(byte)
+    w.u64(len(bools))
+
+
+def _bytes_to_u16_csv(data: bytes) -> str:
+    if len(data) % 2:
+        data += b"\x00"
+    return ",".join(
+        str(struct.unpack_from("<H", data, i)[0]) for i in range(0, len(data), 2)
+    )
+
+
+def encode_reference_observations(pileup) -> dict:
+    """Pileup -> {INFO tag: comma-joined u16 ints} in format v15."""
+    obs = pileup.read_observations
+
+    def packed(build):
+        w = _ByteWriter()
+        build(w)
+        return _bytes_to_u16_csv(w.bytes())
+
+    from ..evidence.observation import READ_POSITION_MAJOR
+
+    info = {}
+    info["FRAGMENT_ID"] = packed(
+        lambda w: _w_vec(
+            w,
+            [o.fragment_id for o in obs],
+            lambda ww, v: _w_option(ww, v, _ByteWriter.u64),
+        )
+    )
+    for tag, get in (
+        ("PROB_MAPPING", lambda o: o.prob_mapping),
+        ("PROB_REF", lambda o: o.prob_ref),
+        ("PROB_ALT", lambda o: o.prob_alt),
+        ("PROB_MISSED_ALLELE", lambda o: o.prob_missed_allele),
+        ("PROB_SAMPLE_ALT", lambda o: o.prob_sample_alt),
+        ("PROB_DOUBLE_OVERLAP", lambda o: o.prob_double_overlap),
+    ):
+        info[tag] = packed(
+            lambda w, g=get: _w_vec(w, [g(o) for o in obs], _w_mini_logprob)
+        )
+    info["STRAND"] = packed(
+        lambda w: _w_vec(
+            w, [_STRAND_INV.get(o.strand, 3) for o in obs], _ByteWriter.u32
+        )
+    )
+    info["READ_ORIENTATION"] = packed(
+        lambda w: _w_vec(
+            w,
+            [_READ_ORIENTATION_INV.get(o.read_orientation, 8) for o in obs],
+            _ByteWriter.u32,
+        )
+    )
+    info["SOFTCLIPPED"] = packed(
+        lambda w: _w_bitvec(w, [bool(o.softclipped) for o in obs])
+    )
+    info["PAIRED"] = packed(lambda w: _w_bitvec(w, [bool(o.paired) for o in obs]))
+    info["READ_POSITION"] = packed(
+        lambda w: _w_vec(
+            w,
+            [0 if o.read_position == READ_POSITION_MAJOR else 1 for o in obs],
+            _ByteWriter.u32,
+        )
+    )
+    info["PROB_HIT_BASE"] = packed(
+        lambda w: _w_vec(w, [o.prob_hit_base for o in obs], _w_mini_logprob)
+    )
+    info["IS_MAX_MAPQ"] = packed(
+        lambda w: _w_bitvec(w, [bool(o.is_max_mapq) for o in obs])
+    )
+    info["ALT_LOCUS"] = packed(
+        lambda w: _w_vec(
+            w, [_ALT_LOCUS_INV.get(o.alt_locus, 2) for o in obs], _ByteWriter.u32
+        )
+    )
+    info["THIRD_ALLELE_EVIDENCE"] = packed(
+        lambda w: _w_vec(
+            w,
+            [o.third_allele_evidence for o in obs],
+            lambda ww, v: _w_option(ww, None if v is None else int(v), _ByteWriter.u32),
+        )
+    )
+    if any(o.prob_observable_at_homopolymer_artifact is not None for o in obs):
+        info["PROB_HOMOPOLYMER_ARTIFACT_OBSERVABLE"] = packed(
+            lambda w: _w_vec(
+                w,
+                [o.prob_observable_at_homopolymer_artifact for o in obs],
+                lambda ww, v: _w_option(ww, v, _w_mini_logprob),
+            )
+        )
+        info["PROB_HOMOPOLYMER_VARIANT_OBSERVABLE"] = packed(
+            lambda w: _w_vec(
+                w,
+                [o.prob_observable_at_homopolymer_variant for o in obs],
+                lambda ww, v: _w_option(ww, v, _w_mini_logprob),
+            )
+        )
+        info["HOMOPOLYMER_INDEL_LEN"] = packed(
+            lambda w: _w_vec(
+                w,
+                [o.homopolymer_indel_len for o in obs],
+                lambda ww, v: _w_option(ww, None if v is None else int(v), _ByteWriter.i8),
+            )
+        )
+    return info
+
+
+_OBS_INFO_HEADER_TAGS = (
+    "FRAGMENT_ID", "PROB_MAPPING", "PROB_REF", "PROB_ALT",
+    "PROB_MISSED_ALLELE", "PROB_SAMPLE_ALT", "PROB_DOUBLE_OVERLAP",
+    "STRAND", "READ_ORIENTATION", "SOFTCLIPPED", "PAIRED", "READ_POSITION",
+    "PROB_HIT_BASE", "IS_MAX_MAPQ", "ALT_LOCUS", "THIRD_ALLELE_EVIDENCE",
+    "PROB_HOMOPOLYMER_ARTIFACT_OBSERVABLE",
+    "PROB_HOMOPOLYMER_VARIANT_OBSERVABLE", "HOMOPOLYMER_INDEL_LEN",
+)
+
+
+class ReferenceObservationWriter:
+    """Write preprocess output in the reference's observation BCF/VCF format
+    (v15) so the wider varlociraptor ecosystem can consume it.  Same
+    interface as calling.observations.ObservationWriter."""
+
+    def __init__(self, path, sample_name: str, options: dict | None = None):
+        import json as _json
+
+        from ..io.vcf import open_variant_writer
+
+        self.path = path
+        header = [
+            f"##varlociraptor_observation_format_version={OBSERVATION_FORMAT_VERSION_REF}",
+            f"##varlociraptor_sample_name={sample_name}",
+            "##varlociraptor_preprocess_args="
+            + _json.dumps(options or {}, default=str).replace("\n", " "),
+            '##INFO=<ID=SVLEN,Number=A,Type=Integer,Description="SV length">',
+            '##INFO=<ID=END,Number=1,Type=Integer,Description="SV end">',
+            '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
+            '##INFO=<ID=EVENT,Number=1,Type=String,Description="Haplotype event id">',
+            '##INFO=<ID=MATEID,Number=.,Type=String,Description="Breakend mate id">',
+            '##INFO=<ID=IMPRECISE,Number=0,Type=Flag,Description="Imprecise SV">',
+        ] + [
+            f'##INFO=<ID={t},Number=.,Type=Integer,Description="Varlociraptor observations">'
+            for t in _OBS_INFO_HEADER_TAGS
+        ]
+        self._writer = open_variant_writer(path, sample_names=[], header_lines=header)
+        self._writer.__enter__()
+
+    def write_record(self, variant, pileup, aux: dict | None = None):
+        from ..io.vcf import VcfRecord
+
+        info = {}
+        kind = variant.kind
+        if kind in ("deletion", "insertion", "inversion", "duplication"):
+            # symbolic-compatible SV annotations so collect_variants
+            # round-trips (utils/collect_variants.rs:44-304)
+            svlen = variant.svlen or abs(
+                len(variant.alt_allele) - len(variant.ref_allele)
+            )
+            info["SVLEN"] = str(-svlen if kind == "deletion" else svlen)
+            info["SVTYPE"] = {
+                "deletion": "DEL",
+                "insertion": "INS",
+                "inversion": "INV",
+                "duplication": "DUP",
+            }[kind]
+        if variant.haplotype is not None:
+            info["EVENT"] = str(variant.haplotype)
+        if not variant.precise:
+            info["IMPRECISE"] = True
+        if aux:
+            info.update({k: v for k, v in aux.items()})
+        info.update(encode_reference_observations(pileup))
+        alt = variant.alt_allele
+        if kind == "breakend" and variant.spec:
+            alt = variant.spec
+        self._writer.write(
+            VcfRecord(
+                chrom=variant.chrom,
+                pos=variant.pos,
+                id=".",
+                ref=variant.ref_allele,
+                alts=[alt],
+                info=info,
+            )
+        )
+
+    def close(self):
+        self._writer.__exit__(None, None, None)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -171,6 +171,12 @@ class AlignmentProperties:
         (alignment_properties.rs:94-144)."""
         from ..io.bam import OP_D, OP_H, OP_I, OP_S
 
+        # the same record is seen by many overlapping locus fetches; the
+        # max-updates are idempotent per record, so cache the result on it
+        cached = getattr(record, "_cig_maxes", None)
+        if cached is not None and cached[0] == allow_hardclips:
+            return cached[1], cached[2]
+
         is_regular = True
         has_soft_clip = False
         read_len = max(record.read_len, 1)
@@ -197,6 +203,9 @@ class AlignmentProperties:
                 is_regular = False
             elif op == OP_H and not allow_hardclips:
                 is_regular = False
+        object.__setattr__(
+            record, "_cig_maxes", (allow_hardclips, is_regular, has_soft_clip)
+        )
         return is_regular, has_soft_clip
 
 

@@ -273,11 +273,30 @@ class Deletion(RealignedVariant):
         return super().prob_sample_alt(ev, props)
 
     def prob_sample_alt_fragment(self, left_len, right_len, props):
-        """fragments.rs:47-146."""
+        """fragments.rs:47-146.
+
+        Memoized on the alignment-properties object: the result depends only
+        on (variant len, read lens, feasible bases, isize model), and real
+        libraries have a handful of distinct read lengths, so the +-6 SD
+        erf grid is evaluated once per distinct key instead of per fragment.
+        """
         lf = self.feasible_bases(left_len, props)
         rf = self.feasible_bases(right_len, props)
         if lf is None or rf is None:
             return LOG_ZERO
+        cache = getattr(props, "_psa_frag_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(props, "_psa_frag_cache", cache)
+        key = (self.len, left_len, right_len, lf, rf)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._psa_fragment_grid(left_len, right_len, lf, rf, props)
+        cache[key] = out
+        return out
+
+    def _psa_fragment_grid(self, left_len, right_len, lf, rf, props):
         delta_ref = self.len
         delta_alt = 0
         infeasible_left = max(0, left_len - lf)

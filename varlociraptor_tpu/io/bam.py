@@ -82,7 +82,7 @@ class BamRecord:
     tid: int
     pos: int  # 0-based leftmost
     mapq: int
-    cigar: np.ndarray  # shape [n_ops, 2]: (op, len)
+    cigar: list  # [(op, len)] int tuples
     mtid: int
     mpos: int
     tlen: int
@@ -145,8 +145,13 @@ class BamRecord:
 
     @property
     def end_pos(self) -> int:
-        """0-based exclusive reference end (cigar_end)."""
-        return self.pos + self.cigar_ref_len()
+        """0-based exclusive reference end (cigar_end); cached (records are
+        shared across overlapping locus fetches)."""
+        cached = getattr(self, "_end_pos", None)
+        if cached is None:
+            cached = self.pos + self.cigar_ref_len()
+            object.__setattr__(self, "_end_pos", cached)
+        return cached
 
     def leading_softclips(self) -> int:
         for op, l in self.cigar:
@@ -341,7 +346,14 @@ class BamReader:
         qname = data[off : off + l_read_name - 1].decode("latin1")
         off += l_read_name
         cigar_raw = np.frombuffer(data[off : off + 4 * n_cigar_op], dtype="<u4")
-        cigar = np.stack([cigar_raw & 0xF, cigar_raw >> 4], axis=-1).astype(np.int64)
+        # plain python tuples: every consumer iterates the cigar in scalar
+        # loops, where numpy row indexing costs ~20x a tuple unpack
+        cigar = list(
+            zip(
+                (cigar_raw & 0xF).tolist(),
+                (cigar_raw >> 4).tolist(),
+            )
+        )
         off += 4 * n_cigar_op
         nseq_bytes = (l_seq + 1) // 2
         packed = np.frombuffer(data[off : off + nseq_bytes], dtype=np.uint8)

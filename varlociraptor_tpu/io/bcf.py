@@ -224,7 +224,10 @@ class BcfWriter:
         chrom_cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
         if self.sample_names:
             chrom_cols += ["FORMAT"] + self.sample_names
-        self.header_text = "\n".join(lines + ["\t".join(chrom_cols)]) + "\n"
+        self._lines = lines
+        self._chrom_line = "\t".join(chrom_cols)
+        self._declared_contigs = None  # filled below
+        self._declared_strings = None
         # dictionaries (same implicit order as BcfReader._parse_header)
         self._string_idx = {}
         self._contig_idx = {}
@@ -245,6 +248,8 @@ class BcfWriter:
             if m:
                 self._types[m.group(1)] = m.group(2)
         self._body = bytearray()
+        self._declared_contigs = set(self._contig_idx)
+        self._declared_strings = set(self._string_idx)
 
     # -- encoding ------------------------------------------------------
     def _encode_value(self, name: str, val) -> bytes:
@@ -324,6 +329,22 @@ class BcfWriter:
 
         self._body += struct.pack("<II", len(shared), len(indiv))
         self._body += shared + indiv
+
+    @property
+    def header_text(self) -> str:
+        """Header with dictionary entries discovered while writing records
+        (contigs / INFO keys first seen in a record must appear in the
+        header, in index order, or readers resolve them to bare indices)."""
+        extra = []
+        for name, _ in sorted(self._contig_idx.items(), key=lambda kv: kv[1]):
+            if name not in self._declared_contigs:
+                extra.append(f"##contig=<ID={name}>")
+        for name, _ in sorted(self._string_idx.items(), key=lambda kv: kv[1]):
+            if name not in self._declared_strings and name != "PASS":
+                extra.append(
+                    f'##INFO=<ID={name},Number=.,Type=String,Description="">'
+                )
+        return "\n".join(self._lines + extra + [self._chrom_line]) + "\n"
 
     def close(self):
         from .bam import _encode_bgzf

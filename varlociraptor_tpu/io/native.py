@@ -51,6 +51,7 @@ def _load():
         lib.vlt_bgzf_inflate.restype = ctypes.c_int32
         lib.vlt_bam_scan.restype = ctypes.c_int64
         lib.vlt_semiglobal_edit.restype = ctypes.c_int32
+        lib.vlt_pairhmm_forward_batch.restype = ctypes.c_int32
         _lib = lib
     except Exception:  # noqa: BLE001 - fall back to pure python
         _lib = None
@@ -141,6 +142,88 @@ def bam_scan(data: bytes, start: int):
         flags[:n].copy(),
         mapqs[:n].copy(),
     )
+
+
+def pairhmm_forward_batch(
+    alleles,
+    reads,
+    miscalls,
+    gaps,
+    ins_open=None,
+    ins_ext=None,
+    del_open=None,
+    del_ext=None,
+    n_threads=None,
+):
+    """Native linear-space semiglobal pair-HMM forward over a work batch.
+
+    alleles/reads: list[bytes]; miscalls: list[float32 arrays] (log miscall
+    per read base); gaps: [4] log f32.  Optional positional gap arrays
+    (homopolymer mode): ins_open/ins_ext per read base, del_open/del_ext per
+    allele base (lists of f32 arrays).  Returns np.float64 [n] log-probs, or
+    None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(alleles)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    a_len = np.array([len(a) for a in alleles], dtype=np.int32)
+    r_len = np.array([len(r) for r in reads], dtype=np.int32)
+    a_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(a_len[:-1], out=a_off[1:])
+    r_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(r_len[:-1], out=r_off[1:])
+    a_buf = np.frombuffer(b"".join(bytes(a) for a in alleles), dtype=np.uint8)
+    r_buf = np.frombuffer(
+        b"".join(bytes(bytearray(np.asarray(r, dtype=np.uint8))) for r in reads),
+        dtype=np.uint8,
+    )
+    m_buf = np.concatenate(
+        [np.asarray(m, dtype=np.float32) for m in miscalls]
+    ) if n else np.zeros(0, np.float32)
+    gaps32 = np.asarray(gaps, dtype=np.float32)
+    out = np.zeros(n, dtype=np.float64)
+
+    def _cat(parts, dtype=np.float32):
+        if parts is None:
+            return None
+        return np.concatenate([np.asarray(p, dtype=dtype) for p in parts])
+
+    io_buf = _cat(ins_open)
+    ie_buf = _cat(ins_ext)
+    do_buf = _cat(del_open)
+    de_buf = _cat(del_ext)
+
+    def _ptr(arr):
+        return (
+            arr.ctypes.data_as(ctypes.c_void_p)
+            if arr is not None
+            else ctypes.c_void_p(None)
+        )
+
+    nthreads = n_threads or min(8, os.cpu_count() or 1)
+    rc = lib.vlt_pairhmm_forward_batch(
+        a_buf.ctypes.data_as(ctypes.c_void_p),
+        a_off.ctypes.data_as(ctypes.c_void_p),
+        a_len.ctypes.data_as(ctypes.c_void_p),
+        r_buf.ctypes.data_as(ctypes.c_void_p),
+        r_off.ctypes.data_as(ctypes.c_void_p),
+        r_len.ctypes.data_as(ctypes.c_void_p),
+        m_buf.ctypes.data_as(ctypes.c_void_p),
+        gaps32.ctypes.data_as(ctypes.c_void_p),
+        _ptr(io_buf),
+        _ptr(ie_buf),
+        _ptr(do_buf),
+        _ptr(de_buf),
+        ctypes.c_int32(n),
+        ctypes.c_int32(nthreads),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def semiglobal_edit(allele: bytes, read: bytes):

@@ -302,6 +302,28 @@ class BatchedPairHMM:
         self.mode = mode
         self.hop = hop_params
         self._init_gaps(gap_params)
+        self._use_native = None  # resolved lazily (env override / backend)
+
+    def _native_ok(self):
+        """Use the C++ linear-space forward when running on the CPU backend
+        (the JAX wavefront kernel pays a large anti-diagonal overhead there);
+        the device kernel remains the TPU path.  VLT_NATIVE_PAIRHMM=0/1
+        overrides."""
+        if self._use_native is None:
+            import os
+
+            env = os.environ.get("VLT_NATIVE_PAIRHMM")
+            if env is not None:
+                self._use_native = env not in ("0", "false")
+            else:
+                import jax
+
+                self._use_native = jax.default_backend() == "cpu"
+            if self._use_native:
+                from ..io.native import available
+
+                self._use_native = available()
+        return self._use_native
 
     def _init_gaps(self, gap_params):
         # zero (= -inf log) extension probability means multi-base spurious
@@ -325,8 +347,14 @@ class BatchedPairHMM:
     def forward(self, alleles, reads, quals):
         """alleles: list[bytes-like]; reads: list[bytes-like];
         quals: list[uint8 array]. Returns np.array [B] log-probs."""
-        B = len(alleles)
-        assert B == len(reads) == len(quals)
+        n_req = len(alleles)
+        assert n_req == len(reads) == len(quals)
+        if self._native_ok():
+            return self._forward_native(alleles, reads, quals)
+        # pad the batch axis to a pow2 bucket so jit programs are reused
+        # across pileups (unpadded batch sizes caused one XLA compile per
+        # distinct request count)
+        B = max(8, 1 << (max(n_req, 1) - 1).bit_length())
         X = _round_up(max((len(a) for a in alleles), default=1), 32)
         Y = _round_up(max((len(r) for r in reads), default=1), 32)
         allele = np.zeros((B, X), dtype=np.uint8)
@@ -334,7 +362,9 @@ class BatchedPairHMM:
         read = np.zeros((B, Y), dtype=np.uint8)
         rlen = np.zeros(B, dtype=np.int32)
         mis = np.full((B, Y), NEG_INF, dtype=np.float32)
-        for b in range(B):
+        alen[n_req:] = 1
+        rlen[n_req:] = 1
+        for b in range(n_req):
             a = np.frombuffer(bytes(alleles[b]), dtype=np.uint8)
             r = np.asarray(reads[b], dtype=np.uint8)
             q = np.asarray(quals[b], dtype=np.float64)
@@ -365,7 +395,7 @@ class BatchedPairHMM:
                 X,
                 Y,
             )
-            return np.asarray(out, dtype=np.float64)
+            return np.asarray(out, dtype=np.float64)[:n_req]
         out = _forward_impl(
             jnp.asarray(allele),
             jnp.asarray(alen),
@@ -376,7 +406,56 @@ class BatchedPairHMM:
             X,
             Y,
         )
-        return np.asarray(out, dtype=np.float64)
+        return np.asarray(out, dtype=np.float64)[:n_req]
+
+    def _forward_native(self, alleles, reads, quals):
+        """C++ linear-space forward (io/native.py); same model as the JAX
+        kernels, per-item exact lengths (no padding)."""
+        from ..io.native import pairhmm_forward_batch
+
+        miscalls = [
+            -np.asarray(q, dtype=np.float32) * np.float32(math.log(10.0) / 10.0)
+            for q in quals
+        ]
+        kw = {}
+        if self.mode == "homopolymer" and self.hop is not None:
+            ins_open, ins_ext, del_open, del_ext = [], [], [], []
+            for a, r in zip(alleles, reads):
+                rarr = np.frombuffer(
+                    bytes(bytearray(np.asarray(r, dtype=np.uint8))), dtype=np.uint8
+                )[None, :]
+                aarr = np.frombuffer(bytes(a), dtype=np.uint8)[None, :]
+                io_, ie_ = self._positional_gaps(
+                    rarr & ~np.uint8(0x20),
+                    np.array([rarr.shape[1]]),
+                    self.gap[0],
+                    self.gap[2],
+                    self.hop.prob_seq_homopolymer,
+                    self.hop.prob_seq_extend_homopolymer,
+                )
+                do_, de_ = self._positional_gaps(
+                    aarr & ~np.uint8(0x20),
+                    np.array([aarr.shape[1]]),
+                    self.gap[1],
+                    self.gap[3],
+                    self.hop.prob_ref_homopolymer,
+                    self.hop.prob_ref_extend_homopolymer,
+                )
+                ins_open.append(io_[0])
+                ins_ext.append(ie_[0])
+                del_open.append(do_[0])
+                del_ext.append(de_[0])
+            kw = dict(
+                ins_open=ins_open,
+                ins_ext=ins_ext,
+                del_open=del_open,
+                del_ext=del_ext,
+            )
+        out = pairhmm_forward_batch(alleles, reads, miscalls, self.gap, **kw)
+        if out is None:  # native lib unavailable after all: fall back
+            self._use_native = False
+            return self.forward(alleles, reads, quals)
+        return out
 
     @staticmethod
     def _positional_gaps(seqs, lens, base_open, base_ext, hop_open, hop_ext):

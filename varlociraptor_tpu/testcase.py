@@ -98,10 +98,12 @@ class Testcase:
         return 1.0
 
     # ------------------------------------------------------------------
-    def run(self, workdir=None, pairhmm_mode=None):
+    def run(self, workdir=None, pairhmm_mode=None, obs_suffix="jsonl"):
         """Execute the full pipeline; returns (vcf_records, sample_order).
         ``pairhmm_mode`` overrides the serialized mode (the reference's
-        testcase! macro runs most cases in both exact and fast modes)."""
+        testcase! macro runs most cases in both exact and fast modes).
+        ``obs_suffix`` selects the intermediate observation format ("jsonl"
+        native; "vcf"/"bcf" the reference's format v15)."""
         workdir = Path(workdir or tempfile.mkdtemp(prefix="vlt-testcase-"))
         workdir.mkdir(parents=True, exist_ok=True)
         # reference FASTA
@@ -137,7 +139,7 @@ class Testcase:
 
                 bam = BamReader(self.dir / sample["path"])
                 props.max_read_len = max((r.read_len for r in bam), default=100)
-            out = workdir / f"{name}.obs.jsonl"
+            out = workdir / f"{name}.obs.{obs_suffix}"
             preprocess(
                 candidates_path=self.dir / self.doc["candidate"],
                 bam_path=self.dir / sample["path"],

@@ -44,6 +44,15 @@ PROB_09 = math.log(0.9)
 
 def np_ln_add_exp(a, b):
     """log(exp(a) + exp(b)), elementwise, -inf safe."""
+    if not isinstance(a, np.ndarray) and not isinstance(b, np.ndarray):
+        # scalar fast path (hot in per-read host loops; numpy scalar
+        # dispatch costs ~30x a math-module call)
+        a = float(a)
+        b = float(b)
+        m = a if a >= b else b
+        if m == LOG_ZERO:
+            return LOG_ZERO
+        return m + math.log1p(math.exp((b if a >= b else a) - m))
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     m = np.maximum(a, b)
@@ -68,14 +77,23 @@ def np_ln_sum_exp(x, axis=None):
     return np.squeeze(s, axis=axis)
 
 
+_LN2 = math.log(2.0)
+
+
 def np_ln_one_minus_exp(x):
     """log(1 - exp(x)) for x <= 0, elementwise; x==0 -> -inf."""
-    x = np.asarray(x, dtype=np.float64)
+    if not isinstance(x, np.ndarray):
+        x = float(x)
+        if x >= 0.0:
+            return LOG_ZERO
+        if x < -_LN2:
+            return math.log1p(-math.exp(x))
+        return math.log(-math.expm1(x))
     with np.errstate(divide="ignore", invalid="ignore"):
         out = np.where(
             x >= 0.0,
             LOG_ZERO,
-            np.where(x < -math.log(2.0), np.log1p(-np.exp(x)), np.log(-np.expm1(x))),
+            np.where(x < -_LN2, np.log1p(-np.exp(x)), np.log(-np.expm1(x))),
         )
     return out if out.ndim else float(out)
 
