@@ -90,9 +90,17 @@ def _combo_allowed(combo: BiasCombo, flags) -> bool:
 
 
 class GenericCaller:
-    def __init__(self, scenario: Scenario, options: CallOptions | None = None):
+    def __init__(
+        self,
+        scenario: Scenario,
+        options: CallOptions | None = None,
+        mesh=None,
+    ):
         self.scenario = scenario
         self.options = options or CallOptions()
+        # device mesh for locus-data-parallel engine evaluation
+        # (parallel.sharding.run_sharded); None = single-device jit
+        self.mesh = mesh
         self._engines = {}
         self._events_cache = {}
         self._prior_cache = {}
@@ -287,17 +295,25 @@ class GenericCaller:
             if ln_prior_joint is not None:
                 ln_prior_joint = _pad(ln_prior_joint)
 
-        out = engine.run(
-            feats,
-            mask,
-            bias_alt,
-            bias_ref,
-            bias_any,
-            combo_active,
-            branch_gates,
-            ln_prior_absent,
-            ln_prior_joint=ln_prior_joint,
-        )
+        if self.mesh is not None and ln_prior_joint is None:
+            from ..parallel.sharding import run_sharded
+
+            out = run_sharded(
+                engine, self.mesh, feats, mask, bias_alt, bias_ref,
+                bias_any, combo_active, branch_gates, ln_prior_absent,
+            )
+        else:
+            out = engine.run(
+                feats,
+                mask,
+                bias_alt,
+                bias_ref,
+                bias_any,
+                combo_active,
+                branch_gates,
+                ln_prior_absent,
+                ln_prior_joint=ln_prior_joint,
+            )
         if L < Lp:
             out = {
                 k: (v[:L] if hasattr(v, "shape") and v.shape[:1] == (Lp,) else v)
@@ -393,14 +409,16 @@ def call_generic(
     output_path,
     options: CallOptions | None = None,
     call_processor=None,
+    mesh=None,
 ):
     """Full calling pipeline (cli.rs call_generic equivalent).
 
     observation_paths: {sample_name: path}, must cover scenario samples.
-    Returns number of records called.
+    ``mesh``: optional jax.sharding.Mesh for locus-data-parallel engine
+    evaluation. Returns number of records called.
     """
     options = options or CallOptions()
-    caller = GenericCaller(scenario, options)
+    caller = GenericCaller(scenario, options, mesh=mesh)
     # samples without observation files get empty pileups (the reference
     # models per-sample readers as Option<bcf::Reader>, calling.rs:55-81)
     iters = [

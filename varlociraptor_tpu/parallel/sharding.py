@@ -66,4 +66,75 @@ def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
     )
     out = engine._run(*arrays)
     L = np.asarray(feats).shape[0]
-    return {k: np.asarray(v)[:L] for k, v in out.items()}
+    out = {k: np.asarray(v)[:L] for k, v in out.items()}
+    out["n_obs"] = np.asarray(mask).sum(axis=-1)
+    return out
+
+
+def distributed_mesh(axis: str = "loci") -> Mesh:
+    """Mesh over every addressable device; initializes jax.distributed when
+    the standard coordinator env vars are present (multi-host pods over
+    DCN).  Single-process runs get the local-device mesh unchanged."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ and not getattr(
+        distributed_mesh, "_initialized", False
+    ):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+        distributed_mesh._initialized = True
+    return locus_mesh(jax.devices(), axis=axis)
+
+
+def all_gather_rows(local_rows: np.ndarray, mesh, axis: str = "loci"):
+    """Collective gather of per-shard row blocks -> replicated full array.
+
+    The one cross-shard reduction the pipeline needs (global FDR statistics,
+    SURVEY.md §3.3): each shard contributes a [rows_i, C] block; blocks are
+    padded to the max row count, laid out [n_shards, max_rows, C] sharded on
+    the shard axis, and an ``all_gather`` over the mesh axis replicates the
+    full tensor.  Returns the concatenated [sum rows_i, C] numpy array in
+    shard order (NaN-row padding stripped).
+    """
+    from jax import shard_map
+
+    n_dev = mesh.devices.size
+    blocks = np.array_split(np.asarray(local_rows, dtype=np.float64), n_dev)
+    max_rows = max((b.shape[0] for b in blocks), default=0)
+    C = local_rows.shape[1] if local_rows.ndim == 2 else 1
+    stacked = np.zeros((n_dev, max(max_rows, 1), C), dtype=np.float64)
+    for i, b in enumerate(blocks):
+        stacked[i, : b.shape[0]] = b.reshape(b.shape[0], C)
+    # carry the f64 BITS as int32 pairs: device arrays default to f32
+    # (jax_enable_x64 off), which would silently round the statistics and
+    # shift FDR thresholds at the last ulp
+    bits = stacked.view(np.int32).reshape(n_dev, max(max_rows, 1), C * 2)
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    x = jax.device_put(bits, sharding)
+
+    @jax.jit
+    def gather(x):
+        def f(blk):  # blk [1, max_rows, C] per shard
+            return jax.lax.all_gather(blk, axis, tiled=True)
+
+        return shard_map(
+            f,
+            mesh=mesh,
+            in_specs=P(axis, None, None),
+            out_specs=P(None, None, None),
+            check_vma=False,
+        )(x)
+
+    full = (
+        np.ascontiguousarray(np.asarray(gather(x)))
+        .view(np.float64)
+        .reshape(n_dev, max(max_rows, 1), C)
+    )  # replicated, bit-exact
+    rows = []
+    for i, b in enumerate(blocks):
+        rows.append(full[i, : b.shape[0]])
+    out = np.concatenate(rows, axis=0) if rows else np.zeros((0, C))
+    return out if local_rows.ndim == 2 else out[:, 0]
