@@ -240,11 +240,35 @@ def _parse_tags(buf: bytes) -> dict:
     return tags
 
 
-class BamReader:
-    """Eager in-memory BAM reader with per-contig sorted indexes."""
+LAZY_THRESHOLD_BYTES = 32 << 20  # files above this with an index stream lazily
 
-    def __init__(self, path):
+
+class BamReader:
+    """BAM reader.
+
+    Small / unindexed files are decoded eagerly in memory (fast for the
+    testcase-scale mini-BAMs).  Files with a .bai/.csi index above
+    ``LAZY_THRESHOLD_BYTES`` (or with ``lazy=True``) stream: region fetches
+    resolve index chunks to BGZF virtual offsets and only the touched
+    blocks are ever decompressed (LRU block cache), so memory stays bounded
+    on multi-GB WGS BAMs (sample.rs:96-139 RecordBuffer semantics)."""
+
+    def __init__(self, path, lazy: bool | None = None):
         self.path = Path(path)
+        from .bam_index import BamIndex
+
+        self._index = BamIndex.load(self.path)
+        size = self.path.stat().st_size
+        self._lazy = (
+            lazy
+            if lazy is not None
+            else (self._index is not None and size >= LAZY_THRESHOLD_BYTES)
+        )
+        if self._lazy:
+            if self._index is None:
+                raise ValueError(f"lazy BAM access requires a .bai/.csi index for {path}")
+            self._init_lazy()
+            return
         raw = self.path.read_bytes()
         # native parallel BGZF inflate when available (io/native.py)
         from . import native
@@ -314,6 +338,138 @@ class BamReader:
             spans = self._ends[order] - self._positions[order]
             self._max_span[int(tid)] = int(spans.max()) if len(spans) else 0
 
+    # -- lazy (indexed, streaming) mode --------------------------------
+    def _init_lazy(self):
+        from collections import OrderedDict
+
+        self._fh = open(self.path, "rb")
+        self._block_cache: "OrderedDict[int, tuple[bytes, int]]" = OrderedDict()
+        self._block_cache_cap = 512  # ~32MB of decompressed blocks
+        self._lazy_rec_cache: "OrderedDict[int, BamRecord]" = OrderedDict()
+        self._lazy_rec_cap = 50000
+        # parse the BAM header by streaming blocks from the start
+        co, uo = 0, 0
+        magic, co, uo = self._vread(co, uo, 4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{self.path} is not BAM")
+        raw, co, uo = self._vread(co, uo, 4)
+        l_text = struct.unpack("<i", raw)[0]
+        text, co, uo = self._vread(co, uo, l_text)
+        self.header_text = text.rstrip(b"\x00").decode("latin1")
+        raw, co, uo = self._vread(co, uo, 4)
+        n_ref = struct.unpack("<i", raw)[0]
+        self.ref_names = []
+        self.ref_lengths = []
+        for _ in range(n_ref):
+            raw, co, uo = self._vread(co, uo, 4)
+            l_name = struct.unpack("<i", raw)[0]
+            raw, co, uo = self._vread(co, uo, l_name + 4)
+            self.ref_names.append(raw[: l_name - 1].decode("latin1"))
+            self.ref_lengths.append(struct.unpack_from("<i", raw, l_name)[0])
+        self._tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
+        self._first_record_voffset = (co << 16) | uo
+
+    def _block(self, coffset: int):
+        """Decompressed block at compressed offset -> (data, next_coffset)."""
+        hit = self._block_cache.get(coffset)
+        if hit is not None:
+            self._block_cache.move_to_end(coffset)
+            return hit
+        self._fh.seek(coffset)
+        head = self._fh.read(18)
+        if len(head) < 18 or head[:2] != b"\x1f\x8b":
+            return (b"", coffset)  # EOF / trailer
+        xlen = struct.unpack_from("<H", head, 10)[0]
+        extra = head[12:18]
+        if xlen > 6:
+            extra += self._fh.read(xlen - 6)
+        bsize = None
+        epos = 0
+        while epos + 4 <= len(extra):
+            si1, si2, slen = extra[epos], extra[epos + 1], struct.unpack_from(
+                "<H", extra, epos + 2
+            )[0]
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, epos + 4)[0] + 1
+                break
+            epos += 4 + slen
+        if bsize is None:
+            raise ValueError("non-BGZF gzip member in indexed BAM")
+        cdata = self._fh.read(bsize - 12 - xlen - 8)
+        data = zlib.decompress(cdata, wbits=-15)
+        entry = (data, coffset + bsize)
+        self._block_cache[coffset] = entry
+        if len(self._block_cache) > self._block_cache_cap:
+            self._block_cache.popitem(last=False)
+        return entry
+
+    def _vread(self, coffset: int, uoffset: int, n: int):
+        """Read n bytes at virtual position -> (bytes|None, coffset', uoffset')."""
+        parts = []
+        need = n
+        while need > 0:
+            data, nxt = self._block(coffset)
+            if not data:
+                return (None, coffset, uoffset) if parts or need == n else (
+                    None, coffset, uoffset
+                )
+            take = data[uoffset : uoffset + need]
+            parts.append(take)
+            need -= len(take)
+            uoffset += len(take)
+            if uoffset >= len(data) and need > 0:
+                coffset, uoffset = nxt, 0
+            elif uoffset >= len(data) and need == 0:
+                # normalize to the start of the next block so voffset
+                # comparisons against chunk ends behave
+                coffset, uoffset = nxt, 0
+        out = b"".join(parts)
+        return (out if len(out) == n else None), coffset, uoffset
+
+    def _lazy_record_at(self, voffset: int):
+        rec = self._lazy_rec_cache.get(voffset)
+        if rec is not None:
+            self._lazy_rec_cache.move_to_end(voffset)
+            return rec
+        co, uo = voffset >> 16, voffset & 0xFFFF
+        raw, co, uo = self._vread(co, uo, 4)
+        if raw is None:
+            return None
+        (bs,) = struct.unpack("<i", raw)
+        body, co, uo = self._vread(co, uo, bs)
+        if body is None:
+            return None
+        rec = self._parse_record(body, 0, bs)
+        self._lazy_rec_cache[voffset] = rec
+        if len(self._lazy_rec_cache) > self._lazy_rec_cap:
+            self._lazy_rec_cache.popitem(last=False)
+        return rec
+
+    def _lazy_stream(self, voffset: int):
+        """Yield (voffset, record, next_voffset) from a virtual offset."""
+        co, uo = voffset >> 16, voffset & 0xFFFF
+        while True:
+            start_v = (co << 16) | uo
+            raw, co2, uo2 = self._vread(co, uo, 4)
+            if raw is None:
+                return
+            (bs,) = struct.unpack("<i", raw)
+            cached = self._lazy_rec_cache.get(start_v)
+            if cached is not None:
+                self._lazy_rec_cache.move_to_end(start_v)
+                # still need to advance past the body
+                _, co, uo = self._vread(co2, uo2, bs)
+                yield start_v, cached, (co << 16) | uo
+                continue
+            body, co, uo = self._vread(co2, uo2, bs)
+            if body is None:
+                return
+            rec = self._parse_record(body, 0, bs)
+            self._lazy_rec_cache[start_v] = rec
+            if len(self._lazy_rec_cache) > self._lazy_rec_cap:
+                self._lazy_rec_cache.popitem(last=False)
+            yield start_v, rec, (co << 16) | uo
+
     def _record_at(self, index: int) -> BamRecord:
         off = int(self._offsets[index])
         rec = self._rec_cache.get(off)
@@ -325,6 +481,9 @@ class BamReader:
 
     @property
     def records(self) -> list[BamRecord]:
+        if self._lazy:
+            # materializes the whole file; prefer iteration / fetch
+            return list(self)
         return [self._record_at(i) for i in range(len(self._offsets))]
 
     @staticmethod
@@ -387,6 +546,20 @@ class BamReader:
     def fetch(self, contig: str, start: int, end: int) -> list[BamRecord]:
         """Records overlapping [start, end) on contig, in start order."""
         tid = self._tid_by_name.get(contig)
+        if self._lazy:
+            if tid is None:
+                return []
+            out = []
+            for vbeg, vend in self._index.chunks(tid, start, end):
+                for _, rec, nxt in self._lazy_stream(vbeg):
+                    if rec.tid > tid or (rec.tid == tid and rec.pos >= end):
+                        break
+                    if rec.tid == tid and rec.end_pos > start and rec.pos < end:
+                        out.append(rec)
+                    if nxt >= vend:
+                        break
+            out.sort(key=lambda r: r.pos)
+            return out
         if tid is None or tid not in self._tid_order:
             return []
         order = self._tid_order[tid]
@@ -398,10 +571,20 @@ class BamReader:
         return [self._record_at(int(i)) for i in cand]
 
     def __iter__(self):
+        if self._lazy:
+            for _, rec, _ in self._lazy_stream(self._first_record_voffset):
+                yield rec
+            return
         for i in range(len(self._offsets)):
             yield self._record_at(i)
 
     def __len__(self):
+        if self._lazy:
+            n = getattr(self, "_lazy_len", None)
+            if n is None:
+                n = sum(1 for _ in self)
+                self._lazy_len = n
+            return n
         return len(self._offsets)
 
 

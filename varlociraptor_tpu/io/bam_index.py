@@ -1,0 +1,164 @@
+"""BAI/CSI index parsing + virtual-offset chunk queries.
+
+Genome-scale substrate for indexed region access
+(``/root/reference/src/variants/sample.rs:96-139`` fetches through htslib's
+index machinery): the binning scheme maps a [start, end) query to candidate
+chunks of BGZF virtual offsets (coffset << 16 | uoffset), so a multi-GB BAM
+is touched only where the pileup needs it.
+
+BAI: fixed min_shift=14, depth=5, plain (uncompressed) file, linear index
+per 16kb window.  CSI: BGZF-compressed, explicit min_shift/depth, per-bin
+loffset replaces the linear index.  (SAM spec §5.2/§5.4.)
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from pathlib import Path
+
+
+def reg2bins(beg: int, end: int, min_shift: int, depth: int):
+    """All bins overlapping [beg, end) (SAM spec reg2bins)."""
+    if end <= beg:
+        end = beg + 1
+    bins = []
+    t = 0
+    s = min_shift + depth * 3
+    for level in range(depth + 1):
+        b = t + (beg >> s)
+        e = t + ((end - 1) >> s)
+        bins.extend(range(b, e + 1))
+        s -= 3
+        t += 1 << (level * 3)
+    return bins
+
+
+class BamIndex:
+    """Parsed BAI or CSI index."""
+
+    def __init__(self, min_shift, depth, bins_per_ref, ioffsets_per_ref):
+        self.min_shift = min_shift
+        self.depth = depth
+        # per ref: {bin: (loffset, [(vbeg, vend), ...])}
+        self.bins = bins_per_ref
+        # per ref: linear index (BAI only; [] for CSI)
+        self.ioffsets = ioffsets_per_ref
+
+    # -- loading -------------------------------------------------------
+    @classmethod
+    def load(cls, bam_path) -> "BamIndex | None":
+        bam_path = Path(bam_path)
+        for suffix, parse in ((".csi", cls._parse_csi), (".bai", cls._parse_bai)):
+            for cand in (
+                bam_path.with_suffix(bam_path.suffix + suffix),
+                bam_path.with_suffix(suffix),
+            ):
+                if cand.exists():
+                    return parse(cand.read_bytes())
+        return None
+
+    @classmethod
+    def _parse_bai(cls, raw: bytes) -> "BamIndex":
+        if raw[:4] != b"BAI\x01":
+            raise ValueError("bad BAI magic")
+        pos = 4
+        (n_ref,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        bins_per_ref = []
+        ioffsets_per_ref = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", raw, pos)
+            pos += 4
+            bins = {}
+            for _ in range(n_bin):
+                b, n_chunk = struct.unpack_from("<Ii", raw, pos)
+                pos += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", raw, pos)
+                    pos += 16
+                    chunks.append((beg, end))
+                if b != 37450:  # metadata pseudo-bin
+                    bins[b] = (0, chunks)
+            (n_intv,) = struct.unpack_from("<i", raw, pos)
+            pos += 4
+            ioff = list(struct.unpack_from(f"<{n_intv}Q", raw, pos))
+            pos += 8 * n_intv
+            bins_per_ref.append(bins)
+            ioffsets_per_ref.append(ioff)
+        return cls(14, 5, bins_per_ref, ioffsets_per_ref)
+
+    @classmethod
+    def _parse_csi(cls, raw: bytes) -> "BamIndex":
+        if raw[:2] == b"\x1f\x8b":
+            raw = gzip.decompress(raw)
+        if raw[:4] != b"CSI\x01":
+            raise ValueError("bad CSI magic")
+        min_shift, depth, l_aux = struct.unpack_from("<iii", raw, 4)
+        pos = 16 + l_aux
+        (n_ref,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        # metadata pseudo-bin id for CSI
+        max_bin = ((1 << ((depth + 1) * 3)) - 1) // 7
+        bins_per_ref = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", raw, pos)
+            pos += 4
+            bins = {}
+            for _ in range(n_bin):
+                b, loffset, n_chunk = struct.unpack_from("<IQi", raw, pos)
+                pos += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", raw, pos)
+                    pos += 16
+                    chunks.append((beg, end))
+                if b <= max_bin:
+                    bins[b] = (loffset, chunks)
+            bins_per_ref.append(bins)
+        return cls(min_shift, depth, bins_per_ref, [[] for _ in bins_per_ref])
+
+    # -- queries -------------------------------------------------------
+    def chunks(self, tid: int, beg: int, end: int):
+        """Merged (vbeg, vend) chunk list covering the query region."""
+        if tid < 0 or tid >= len(self.bins):
+            return []
+        ref_bins = self.bins[tid]
+        # minimum interesting virtual offset: linear index (BAI), or the
+        # loffset of the deepest existing bin containing beg (CSI) — without
+        # it, coarse upper-level bins make every query span the whole contig
+        min_off = 0
+        ioff = self.ioffsets[tid]
+        if ioff:
+            w = beg >> 14
+            if w < len(ioff):
+                min_off = ioff[w]
+        else:
+            t = ((1 << (self.depth * 3)) - 1) // 7
+            b = t + (beg >> self.min_shift)
+            while True:
+                ent = ref_bins.get(b)
+                if ent is not None and ent[0] > 0:
+                    min_off = ent[0]
+                    break
+                if b == 0:
+                    break
+                b = (b - 1) >> 3  # parent bin
+        chunks = []
+        for b in reg2bins(beg, end, self.min_shift, self.depth):
+            ent = ref_bins.get(b)
+            if ent is None:
+                continue
+            loffset, cks = ent
+            for cb, ce in cks:
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+        chunks.sort()
+        merged = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+            else:
+                merged.append((cb, ce))
+        return merged
