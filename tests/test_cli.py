@@ -245,7 +245,7 @@ def test_unsorted_candidates_rejected(ref_resources, tmp_path):
         "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
         "chr10\t500\t.\tA\tG\t.\t.\t.\nchr10\t100\t.\tA\tG\t.\t.\t.\n"
     )
-    with _pytest.raises(ValueError, match="not coordinate-sorted"):
+    with _pytest.raises(ValueError, match="is not sorted"):
         preprocess(
             vcf,
             ref_resources / "tumor-first30000.bam",

@@ -260,3 +260,98 @@ def test_likelihood_absent_equals_prob_ref():
     assert float(ll[0, 0, 0, 0]) < -1e29
     # af=1 -> alt explains all reads perfectly
     assert abs(float(ll[0, 0, 0, 1])) < 1e-5
+
+
+def test_chained_l2fc_matches_bruteforce():
+    """l2fc(a,b) & l2fc(b,c) chained constraints (log2_fold_change.rs
+    composes freely in the vaftree): tree elimination must equal the dense
+    triple-grid integral."""
+    from varlociraptor_tpu.ops.event_program import LfcConstraint
+    from varlociraptor_tpu.ops.likelihood import sample_loglik_grid
+    import jax.numpy as jnp
+
+    n_s = 3
+    chained = EventSpec(
+        name="equal_all",
+        branches=(
+            BranchSpec(
+                spectra=tuple(
+                    SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True)
+                    for _ in range(n_s)
+                ),
+                lfcs=(
+                    LfcConstraint(0, 1, "==", 0.0),
+                    LfcConstraint(1, 2, "<=", 1.0),
+                ),
+            ),
+        ),
+    )
+    events = [absent_event(n_s), chained]
+    piles = [
+        [
+            Pileup(read_observations=[alt_obs() for _ in range(6)] + [ref_obs() for _ in range(6)])
+            for _ in range(n_s)
+        ]
+    ]
+    samples = [SampleConfig(f"s{i}") for i in range(n_s)]
+    engine, out = build_inputs(piles, events, samples=samples)
+
+    # brute force: dense sum over the 3-sample grid with both masks
+    g = engine.grid.values
+    batch = ObservationBatch.collate(piles, depth=16)
+    combos = [BiasCombo()]
+    bias = build_bias_tensor(piles[0], combos, 16)
+    ll = np.asarray(
+        sample_loglik_grid(
+            jnp.asarray(batch.features), jnp.asarray(batch.mask),
+            jnp.asarray(bias.alt[None]), jnp.asarray(bias.ref[None]),
+            jnp.asarray(bias.any[None]), jnp.asarray(g.astype(np.float32)),
+        )
+    )[0, :, 0]  # [S, G]
+    bi = engine.event_branch_idx[1][0]
+    w = np.zeros((n_s, len(g)))
+    # indicator-free: reproduce engine trapezoid weights via its own helper
+    import jax
+
+    n_obs = jnp.asarray(batch.mask.sum(-1), dtype=jnp.float32)
+    wfull = np.asarray(engine._branch_weights(n_obs))  # [L,NB,S,G]
+    w = wfull[0, bi]  # [S,G]
+    m01 = engine.branch_lfc_masks[bi][0][2]
+    m12 = engine.branch_lfc_masks[bi][1][2]
+    total = -np.inf
+    vals = ll + w  # [S,G]
+    for i0 in range(len(g)):
+        for i1 in range(len(g)):
+            if not m01[i0, i1]:
+                continue
+            row = vals[0, i0] + vals[1, i1] + vals[2] + np.where(m12[i1], 0.0, -np.inf)
+            total = np.logaddexp(total, np_ln_sum_exp_safe(row))
+    # engine branch value before absent-split: recompute via joint output is
+    # entangled; instead compare posteriors ratio using a direct engine hook
+    got_T = None
+    # evaluate engine's internal T by re-running _run_impl pieces is
+    # overkill; instead verify the POSTERIOR matches a brute-force
+    # two-event model built from the same integrals
+    # absent branch: {0} set spectra -> indicator weight 0 at the zero point
+    absent_T = float(ll[:, engine.zero_idx].sum())
+    import math as _math
+
+    pa = _math.log(0.5)
+    from varlociraptor_tpu.ops.likelihood import _ln1mexp as _l1m
+
+    # both events all_uniform_prior=False default: absent-only split applies
+    ln_not_absent = float(np.asarray(_l1m(jnp.asarray(pa))))
+    z0_chained = False  # ]0,1] excludes zero -> no zero point
+    bv_chained = float(np.logaddexp(ln_not_absent + total, -np.inf))
+    bv_absent = float(np.logaddexp(-np.inf, pa + absent_T))
+    joint = np.array([_math.log(0.5) + bv_absent, _math.log(0.5) + bv_chained])
+    want_post = joint - np_ln_sum_exp_safe(joint)
+    np.testing.assert_allclose(out["posteriors"][0], want_post, rtol=1e-4, atol=2e-3)
+
+
+def np_ln_sum_exp_safe(x):
+    x = np.asarray(x, dtype=np.float64)
+    m = np.max(x)
+    if not np.isfinite(m):
+        return m
+    return float(m + np.log(np.sum(np.exp(x - m))))

@@ -199,6 +199,45 @@ class GenericCaller:
             hints=hints,
         )
 
+    def _full_prior_table(self, contig, variant, prior, grid, S):
+        """Dense joint-grid prior table for --full-prior, cached per
+        (contig, vartype, per-variant overrides): the table is
+        locus-independent unless the candidate carries HETEROZYGOSITY /
+        SOMATIC_EFFECTIVE_MUTATION_RATE INFO overrides (prior.rs:251-271)."""
+        key = (
+            contig,
+            variant.kind,
+            variant.heterozygosity,
+            variant.somatic_effective_mutation_rate,
+            S,
+        )
+        cache = getattr(self, "_full_prior_tables", None)
+        if cache is None:
+            cache = self._full_prior_tables = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        g = grid.values.astype(np.float64)
+        prior.is_absent_only = False
+        try:
+            table = np.zeros((len(g),) * S, dtype=np.float32)
+            if S == 1:
+                for i, v in enumerate(g):
+                    table[i] = prior.compute([v])
+            elif S == 2:
+                for i, v0 in enumerate(g):
+                    for j, v1 in enumerate(g):
+                        table[i, j] = prior.compute([v0, v1])
+            else:
+                for i, v0 in enumerate(g):
+                    for j, v1 in enumerate(g):
+                        for k, v2 in enumerate(g):
+                            table[i, j, k] = prior.compute([v0, v1, v2])
+        finally:
+            prior.is_absent_only = True
+        cache[key] = table
+        return table
+
     def call_batch(self, items: list[WorkItem], contig: str):
         """Evaluate a batch of work items (same contig). Returns list of
         per-item result dicts."""
@@ -241,7 +280,7 @@ class GenericCaller:
 
         ln_prior_absent = np.zeros(L, dtype=np.float32)
         ln_prior_joint = None
-        if self.options.full_prior and S <= 2:
+        if self.options.full_prior and S <= 3:
             g = grid.values.astype(np.float64)
             shape = (L,) + (len(g),) * S
             ln_prior_joint = np.zeros(shape, dtype=np.float32)
@@ -255,16 +294,9 @@ class GenericCaller:
                 )
             ln_prior_absent[li] = prior.prob_absent()
             if ln_prior_joint is not None:
-                prior.is_absent_only = False
-                g = grid.values.astype(np.float64)
-                if S == 1:
-                    for i, v in enumerate(g):
-                        ln_prior_joint[li, i] = prior.compute([v])
-                else:
-                    for i, v0 in enumerate(g):
-                        for j, v1 in enumerate(g):
-                            ln_prior_joint[li, i, j] = prior.compute([v0, v1])
-                prior.is_absent_only = True
+                ln_prior_joint[li] = self._full_prior_table(
+                    contig, it.variant, prior, grid, S
+                )
 
         # pad the locus axis to the fixed batch size so partial batches
         # reuse the compiled program (padded loci carry empty pileups and
@@ -410,12 +442,16 @@ def call_generic(
     options: CallOptions | None = None,
     call_processor=None,
     mesh=None,
+    candidate_filter=None,
 ):
     """Full calling pipeline (cli.rs call_generic equivalent).
 
     observation_paths: {sample_name: path}, must cover scenario samples.
     ``mesh``: optional jax.sharding.Mesh for locus-data-parallel engine
-    evaluation. Returns number of records called.
+    evaluation.  ``candidate_filter``: optional WorkItem predicate — items
+    returning False are skipped entirely (the reference's CandidateFilter
+    plug-in trait, calling.rs:964-1020; used by contamination estimation).
+    Returns number of records called.
     """
     options = options or CallOptions()
     caller = GenericCaller(scenario, options, mesh=mesh)
@@ -504,6 +540,8 @@ def call_generic(
                     raise ValueError("inconsistent observation files (different loci)")
             pileups = [r[1] if r is not None else Pileup() for r in recs]
             item = caller.make_work_item(n, v0, pileups)
+            if candidate_filter is not None and not candidate_filter(item):
+                continue
             if batch_contig is not None and (
                 v0.chrom != batch_contig or len(batch_items) >= options.batch_size
             ):

@@ -40,6 +40,9 @@ class PreprocessOptions:
     # ecosystem pattern for data parallelism — run one preprocess per
     # region shard, then chain the shards at call time
     region: str | None = None
+    # "default": progress every 100 records; "each-record": per-record
+    # logging (cli.rs:348-357 --log-mode)
+    log_mode: str = "default"
 
 
 def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
@@ -136,10 +139,10 @@ def preprocess(
             last[r.chrom] = r.pos
             order.append(r.chrom)
         elif r.pos < last[r.chrom]:
-            raise ValueError(
-                f"candidate records are not coordinate-sorted: "
-                f"{r.chrom}:{r.pos + 1} after {r.chrom}:{last[r.chrom] + 1}; "
-                "sort the candidate file first"
+            from ..errors import UnsortedVariantFileError
+
+            raise UnsortedVariantFileError(
+                f"{r.chrom}:{last[r.chrom] + 1}", f"{r.chrom}:{r.pos + 1}"
             )
         elif r.chrom != order[-1]:
             raise ValueError(
@@ -313,7 +316,7 @@ def preprocess(
                         options.output_raw_observations, info, pileup
                     )
                 n += 1
-                if n % 100 == 0:
+                if options.log_mode == "each-record" or n % 100 == 0:
                     import sys as _sys
 
                     print(
@@ -321,6 +324,19 @@ def preprocess(
                         f"(at {info.chrom}:{info.pos + 1})",
                         file=_sys.stderr,
                     )
+                # skip-reason counters every 100 skips
+                # (variant_buffer.rs:59-60,189-195)
+                n_skipped = sum(skipped.values())
+                if n_skipped and n_skipped % 100 == 0 and skipped != getattr(
+                    preprocess, "_last_reported_skips", None
+                ):
+                    import sys as _sys
+
+                    print(
+                        f"preprocess: skipped so far: {dict(skipped)}",
+                        file=_sys.stderr,
+                    )
+                    preprocess._last_reported_skips = dict(skipped)
     if skipped:
         import sys
 

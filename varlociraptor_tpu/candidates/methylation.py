@@ -44,22 +44,32 @@ def _motif_positions(seq: np.ndarray, motif: str):
 
 
 def find_candidates(reference_path, output_path, motif: str = "CG") -> int:
+    """``motif`` may be a comma-separated list (cli.rs:128-132); positions
+    are merged and emitted in coordinate order per contig."""
     fasta = FastaBuffer(reference_path)
+    motifs = [m.strip() for m in str(motif).split(",") if m.strip()]
     n = 0
     header = [
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Type">',
-        f"##methylation_motif={motif}",
+        f"##methylation_motif={','.join(motifs)}",
     ]
     with open_variant_writer(output_path, header_lines=header) as w:
         for contig in fasta.contigs():
             seq = fasta.seq(contig)
-            for pos in _motif_positions(seq, motif):
+            positions = sorted(
+                {
+                    int(p)
+                    for m in motifs
+                    for p in _motif_positions(seq, m)
+                }
+            )
+            for pos in positions:
                 w.write(
                     VcfRecord(
                         chrom=contig,
-                        pos=int(pos),
+                        pos=pos,
                         id=".",
-                        ref=chr(seq[int(pos)]),
+                        ref=chr(seq[pos]),
                         alts=["<METH>"],
                     )
                 )

@@ -48,6 +48,9 @@ def build_parser():
                     help="restrict to CHROM or CHROM:START-END (region sharding)")
     pv.add_argument("--output-raw-observations", default=None,
                     help="directory for per-locus raw-observation TSVs")
+    pv.add_argument("--log-mode", default="default",
+                    choices=["default", "each-record"],
+                    help="progress logging granularity (cli.rs:348-357)")
     pv.add_argument(
         "--propagate-info-fields",
         nargs="*",
@@ -86,6 +89,19 @@ def build_parser():
     tn.add_argument("--purity", type=float, default=1.0)
     tn.add_argument("--output", required=True)
 
+    # experimental CNV segmentation (the reference ships this disabled,
+    # cli.rs:641-680; same caveat applies)
+    cn = call_sub.add_parser(
+        "cnvs", help="EXPERIMENTAL: HMM CNV segmentation of tumor/normal calls"
+    )
+    cn.add_argument("calls", help="tumor-normal calls VCF/BCF")
+    cn.add_argument("--output", required=True)
+    cn.add_argument("--tumor-sample", default="tumor")
+    cn.add_argument("--normal-sample", default="normal")
+    cn.add_argument("--purity", type=float, required=True)
+    cn.add_argument("--min-bayes-factor", type=float, default=1.01)
+    cn.add_argument("--max-dist", type=int, default=10**9)
+
     # ---- filter-calls ----
     fc = sub.add_parser("filter-calls", help="filter calls")
     fc_sub = fc.add_subparsers(dest="method", required=True)
@@ -122,6 +138,9 @@ def build_parser():
     ct.add_argument("--contaminant", required=True)
     ct.add_argument("--output", default=None)
     ct.add_argument("--output-plot", default=None)
+    ct.add_argument("--output-max-vaf-variants", default=None)
+    ct.add_argument("--prior-estimate", type=float, default=None)
+    ct.add_argument("--prior-considered-cells", type=int, default=None)
     ct.add_argument("--resolution", type=int, default=100)
 
     mb = est_sub.add_parser("mutational-burden")
@@ -146,7 +165,11 @@ def build_parser():
     mc = sub.add_parser("methylation-candidates")
     mc.add_argument("reference")
     mc.add_argument("output")
-    mc.add_argument("--motif", default="CG", choices=["CG", "CHG", "CHH", "GATC"])
+    mc.add_argument(
+        "--motif",
+        default="CG",
+        help="comma-separated list of CG, CHG, CHH, GATC (cli.rs:128-132)",
+    )
 
     # ---- plot (vega-lite JSON to stdout) ----
     pl = sub.add_parser("plot")
@@ -204,9 +227,25 @@ def run(argv=None):
                 output_raw_observations=args.output_raw_observations,
                 report_fragment_ids=args.report_fragment_ids,
                 region=args.region,
+                log_mode=args.log_mode,
             ),
         )
         print(f"preprocessed {n} candidate records", file=sys.stderr)
+        return 0
+
+    if args.command == "call" and args.kind == "cnvs":
+        from .calling.cnvs import call_cnvs
+
+        n = call_cnvs(
+            args.calls,
+            args.output,
+            tumor_sample=args.tumor_sample,
+            normal_sample=args.normal_sample,
+            purity=args.purity,
+            min_bayes_factor=args.min_bayes_factor,
+            max_dist=args.max_dist,
+        )
+        print(f"called {n} CNV segments (EXPERIMENTAL)", file=sys.stderr)
         return 0
 
     if args.command == "call":
@@ -309,33 +348,39 @@ def run(argv=None):
             print(props.to_json())
             return 0
         if args.what == "contamination":
-            from .estimation.contamination import estimate_contamination
-
-            result = estimate_contamination(
-                args.sample, args.contaminant, resolution=args.resolution
+            from .estimation.contamination import (
+                estimate_contamination,
+                write_plot,
+                write_tsv,
             )
-            # TSV estimate like the reference (contamination.rs:287-402)
-            out = open(args.output, "w") if args.output else sys.stdout
-            print("contamination\tposterior_density", file=out)
-            for row in result["posterior"]:
+
+            prior = None
+            if (args.prior_estimate is None) != (args.prior_considered_cells is None):
                 print(
-                    f"{row['contamination']:.4f}\t{row['log_posterior']:.6f}",
-                    file=out,
+                    "--prior-estimate requires --prior-considered-cells "
+                    "(and vice versa)",
+                    file=sys.stderr,
                 )
+                return 1
+            if args.prior_estimate is not None:
+                prior = (args.prior_estimate, args.prior_considered_cells)
+            result = estimate_contamination(
+                args.sample,
+                args.contaminant,
+                prior_estimate=prior,
+                resolution=args.resolution,
+            )
+            out = open(args.output, "w") if args.output else sys.stdout
+            write_tsv(result, out)
             if args.output:
                 out.close()
             if args.output_plot:
-                spec = {
-                    "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
-                    "data": {"values": result["posterior"]},
-                    "mark": "line",
-                    "encoding": {
-                        "x": {"field": "contamination", "type": "quantitative"},
-                        "y": {"field": "log_posterior", "type": "quantitative"},
-                    },
-                }
-                with open(args.output_plot, "w") as f:
-                    json.dump(spec, f, indent=1)
+                write_plot(result, args.output_plot)
+            if args.output_max_vaf_variants:
+                with open(args.output_max_vaf_variants, "w") as f:
+                    print("chrom\tpos", file=f)
+                    for chrom, pos in result["max_vaf_variants"]:
+                        print(f"{chrom}\t{pos}", file=f)
             print(
                 f"max posterior contamination: "
                 f"{result['max_posterior_contamination']:.4f} "

@@ -154,9 +154,50 @@ class SampleDef:
         )
 
 
+_KNOWN_TOP_KEYS = {"samples", "events", "expressions", "species"}
+_KNOWN_SAMPLE_KEYS = {
+    "contamination", "resolution", "universe",
+    "somatic_effective_mutation_rate", "somatic-effective-mutation-rate",
+    "germline_mutation_rate", "germline-mutation-rate",
+    "ploidy", "inheritance", "sex",
+}
+_KNOWN_SPECIES_KEYS = {
+    "heterozygosity", "germline-mutation-rate", "germline_mutation_rate",
+    "somatic-effective-mutation-rate", "somatic_effective_mutation_rate",
+    "variant-fractions", "variant_fractions", "ploidy", "genome-size",
+    "genome_size",
+}
+
+
+def _reject_unknown(keys, known, where):
+    """serde's deny_unknown_fields (grammar/mod.rs:131,347,472): typos in
+    scenario YAML must fail loudly, not silently change the model."""
+    unknown = [k for k in keys if k not in known]
+    if unknown:
+        raise ValueError(
+            f"unknown field(s) {unknown} in scenario {where}; "
+            f"allowed: {sorted(known)}"
+        )
+
+
 class Scenario:
     def __init__(self, doc: dict):
         self.doc = doc
+        _reject_unknown(doc.keys(), _KNOWN_TOP_KEYS, "document")
+        if doc.get("species"):
+            _reject_unknown(
+                doc["species"].keys(), _KNOWN_SPECIES_KEYS, "species"
+            )
+        for name, s in doc["samples"].items():
+            _reject_unknown(
+                (s or {}).keys(), _KNOWN_SAMPLE_KEYS, f"sample {name!r}"
+            )
+            if (s or {}).get("contamination"):
+                _reject_unknown(
+                    s["contamination"].keys(),
+                    {"by", "fraction"},
+                    f"sample {name!r} contamination",
+                )
         self.species = self._parse_species(doc.get("species"))
         self.samples: dict[str, SampleDef] = {}
         for name in sorted(doc["samples"].keys()):
@@ -299,7 +340,10 @@ class Scenario:
                 )
 
 
-class OverlappingEventsError(ValueError):
+from ..errors import OverlappingEventsError as _OEE
+
+
+class OverlappingEventsError(_OEE):
     pass
 
 

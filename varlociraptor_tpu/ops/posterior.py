@@ -132,6 +132,26 @@ def range_weights(grid, start, end, left_excl, right_excl, n_obs):
     )
 
 
+def _lfc_components(lfc_list):
+    """Connected components of a branch's l2fc constraint graph (nodes =
+    samples, edges = pairwise masks)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in lfc_list:
+        parent[find(a)] = find(b)
+    groups = {}
+    for entry in lfc_list:
+        groups.setdefault(find(entry[0]), []).append(entry)
+    return list(groups.values())
+
+
 class SampleConfig:
     def __init__(self, name, contaminated_by=None, contamination_fraction=0.0):
         self.name = name
@@ -307,9 +327,6 @@ class PosteriorEngine:
                     key = (lfc.sample_b, lfc.sample_a)
                     m = m.T
                 by_pair[key] = by_pair.get(key, np.ones((G, G), dtype=bool)) & m
-            samples_used = [s for pair in by_pair for s in pair]
-            if len(set(samples_used)) != 2 * len(by_pair):
-                raise NotImplementedError("chained l2fc constraints")
             self.branch_lfc_masks[bi] = [
                 (a, b, m) for (a, b), m in by_pair.items()
             ]
@@ -500,6 +517,54 @@ class PosteriorEngine:
             return out
         return _lse(out, axis=-1)
 
+    def _lfc_tree_eliminate(self, group, nodes, loglik, w_s, bi, zi):
+        """Chained l2fc over singleton samples: eliminate the acyclic
+        constraint graph leaf-to-root with pairwise mask contractions.
+        Returns ([L,B] integral, [L,B] all-zero-point value)."""
+        from collections import deque
+
+        adj = {s: [] for s in nodes}
+        for a, b, m in group:
+            adj[a].append((b, m, True))  # mask oriented (a, b)
+            adj[b].append((a, m, False))
+        root = nodes[0]
+        depth = {root: 0}
+        order = []
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for v, _, _ in adj[u]:
+                if v not in depth:
+                    depth[v] = depth[u] + 1
+                    dq.append(v)
+        d = {
+            s: loglik[:, s] + w_s[:, s, bi][:, None, :]  # [L,B,G]
+            for s in nodes
+        }
+        z = None
+        for s in nodes:
+            zv = d[s][:, :, zi]
+            z = zv if z is None else z + zv
+        for a, b, m in group:
+            z = z + jnp.where(jnp.asarray(m[zi, zi]), 0.0, NEG_INF)
+        done = set()
+        for v in sorted(nodes, key=lambda s: -depth[s]):
+            if v == root:
+                continue
+            # unique parent = the neighbor closer to the root
+            for u, m, oriented_vu in adj[v]:
+                if depth[u] == depth[v] - 1 and (v, u) not in done:
+                    lm = jnp.where(jnp.asarray(m if oriented_vu else m.T), 0.0, NEG_INF)
+                    # lse over v's axis against the mask -> message to u
+                    msg = _lse(
+                        d[v][:, :, :, None] + lm[None, None], axis=2
+                    )  # [L,B,Gu]
+                    d[u] = d[u] + msg
+                    done.add((v, u))
+                    break
+        return _lse(d[root], axis=-1), z
+
     def _unit_terms(self, loglik, pair_logliks, w):
         """Per-unit branch integrals.
 
@@ -610,7 +675,29 @@ class PosteriorEngine:
                         continue
                     t_bi = t_bi + val[:, :, bi]
                     z_bi = z_bi + Uzero[key][:, :, bi]
-                for a, b, mask_np in lfc_list:
+                # group constraints into connected components of the
+                # constraint graph; chained constraints (shared samples)
+                # are eliminated along the tree (log2_fold_change.rs
+                # composes freely inside the vaftree recursion)
+                lfc_groups = _lfc_components(lfc_list)
+                for group in lfc_groups:
+                    nodes = sorted({s for (a, b, _) in group for s in (a, b)})
+                    if len(group) > 1:
+                        if not all(s in self.singletons for s in nodes):
+                            raise NotImplementedError(
+                                "chained l2fc over contaminated samples"
+                            )
+                        if len(group) != len(nodes) - 1:
+                            raise NotImplementedError(
+                                "cyclic l2fc constraint graphs"
+                            )
+                        t_c, z_c = self._lfc_tree_eliminate(
+                            group, nodes, loglik, w_s, bi, zi
+                        )
+                        t_bi = t_bi + t_c
+                        z_bi = z_bi + z_c
+                        continue
+                    a, b, mask_np = group[0]
                     lfc_mask = jnp.where(jnp.asarray(mask_np), 0.0, NEG_INF)
                     if a in self.singletons and b in self.singletons:
                         da = loglik[:, a] + w_s[:, a, bi][:, None, :]  # [L,B,G]
@@ -708,9 +795,34 @@ class PosteriorEngine:
                     + ln_prior_joint[:, None, None, :, :]
                 )
                 T = _lse(joint, axis=(-2, -1))
+            elif S == 3 and not self.pairs:
+                # trio full-prior (mendelian, prior.rs:718-761 with
+                # is_absent_only=false): scan over the first sample's grid
+                # axis so memory stays at [L,B,NB,G,G] per step
+                d0 = loglik[:, 0, :, None, :] + w_s[:, 0, None, :, :]
+                d1 = loglik[:, 1, :, None, :] + w_s[:, 1, None, :, :]
+                d2 = loglik[:, 2, :, None, :] + w_s[:, 2, None, :, :]
+
+                def _g0_step(carry, xs):
+                    d0_g, P_g = xs  # [L,B,NB], [L,G,G]
+                    slab = (
+                        d1[..., :, None]
+                        + d2[..., None, :]
+                        + P_g[:, None, None]
+                    )
+                    val = _lse(slab, axis=(-2, -1)) + d0_g
+                    return jnp.logaddexp(carry, val), None
+
+                init = jnp.full((L, B, NB), NEG_INF)
+                xs = (
+                    jnp.moveaxis(d0, -1, 0),
+                    jnp.moveaxis(ln_prior_joint, 1, 0),
+                )
+                T, _ = jax.lax.scan(_g0_step, init, xs)
             else:
                 raise NotImplementedError(
-                    "full prior supported for <= 2 samples (use absent-only)"
+                    "full prior supported for <= 3 samples without "
+                    "contamination, or <= 2 with (use absent-only)"
                 )
             T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
             branch_val = jnp.where(combo_active[:, :, None], T, NEG_INF)

@@ -432,7 +432,10 @@ def build_prior(scenario, contig: str, variant_type: str = "snv") -> Prior:
     )
 
 
-class InvalidPriorConfiguration(ValueError):
+from ..errors import InvalidPriorConfigurationError
+
+
+class InvalidPriorConfiguration(InvalidPriorConfigurationError):
     pass
 
 
