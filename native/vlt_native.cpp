@@ -374,3 +374,54 @@ extern "C" int32_t vlt_pairhmm_forward_batch(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Myers bit-parallel semiglobal edit distance (edit_distance.rs:132-158
+// parity: patterns <= 128 in one unsigned __int128 word, Hyyro's search
+// formulation -- free start/end gaps in the text, pattern fully consumed).
+// Returns the minimum distance and the FIRST and LAST co-optimal end
+// columns (1-based text positions); the caller runs the O(nm) traceback DP
+// only on those hit windows.
+// ---------------------------------------------------------------------------
+
+typedef unsigned __int128 u128;
+
+extern "C" int32_t vlt_myers_semiglobal(
+    const uint8_t* pattern, int32_t m,
+    const uint8_t* text, int32_t n,
+    int32_t* out_first_end, int32_t* out_last_end) {
+  if (m <= 0 || n <= 0 || m > 128) return -1;
+  u128 Peq[256];
+  std::memset(Peq, 0, sizeof(Peq));
+  for (int32_t i = 0; i < m; i++) {
+    Peq[pattern[i] & ~0x20] |= (u128)1 << i;
+  }
+  u128 PV = ~(u128)0;
+  u128 MV = 0;
+  const u128 hibit = (u128)1 << (m - 1);
+  int32_t score = m;
+  int32_t best = m + 1, first_end = 0, last_end = 0;
+  for (int32_t j = 0; j < n; j++) {
+    const u128 Eq = Peq[text[j] & ~0x20];
+    const u128 Xv = Eq | MV;
+    const u128 Xh = (((Eq & PV) + PV) ^ PV) | Eq;
+    u128 Ph = MV | ~(Xh | PV);
+    u128 Mh = PV & Xh;
+    if (Ph & hibit) score++;
+    else if (Mh & hibit) score--;
+    Ph <<= 1;
+    Mh <<= 1;
+    PV = Mh | ~(Xv | Ph);
+    MV = Ph & Xv;
+    if (score < best) {
+      best = score;
+      first_end = j + 1;
+      last_end = j + 1;
+    } else if (score == best) {
+      last_end = j + 1;
+    }
+  }
+  *out_first_end = first_end;
+  *out_last_end = last_end;
+  return best;
+}

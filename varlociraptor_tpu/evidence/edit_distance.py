@@ -66,7 +66,7 @@ def semiglobal_edit(
     if in_range is None:
         from ..io import native
 
-        res = native.semiglobal_edit(bytes(allele), bytes(read))
+        res = native.semiglobal_edit_hybrid(bytes(allele), bytes(read))
         if res is not None:
             return res if with_last else res[:3]
     a = np.frombuffer(bytes(allele), dtype=np.uint8) & ~np.uint8(0x20)

@@ -52,6 +52,7 @@ def _load():
         lib.vlt_bam_scan.restype = ctypes.c_int64
         lib.vlt_semiglobal_edit.restype = ctypes.c_int32
         lib.vlt_pairhmm_forward_batch.restype = ctypes.c_int32
+        lib.vlt_myers_semiglobal.restype = ctypes.c_int32
         _lib = lib
     except Exception:  # noqa: BLE001 - fall back to pure python
         _lib = None
@@ -224,6 +225,53 @@ def pairhmm_forward_batch(
     if rc != 0:
         return None
     return out
+
+
+def myers_semiglobal(pattern: bytes, text: bytes):
+    """Myers bit-parallel semiglobal distance (edit_distance.rs:132-158):
+    pattern fully consumed, free start/end gaps in text. Returns
+    (dist, first_end, last_end) — 1-based first/last co-optimal end text
+    columns — or None (native lib missing / pattern > 128)."""
+    lib = _load()
+    if lib is None or not pattern or not text or len(pattern) > 128:
+        return None
+    fe = ctypes.c_int32()
+    le = ctypes.c_int32()
+    dist = lib.vlt_myers_semiglobal(
+        ctypes.c_char_p(pattern),
+        ctypes.c_int32(len(pattern)),
+        ctypes.c_char_p(text),
+        ctypes.c_int32(len(text)),
+        ctypes.byref(fe),
+        ctypes.byref(le),
+    )
+    if dist < 0:
+        return None
+    return int(dist), int(fe.value), int(le.value)
+
+
+def semiglobal_edit_hybrid(allele: bytes, read: bytes):
+    """Myers distance scan + windowed traceback DP: for long allele windows
+    the bit-parallel scan finds the co-optimal end columns and the O(nm)
+    DP only runs on the hit windows.  Falls back to the plain DP for short
+    windows (where the full DP is already cheaper) or when the native
+    library is unavailable."""
+    if len(allele) >= 256 and len(read) <= 128:
+        my = myers_semiglobal(read, allele)
+        if my is not None:
+            dist, fe, le = my
+            lo1 = max(0, fe - len(read) - dist)
+            r1 = semiglobal_edit(allele[lo1:fe], read)
+            if r1 is not None:
+                d1, s1, ops1, _ = r1
+                if le > fe:
+                    lo2 = max(0, le - len(read) - dist)
+                    r2 = semiglobal_edit(allele[lo2:le], read)
+                    last_start = lo2 + r2[3] if r2 is not None else lo1 + s1
+                else:
+                    last_start = lo1 + s1
+                return dist, lo1 + s1, ops1, last_start
+    return semiglobal_edit(allele, read)
 
 
 def semiglobal_edit(allele: bytes, read: bytes):
