@@ -43,6 +43,9 @@ def _timed(engine, inputs, n_iter):
 
 
 def main():
+    from varlociraptor_tpu.utils.jaxcache import enable as enable_xla_cache
+
+    enable_xla_cache()  # first compile through the axon tunnel costs minutes
     from varlociraptor_tpu.bench_utils import engine_inputs, tumor_normal_engine
 
     n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 16384

@@ -21,6 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, "/root/repo")
 
+from varlociraptor_tpu.utils.jaxcache import enable as _exc  # noqa: E402
+
+_exc()
+
 RES = Path("/root/reference/tests/resources")
 
 

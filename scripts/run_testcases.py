@@ -39,6 +39,8 @@ def run_one(name, q, mode=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    from varlociraptor_tpu.utils.jaxcache import enable as _exc
+    _exc()
     from varlociraptor_tpu.testcase import Testcase
 
     t0 = time.time()

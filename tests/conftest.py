@@ -25,6 +25,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import sys  # noqa: E402
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+from varlociraptor_tpu.utils.jaxcache import enable as _enable_xla_cache  # noqa: E402
+
+_enable_xla_cache()
+
 import pathlib  # noqa: E402
 
 import pytest  # noqa: E402

@@ -443,6 +443,9 @@ def run(argv=None):
 
 
 def main():
+    from .utils.jaxcache import enable as _enable_xla_cache
+
+    _enable_xla_cache()
     sys.exit(run())
 
 
