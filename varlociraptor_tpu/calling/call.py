@@ -38,7 +38,7 @@ from ..ops.biases import (
 from ..ops.grid import AFGrid
 from ..ops.posterior import PosteriorEngine, SampleConfig
 from ..ops.prior import build_prior
-from ..utils.logprob import np_ln_sum_exp, np_phred_from_log
+from ..utils.logprob import np_ln_sum_exp, np_log_from_phred, np_phred_from_log
 from .ref_obs import open_observations
 from .variants import VariantInfo
 
@@ -385,35 +385,17 @@ class GenericCaller:
                     af = 0.0
                     afd = None
                 else:
-                    # densities are computed on device for the MAP
-                    # non-artifact event only ([L,S,G])
-                    dens = out["densities"][li, si]
-                    gi = int(np.argmax(dens))
-                    af = float(grid.values[gi])
-                    # quadratic refinement between grid points (the reference's
-                    # adaptive integration reports off-grid MAP VAFs;
-                    # a log-parabola through the peak recovers them)
-                    if 0 < gi < grid.size - 1:
-                        dm, d0, dp = dens[gi - 1], dens[gi], dens[gi + 1]
-                        if np.isfinite(dm) and np.isfinite(dp):
-                            denom = dm - 2 * d0 + dp
-                            if denom < -1e-12:
-                                step = 0.5 * (dm - dp) / denom
-                                if abs(step) <= 1.0:
-                                    left = grid.values[gi] - grid.values[gi - 1]
-                                    right = grid.values[gi + 1] - grid.values[gi]
-                                    af = float(
-                                        np.clip(
-                                            af + step * (right if step > 0 else left),
-                                            grid.values[gi - 1],
-                                            grid.values[gi + 1],
-                                        )
-                                    )
-                    denom = out["marginal"][li]
+                    # the engine computes the MAP AF (with off-grid
+                    # quadratic refinement) on device and ships the AFD as
+                    # marginal-normalized deci-PHRED int16 (32767 = -inf) —
+                    # the density cube in f32 dominated the device->host
+                    # transfer
+                    af = float(out["af"][li, si])
+                    dphred = out["densities_dphred"][li, si]
                     afd = {
-                        float(g): float(d - denom)
-                        for g, d in zip(grid.values, dens)
-                        if np.isfinite(d)
+                        float(g): float(np_log_from_phred(v / 10.0))
+                        for g, v in zip(grid.values, dphred)
+                        if v != 32767
                     }
                 sample_infos.append(
                     {

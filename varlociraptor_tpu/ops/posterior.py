@@ -933,11 +933,50 @@ class PosteriorEngine:
             per_sample.append(_lse(d[:, 0], axis=1))  # [L,G]
         densities = jnp.stack(per_sample, axis=1)  # [L,S,G]
 
+        # MAP AF with quadratic (log-parabola) off-grid refinement, computed
+        # on device (the reference's adaptive integration reports off-grid
+        # MAP VAFs; a parabola through the grid peak recovers them).  The
+        # AFD is returned marginal-normalized as deci-PHRED int16 — the
+        # device->host tunnel moves ~30 MB/s, so shipping the f32 density
+        # cube dominated the whole engine call.
+        grid = jnp.asarray(self.grid.values)
+        gi = jnp.argmax(densities, axis=-1)  # [L,S]
+        G_ = densities.shape[-1]
+        gi_c = jnp.clip(gi, 1, G_ - 2)
+        dm = jnp.take_along_axis(densities, (gi_c - 1)[..., None], -1)[..., 0]
+        d0 = jnp.take_along_axis(densities, gi_c[..., None], -1)[..., 0]
+        dp = jnp.take_along_axis(densities, (gi_c + 1)[..., None], -1)[..., 0]
+        denom = dm - 2.0 * d0 + dp
+        step = jnp.where(denom < -1e-12, 0.5 * (dm - dp) / denom, 0.0)
+        g_at = grid[gi_c]
+        left = g_at - grid[gi_c - 1]
+        right = grid[gi_c + 1] - g_at
+        af_ref = g_at + step * jnp.where(step > 0, right, left)
+        af_ref = jnp.clip(af_ref, grid[gi_c - 1], grid[gi_c + 1])
+        ok = (
+            (gi >= 1)
+            & (gi <= G_ - 2)
+            & jnp.isfinite(dm)
+            & jnp.isfinite(dp)
+            & (jnp.abs(step) <= 1.0)
+            & (denom < -1e-12)
+        )
+        af = jnp.where(ok, af_ref, grid[gi])
+
+        rel = densities - marginal[:, None, None]
+        dphred = -10.0 / math.log(10.0) * rel * 10.0
+        dphred_i16 = jnp.where(
+            jnp.isfinite(rel),
+            jnp.clip(jnp.round(dphred), -32767.0, 32766.0),
+            32767.0,  # sentinel: dropped by the AFD writer
+        ).astype(jnp.int16)
+
         return {
             "joint": joint,
             "marginal": marginal,
             "posteriors": posteriors,
-            "densities": densities,
+            "densities_dphred": dphred_i16,
+            "af": af,
             "combo_joint": combo_joint,
             "best_nonartifact": best_ev,
         }
@@ -981,6 +1020,31 @@ class PosteriorEngine:
             )
         else:
             out = self._run(*args)
-        out = {k: np.asarray(v) for k, v in out.items()}
-        out["n_obs"] = np.asarray(mask).sum(axis=-1)
-        return out
+        # the device->host tunnel pays ~40ms latency PER fetch: pack all
+        # outputs into one buffer per dtype so the whole result moves in
+        # two round trips
+        f32_keys = ("joint", "marginal", "posteriors", "combo_joint", "af")
+        f32_flat = np.asarray(
+            jnp.concatenate([out[k].astype(jnp.float32).ravel() for k in f32_keys])
+        )
+        i16_flat = np.asarray(
+            jnp.concatenate(
+                [
+                    out["densities_dphred"].ravel(),
+                    out["best_nonartifact"].astype(jnp.int16).ravel(),
+                ]
+            )
+        )
+        host = {}
+        pos = 0
+        for k in f32_keys:
+            n = int(np.prod(out[k].shape))
+            host[k] = f32_flat[pos : pos + n].reshape(out[k].shape)
+            pos += n
+        nd = int(np.prod(out["densities_dphred"].shape))
+        host["densities_dphred"] = i16_flat[:nd].reshape(
+            out["densities_dphred"].shape
+        )
+        host["best_nonartifact"] = i16_flat[nd:].astype(np.int64)
+        host["n_obs"] = np.asarray(mask).sum(axis=-1)
+        return host
