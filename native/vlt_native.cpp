@@ -271,7 +271,12 @@ static double vlt_pairhmm_one(
     const float* ins_open,          // [y_len] log, or nullptr
     const float* ins_ext,
     const float* del_open,          // [x_len] log, or nullptr
-    const float* del_ext) {
+    const float* del_ext,
+    int32_t max_edit) {             // banding: skip cells whose min edit
+                                    // distance exceeds this; < 0 disables.
+                                    // Mirrors rust-bio PairHMM::prob_related
+                                    // (max_edit_dist = hit.dist + EDIT_BAND,
+                                    // realignment/mod.rs:526-543).
   // Column-major (read axis j outer): the DP's dynamic range grows along j
   // (each consumed read base multiplies in its emission), so per-COLUMN
   // rescaling keeps every column representable in f64; the free-end-gap sum
@@ -281,6 +286,17 @@ static double vlt_pairhmm_one(
   std::vector<double> M1(H, 0.0), D1(H, 0.0), I1(H, 0.0);
   std::vector<double> dop(H), dex(H), tdm(H);
   std::vector<uint8_t> au(H);
+  // banded-pruning edit-distance DP (rust-bio PairHMM min_edit_dist):
+  // E[i] over the allele axis for the previous (E0) / current (E1) read
+  // column; column j=0 is all zeros (free start gap in x anchors every
+  // allele offset at distance 0).
+  const int32_t EINF = 1 << 29;
+  std::vector<int32_t> E0, E1;
+  const bool banded = max_edit >= 0;
+  if (banded) {
+    E0.assign(H, 0);
+    E1.assign(H, EINF);
+  }
   const double g_mi = std::exp((double)gaps[0]);
   const double g_md = std::exp((double)gaps[1]);
   const double g_ii = std::exp((double)gaps[2]);
@@ -306,9 +322,32 @@ static double vlt_pairhmm_one(
     const double start_w = (j == 1) ? std::exp(-log_scale) : 0.0;
     // i = 0: leading pure insertion
     M1[0] = 0.0; D1[0] = 0.0;
-    I1[0] = m * (ie * I0[0] + start_w * io);
+    if (banded && E0[0] > max_edit) {
+      I1[0] = 0.0;
+      E1[0] = EINF;
+    } else {
+      I1[0] = m * (ie * I0[0] + start_w * io);
+      if (banded) E1[0] = E0[0] >= EINF ? EINF : E0[0] + 1;
+    }
     double colmax = I1[0];
     for (int32_t i = 1; i <= x_len; i++) {
+      if (banded) {
+        // skip cells whose best-path edit distance exceeds the band
+        // (rust-bio pairhmm: min over topleft/top/left predecessors)
+        const int32_t tl = E0[i - 1], tp = E0[i], lf = E1[i - 1];
+        int32_t mn = tl < tp ? tl : tp;
+        if (lf < mn) mn = lf;
+        if (mn > max_edit) {
+          M1[i] = 0.0; D1[i] = 0.0; I1[i] = 0.0;
+          E1[i] = EINF;
+          continue;
+        }
+        const int32_t sub = (au[i] == rj) ? tl : (tl >= EINF ? EINF : tl + 1);
+        int32_t e = sub;
+        if (tp < EINF && tp + 1 < e) e = tp + 1;
+        if (lf < EINF && lf + 1 < e) e = lf + 1;
+        E1[i] = e;
+      }
       double e_m;
       if (au[i] == rj) e_m = noc;
       else if (rj == 'N') e_m = 0.25;
@@ -332,6 +371,7 @@ static double vlt_pairhmm_one(
       log_scale -= std::log(s);
     }
     M0.swap(M1); D0.swap(D1); I0.swap(I1);
+    if (banded) E0.swap(E1);
   }
   double total = 0.0;
   for (int32_t i = 0; i <= x_len; i++) total += M0[i] + I0[i];
@@ -346,6 +386,7 @@ extern "C" int32_t vlt_pairhmm_forward_batch(
     const float* gaps,              // [4] log
     const float* ins_open, const float* ins_ext,   // concatenated per read, or nullptr
     const float* del_open, const float* del_ext,   // concatenated per allele, or nullptr
+    const int32_t* max_edit,        // [n_items] band per item (<0 = full), or nullptr
     int32_t n_items, int32_t n_threads, double* out) {
   auto work = [&](int32_t lo, int32_t hi) {
     for (int32_t b = lo; b < hi; b++) {
@@ -356,7 +397,8 @@ extern "C" int32_t vlt_pairhmm_forward_batch(
           ins_open ? ins_open + read_off[b] : nullptr,
           ins_ext ? ins_ext + read_off[b] : nullptr,
           del_open ? del_open + allele_off[b] : nullptr,
-          del_ext ? del_ext + allele_off[b] : nullptr);
+          del_ext ? del_ext + allele_off[b] : nullptr,
+          max_edit ? max_edit[b] : -1);
     }
   };
   if (n_threads <= 1 || n_items < 64) {

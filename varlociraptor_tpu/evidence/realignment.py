@@ -162,15 +162,17 @@ class Realigner:
         self._cursor = 0
 
     # -- batched dispatch ----------------------------------------------
-    def _forward(self, seqs, reads, quals):
+    def _forward(self, seqs, reads, quals, max_dists=None):
+        if max_dists is None:
+            max_dists = [None] * len(seqs)
         if self._batch_mode == "record":
-            self._requests.append((seqs, reads, quals))
+            self._requests.append((seqs, reads, quals, max_dists))
             return np.zeros(len(seqs), dtype=np.float64)
         if self._batch_mode == "replay":
             out = self._results[self._cursor : self._cursor + len(seqs)]
             self._cursor += len(seqs)
             return out
-        return self.hmm.forward(seqs, reads, quals)
+        return self.hmm.forward(seqs, reads, quals, max_dists)
 
     def begin_record(self):
         self._batch_mode = "record"
@@ -178,13 +180,16 @@ class Realigner:
 
     def run_batch(self):
         """Execute all recorded forwards in one padded device call."""
-        seqs, reads, quals = [], [], []
-        for s, r, q in self._requests:
+        seqs, reads, quals, dists = [], [], [], []
+        for s, r, q, d in self._requests:
             seqs.extend(s)
             reads.extend(r)
             quals.extend(q)
+            dists.extend(d)
         self._results = (
-            np.asarray(self.hmm.forward(seqs, reads, quals), dtype=np.float64)
+            np.asarray(
+                self.hmm.forward(seqs, reads, quals, dists), dtype=np.float64
+            )
             if seqs
             else np.zeros(0)
         )
@@ -319,37 +324,66 @@ class Realigner:
                 calc_hit(em, read_window, props, error_rate)
                 for em in all_emissions
             ]
+            n_ref = len(ref_alleles)
+
+            # METHOD (prob_allele, realignment/mod.rs:426-479): within each
+            # allele set (ref-side incl. alt_variants; alt-side), only the
+            # alleles whose Myers edit distance equals the set minimum run
+            # the pair HMM; equal-distance ties are broken by the HMM
+            # probability.  The HMM itself is banded to hit.dist + EDIT_BAND
+            # (dist_upper_bound, edit_distance.rs:493-497).
+            def _candidates(idxs):
+                with_hits = [i for i in idxs if hits[i] is not None]
+                if not with_hits:
+                    return list(idxs)  # degenerate: empty seq/read
+                best = min(hits[i].dist for i in with_hits)
+                return [i for i in with_hits if hits[i].dist == best]
+
+            cand_ref = _candidates(range(n_ref))
+            cand_alt = _candidates(range(n_ref, len(all_emissions)))
+            selected = cand_ref + cand_alt
+
             # shrink each allele window to its edit hit +- EDIT_BAND
             # (calculate_prob_allele, realignment/mod.rs:526-543)
             shrunk = []
-            for em, hit in zip(all_emissions, hits):
+            bands = []
+            for idx in selected:
+                em, hit = all_emissions[idx], hits[idx]
                 if hit is None:
                     shrunk.append(em.seq)
+                    bands.append(None)
                 else:
                     lo = max(hit.start - EDIT_BAND, 0)
                     hi = min(hit.end + EDIT_BAND, len(em.seq))
                     shrunk.append(em.seq[lo:hi])
+                    bands.append(hit.dist + EDIT_BAND)
             if self.mode == "fast":
                 # fast mode: score the edit-distance path only
-                probs = np.array(
+                sel_probs = np.array(
                     [
-                        path_score(h.ops, read_window, qual_window, self.hmm.gap)
-                        if h is not None
+                        path_score(
+                            hits[i].ops, read_window, qual_window, self.hmm.gap
+                        )
+                        if hits[i] is not None
                         else math.log(0.5)
-                        for h in hits
+                        for i in selected
                     ]
                 )
             else:
-                probs = self._forward(
-                    shrunk, [read_window] * len(shrunk), [qual_window] * len(shrunk)
+                sel_probs = self._forward(
+                    shrunk,
+                    [read_window] * len(shrunk),
+                    [qual_window] * len(shrunk),
+                    bands,
                 )
-            n_ref = len(ref_alleles)
-            ref_idx = int(np.argmax(probs[:n_ref]))
-            alt_rel = int(np.argmax(probs[n_ref:]))
-            prob_ref = float(probs[ref_idx])
-            prob_alt = float(probs[n_ref + alt_rel])
-            alt_emission = alt_alleles[alt_rel]
-            alt_hit = hits[n_ref + alt_rel]
+            nr = len(cand_ref)
+            ref_best = int(np.argmax(sel_probs[:nr]))
+            alt_best = int(np.argmax(sel_probs[nr:]))
+            prob_ref = float(sel_probs[ref_best])
+            prob_alt = float(sel_probs[nr + alt_best])
+            alt_idx = cand_alt[alt_best]
+            alt_emission = all_emissions[alt_idx]
+            alt_hit = hits[alt_idx]
 
             # third-allele rescue (realignment/mod.rs:317-348). The reference
             # fires on prob_alt > prob_ref strictly; when both alleles are
@@ -398,7 +432,10 @@ class Realigner:
                     else:
                         p_inferred = float(
                             self._forward(
-                                [patched[lo:hi]], [read_window], [qual_window]
+                                [patched[lo:hi]],
+                                [read_window],
+                                [qual_window],
+                                [phit.dist + EDIT_BAND],
                             )[0]
                         )
                     if prob_alt > prob_ref - 1.0 and p_inferred > prob_ref:

@@ -154,6 +154,7 @@ def pairhmm_forward_batch(
     ins_ext=None,
     del_open=None,
     del_ext=None,
+    max_edit=None,
     n_threads=None,
 ):
     """Native linear-space semiglobal pair-HMM forward over a work batch.
@@ -161,8 +162,11 @@ def pairhmm_forward_batch(
     alleles/reads: list[bytes]; miscalls: list[float32 arrays] (log miscall
     per read base); gaps: [4] log f32.  Optional positional gap arrays
     (homopolymer mode): ins_open/ins_ext per read base, del_open/del_ext per
-    allele base (lists of f32 arrays).  Returns np.float64 [n] log-probs, or
-    None when the native library is unavailable.
+    allele base (lists of f32 arrays).  ``max_edit``: optional per-item
+    int band (None entries / -1 = full forward); cells whose min edit
+    distance exceeds it are pruned exactly like rust-bio's banded
+    PairHMM (realignment/mod.rs:526-543).  Returns np.float64 [n]
+    log-probs, or None when the native library is unavailable.
     """
     lib = _load()
     if lib is None:
@@ -196,6 +200,11 @@ def pairhmm_forward_batch(
     ie_buf = _cat(ins_ext)
     do_buf = _cat(del_open)
     de_buf = _cat(del_ext)
+    me_buf = None
+    if max_edit is not None:
+        me_buf = np.array(
+            [-1 if d is None else int(d) for d in max_edit], dtype=np.int32
+        )
 
     def _ptr(arr):
         return (
@@ -218,6 +227,7 @@ def pairhmm_forward_batch(
         _ptr(ie_buf),
         _ptr(do_buf),
         _ptr(de_buf),
+        _ptr(me_buf),
         ctypes.c_int32(n),
         ctypes.c_int32(nthreads),
         out.ctypes.data_as(ctypes.c_void_p),

@@ -53,7 +53,7 @@ def _lse2(a, b):
 
 @partial(jax.jit, static_argnames=("x_len", "y_len"))
 def _forward_impl(
-    allele, allele_len, read, miscall, read_len, gaps, x_len, y_len
+    allele, allele_len, read, miscall, read_len, gaps, max_edit, x_len, y_len
 ):
     """Batched forward log-probabilities.
 
@@ -63,6 +63,8 @@ def _forward_impl(
     miscall    [B, Y] f32 log miscall prob per base
     read_len   [B] int32
     gaps       [4] f32: t_mi (ins open), t_md (del open), t_ii, t_dd (log)
+    max_edit   [B] int32 band (cells whose min edit distance exceeds it are
+               pruned, rust-bio PairHMM parity); negative = full forward
     """
     B = allele.shape[0]
     X, Y = x_len, y_len
@@ -94,8 +96,13 @@ def _forward_impl(
 
     neg = jnp.full((B, W), NEG_INF)
 
+    # banded-pruning edit-distance DP carried on the same diagonals
+    EINF = jnp.int32(1 << 29)
+    me = jnp.where(max_edit < 0, EINF, max_edit)[:, None]  # [B,1]
+    einf = jnp.full((B, W), EINF, dtype=jnp.int32)
+
     def body(carry, k):
-        M2, D2, I2, M1, D1, I1, acc = carry
+        M2, D2, I2, M1, D1, I1, E2, E1, acc = carry
         # cell (i=k-j, j); valid iff 1<=j<=min(k-?,...)
         i = k - j_idx[None, :]  # [1->B, W]
         valid = (
@@ -142,20 +149,43 @@ def _forward_impl(
         Ik = mis_j + _lse2(_lse2(t_mi + M1s, t_ii + I1s), start_i)
         Ik = jnp.where(valid | valid_i0, Ik, NEG_INF)
 
+        # edit-distance DP + banded skip (rust-bio PairHMM min_edit_dist)
+        E2s = jnp.concatenate([einf[:, :1], E2[:, :-1]], axis=1)  # topleft
+        E1s = jnp.concatenate([einf[:, :1], E1[:, :-1]], axis=1)  # top
+        lf = E1  # left
+        pred_min = jnp.minimum(jnp.minimum(E2s, E1s), lf)
+        skip = pred_min > me
+        sub = jnp.where(match, E2s, jnp.minimum(E2s + 1, EINF))
+        Ek = jnp.minimum(
+            sub, jnp.minimum(jnp.minimum(E1s, lf) + 1, EINF)
+        )
+        cell_ok = (valid | valid_i0) & ~skip
+        Ek = jnp.where(cell_ok, Ek, EINF)
+        # column j=0 of every diagonal anchors a free start (distance 0)
+        Ek = Ek.at[:, 0].set(jnp.where(k <= allele_len, 0, EINF))
+        Mk = jnp.where(skip, NEG_INF, Mk)
+        Dk = jnp.where(skip, NEG_INF, Dk)
+        Ik = jnp.where(skip, NEG_INF, Ik)
+
         # accumulate final cells (j == read_len; free end gap in x)
         at_end = j_idx[None, :] == read_len[:, None]
         fin = jnp.where(at_end, _lse2(Mk, Ik), NEG_INF)
         acc = _lse2(acc, _diag_lse(fin))
-        return (M1, D1, I1, Mk, Dk, Ik, acc), None
+        return (M1, D1, I1, Mk, Dk, Ik, E1, Ek, acc), None
 
     def _diag_lse(x):
         m = jnp.max(x, axis=1)
         out = m + jnp.log(jnp.sum(jnp.exp(x - m[:, None]), axis=1))
         return jnp.where(m <= NEG_INF / 2, NEG_INF, out)[:, None]
 
-    init = (neg, neg, neg, neg, neg, neg, jnp.full((B, 1), NEG_INF))
+    # diag 0 = cell (0,0): distance 0 at j=0
+    e1_init = einf.at[:, 0].set(0)
+    init = (
+        neg, neg, neg, neg, neg, neg, einf, e1_init,
+        jnp.full((B, 1), NEG_INF),
+    )
     ks = jnp.arange(1, X + Y + 1)
-    (M2, D2, I2, M1, D1, I1, acc), _ = jax.lax.scan(body, init, ks)
+    (*_, acc), _ = jax.lax.scan(body, init, ks)
     return acc[:, 0]
 
 
@@ -170,6 +200,7 @@ def _forward_hp_impl(
     ins_ext,
     del_open,
     del_ext,
+    max_edit,
     x_len,
     y_len,
 ):
@@ -220,9 +251,12 @@ def _forward_hp_impl(
     )
 
     neg = jnp.full((B, W), NEG_INF)
+    EINF = jnp.int32(1 << 29)
+    me = jnp.where(max_edit < 0, EINF, max_edit)[:, None]
+    einf = jnp.full((B, W), EINF, dtype=jnp.int32)
 
     def body(carry, k):
-        M2, D2, I2, M1, D1, I1, acc = carry
+        M2, D2, I2, M1, D1, I1, E2, E1, acc = carry
         i = k - j_idx[None, :]
         valid = (
             (j_idx[None, :] >= 1)
@@ -269,15 +303,34 @@ def _forward_hp_impl(
         Ik = mis_j + _lse2(_lse2(ins_open_j + M1s, ins_ext_j + I1s), start_i)
         Ik = jnp.where(valid | valid_i0, Ik, NEG_INF)
 
+        # edit-distance DP + banded skip (rust-bio PairHMM min_edit_dist)
+        E2s = jnp.concatenate([einf[:, :1], E2[:, :-1]], axis=1)  # topleft
+        E1s = jnp.concatenate([einf[:, :1], E1[:, :-1]], axis=1)  # top
+        lf = E1  # left
+        pred_min = jnp.minimum(jnp.minimum(E2s, E1s), lf)
+        skip = pred_min > me
+        sub = jnp.where(match, E2s, jnp.minimum(E2s + 1, EINF))
+        Ek = jnp.minimum(sub, jnp.minimum(jnp.minimum(E1s, lf) + 1, EINF))
+        cell_ok = (valid | valid_i0) & ~skip
+        Ek = jnp.where(cell_ok, Ek, EINF)
+        Ek = Ek.at[:, 0].set(jnp.where(k <= allele_len, 0, EINF))
+        Mk = jnp.where(skip, NEG_INF, Mk)
+        Dk = jnp.where(skip, NEG_INF, Dk)
+        Ik = jnp.where(skip, NEG_INF, Ik)
+
         at_end = j_idx[None, :] == read_len[:, None]
         fin = jnp.where(at_end, _lse2(Mk, Ik), NEG_INF)
         m = jnp.max(fin, axis=1)
         dl = m + jnp.log(jnp.sum(jnp.exp(fin - m[:, None]), axis=1))
         dl = jnp.where(m <= NEG_INF / 2, NEG_INF, dl)[:, None]
         acc = _lse2(acc, dl)
-        return (M1, D1, I1, Mk, Dk, Ik, acc), None
+        return (M1, D1, I1, Mk, Dk, Ik, E1, Ek, acc), None
 
-    init = (neg, neg, neg, neg, neg, neg, jnp.full((B, 1), NEG_INF))
+    e1_init = einf.at[:, 0].set(0)
+    init = (
+        neg, neg, neg, neg, neg, neg, einf, e1_init,
+        jnp.full((B, 1), NEG_INF),
+    )
     ks = jnp.arange(1, X + Y + 1)
     (*_, acc), _ = jax.lax.scan(body, init, ks)
     return acc[:, 0]
@@ -344,13 +397,18 @@ class BatchedPairHMM:
             dtype=np.float32,
         )
 
-    def forward(self, alleles, reads, quals):
+    def forward(self, alleles, reads, quals, max_dists=None):
         """alleles: list[bytes-like]; reads: list[bytes-like];
-        quals: list[uint8 array]. Returns np.array [B] log-probs."""
+        quals: list[uint8 array]; max_dists: optional list[int|None] band
+        per item (None = full forward; ints reproduce rust-bio's banded
+        pruning with max_edit_dist = hit.dist + EDIT_BAND).
+        Returns np.array [B] log-probs."""
         n_req = len(alleles)
         assert n_req == len(reads) == len(quals)
+        if max_dists is not None:
+            assert len(max_dists) == n_req
         if self._native_ok():
-            return self._forward_native(alleles, reads, quals)
+            return self._forward_native(alleles, reads, quals, max_dists)
         # pad the batch axis to a pow2 bucket so jit programs are reused
         # across pileups (unpadded batch sizes caused one XLA compile per
         # distinct request count)
@@ -362,6 +420,11 @@ class BatchedPairHMM:
         read = np.zeros((B, Y), dtype=np.uint8)
         rlen = np.zeros(B, dtype=np.int32)
         mis = np.full((B, Y), NEG_INF, dtype=np.float32)
+        medge = np.full(B, -1, dtype=np.int32)
+        if max_dists is not None:
+            for b, d in enumerate(max_dists):
+                if d is not None:
+                    medge[b] = int(d)
         alen[n_req:] = 1
         rlen[n_req:] = 1
         for b in range(n_req):
@@ -392,6 +455,7 @@ class BatchedPairHMM:
                 jnp.asarray(ie),
                 jnp.asarray(do),
                 jnp.asarray(de),
+                jnp.asarray(medge),
                 X,
                 Y,
             )
@@ -403,12 +467,13 @@ class BatchedPairHMM:
             jnp.asarray(mis),
             jnp.asarray(rlen),
             jnp.asarray(self.gap),
+            jnp.asarray(medge),
             X,
             Y,
         )
         return np.asarray(out, dtype=np.float64)[:n_req]
 
-    def _forward_native(self, alleles, reads, quals):
+    def _forward_native(self, alleles, reads, quals, max_dists=None):
         """C++ linear-space forward (io/native.py); same model as the JAX
         kernels, per-item exact lengths (no padding)."""
         from ..io.native import pairhmm_forward_batch
@@ -451,10 +516,12 @@ class BatchedPairHMM:
                 del_open=del_open,
                 del_ext=del_ext,
             )
-        out = pairhmm_forward_batch(alleles, reads, miscalls, self.gap, **kw)
+        out = pairhmm_forward_batch(
+            alleles, reads, miscalls, self.gap, max_edit=max_dists, **kw
+        )
         if out is None:  # native lib unavailable after all: fall back
             self._use_native = False
-            return self.forward(alleles, reads, quals)
+            return self.forward(alleles, reads, quals, max_dists)
         return out
 
     @staticmethod
