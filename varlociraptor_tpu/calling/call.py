@@ -257,6 +257,11 @@ class GenericCaller:
         bias_ref = np.zeros((L, S, B, depth), dtype=np.float32)
         bias_any = np.zeros((L, S, B, depth), dtype=np.float32)
         combo_active = np.zeros((L, B), dtype=bool)
+        # per-locus artifact-combo count: the 0.5 artifact prior is split
+        # over the combos CONSIDERED at each locus (event.biases.len(),
+        # generic.rs:437-441) - i.e. the variant-class/pileup check_* flags,
+        # before the is_possible/is_informative gating
+        n_artifact_active = np.ones(L, dtype=np.float32)
         for li, it in enumerate(items):
             allowed = np.array(
                 [_combo_allowed(c, it.flags) for c in FULL_COMBOS]
@@ -267,6 +272,7 @@ class GenericCaller:
             bias_any[li] = bt.any
             combo_active[li] = bt.active & allowed
             combo_active[li, 0] = True  # no-artifact always active
+            n_artifact_active[li] = max(1, int(allowed[1:].sum()))
 
         # compact the combo axis: most loci activate 1-3 of the ~9 combos
         bias_alt, bias_ref, bias_any, combo_active, slot_map = compact_combos(
@@ -324,6 +330,9 @@ class GenericCaller:
                 axis=0,
             )
             ln_prior_absent = _pad(ln_prior_absent)
+            n_artifact_active = np.concatenate(
+                [n_artifact_active, np.ones(Lp - L, dtype=np.float32)]
+            )
             if ln_prior_joint is not None:
                 ln_prior_joint = _pad(ln_prior_joint)
 
@@ -333,6 +342,7 @@ class GenericCaller:
             out = run_sharded(
                 engine, self.mesh, feats, mask, bias_alt, bias_ref,
                 bias_any, combo_active, branch_gates, ln_prior_absent,
+                n_artifact_active=n_artifact_active,
             )
         else:
             out = engine.run(
@@ -345,6 +355,7 @@ class GenericCaller:
                 branch_gates,
                 ln_prior_absent,
                 ln_prior_joint=ln_prior_joint,
+                n_artifact_active=n_artifact_active,
             )
         if L < Lp:
             out = {

@@ -326,29 +326,22 @@ class Realigner:
             ]
             n_ref = len(ref_alleles)
 
-            # METHOD (prob_allele, realignment/mod.rs:426-479): within each
-            # allele set (ref-side incl. alt_variants; alt-side), only the
-            # alleles whose Myers edit distance equals the set minimum run
-            # the pair HMM; equal-distance ties are broken by the HMM
-            # probability.  The HMM itself is banded to hit.dist + EDIT_BAND
-            # (dist_upper_bound, edit_distance.rs:493-497).
-            def _candidates(idxs):
-                with_hits = [i for i in idxs if hits[i] is not None]
-                if not with_hits:
-                    return list(idxs)  # degenerate: empty seq/read
-                best = min(hits[i].dist for i in with_hits)
-                return [i for i in with_hits if hits[i].dist == best]
-
-            cand_ref = _candidates(range(n_ref))
-            cand_alt = _candidates(range(n_ref, len(all_emissions)))
-            selected = cand_ref + cand_alt
-
-            # shrink each allele window to its edit hit +- EDIT_BAND
-            # (calculate_prob_allele, realignment/mod.rs:526-543)
+            # DELIBERATE DIVERGENCE from prob_allele
+            # (realignment/mod.rs:426-479): the reference preselects the
+            # allele(s) with minimal Myers edit distance per set and only
+            # runs the pair HMM on those; we run the (banded) HMM on every
+            # candidate and take the max probability per set.  Our
+            # breakend-assembly windows differ from the reference's at
+            # single-base granularity, which makes min-dist ties between
+            # near-identical alleles (e.g. a DUP's junction allele vs its
+            # ref-like dummy antisense allele) unstable - preselection then
+            # drops genuinely supporting reads (test44 loses half its
+            # informative pileup).  Probability subsumes the edit distance
+            # signal; each HMM run is still banded to its OWN hit's
+            # dist + EDIT_BAND (dist_upper_bound, edit_distance.rs:493-497).
             shrunk = []
             bands = []
-            for idx in selected:
-                em, hit = all_emissions[idx], hits[idx]
+            for em, hit in zip(all_emissions, hits):
                 if hit is None:
                     shrunk.append(em.seq)
                     bands.append(None)
@@ -359,31 +352,27 @@ class Realigner:
                     bands.append(hit.dist + EDIT_BAND)
             if self.mode == "fast":
                 # fast mode: score the edit-distance path only
-                sel_probs = np.array(
+                probs = np.array(
                     [
-                        path_score(
-                            hits[i].ops, read_window, qual_window, self.hmm.gap
-                        )
-                        if hits[i] is not None
+                        path_score(h.ops, read_window, qual_window, self.hmm.gap)
+                        if h is not None
                         else math.log(0.5)
-                        for i in selected
+                        for h in hits
                     ]
                 )
             else:
-                sel_probs = self._forward(
+                probs = self._forward(
                     shrunk,
                     [read_window] * len(shrunk),
                     [qual_window] * len(shrunk),
                     bands,
                 )
-            nr = len(cand_ref)
-            ref_best = int(np.argmax(sel_probs[:nr]))
-            alt_best = int(np.argmax(sel_probs[nr:]))
-            prob_ref = float(sel_probs[ref_best])
-            prob_alt = float(sel_probs[nr + alt_best])
-            alt_idx = cand_alt[alt_best]
-            alt_emission = all_emissions[alt_idx]
-            alt_hit = hits[alt_idx]
+            ref_idx = int(np.argmax(probs[:n_ref]))
+            alt_rel = int(np.argmax(probs[n_ref:]))
+            prob_ref = float(probs[ref_idx])
+            prob_alt = float(probs[n_ref + alt_rel])
+            alt_emission = alt_alleles[alt_rel]
+            alt_hit = hits[n_ref + alt_rel]
 
             # third-allele rescue (realignment/mod.rs:317-348). The reference
             # fires on prob_alt > prob_ref strictly; when both alleles are

@@ -262,6 +262,8 @@ class PosteriorEngine:
             for si, sp in enumerate(br.spectra):
                 if sp.kind == SPECTRUM_SET:
                     self.set_mask[bi, si] = grid.set_mask(sp.values)
+                    # clear-ref shortcut (generic.rs:296-300): fires when
+                    # every set VAF is > 0
                     self.spectrum_excludes_zero[bi, si] = all(v > 0 for v in sp.values)
                     self.spectrum_contains_zero[bi, si] = 0.0 in sp.values
                     support[bi, si] = self.set_mask[bi, si]
@@ -271,9 +273,11 @@ class PosteriorEngine:
                     self.rng_end[bi, si] = sp.end
                     self.rng_lexcl[bi, si] = sp.left_exclusive
                     self.rng_rexcl[bi, si] = sp.right_exclusive
-                    self.spectrum_excludes_zero[bi, si] = sp.start > 0 or (
-                        sp.start == 0 and sp.left_exclusive
-                    )
+                    # clear-ref shortcut for ranges fires ONLY when
+                    # start > 0 (generic.rs:342-347) - a left-exclusive
+                    # ]0.0, x[ range is NOT short-cut (its observable_min
+                    # is still integrated, formula.rs:1172-1232)
+                    self.spectrum_excludes_zero[bi, si] = sp.start > 0
                     self.spectrum_contains_zero[bi, si] = sp.contains(0.0)
                     support[bi, si] = (gv >= sp.start - 1e-9) & (
                         gv <= sp.end + 1e-9
@@ -621,6 +625,7 @@ class PosteriorEngine:
         branch_gates,
         ln_prior_absent,
         ln_prior_joint=None,
+        n_artifact_active=None,
     ):
         grid = jnp.asarray(self.grid.values)
         L, S, D, _ = feats.shape
@@ -827,7 +832,8 @@ class PosteriorEngine:
             T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
             branch_val = jnp.where(combo_active[:, :, None], T, NEG_INF)
             return self._assemble(
-                branch_val, loglik, pair_logliks, w, branch_gates
+                branch_val, loglik, pair_logliks, w, branch_gates,
+                n_artifact_active,
             )
 
         z0 = jnp.asarray(self.branch_has_zero_point)
@@ -846,14 +852,29 @@ class PosteriorEngine:
 
         branch_val = jnp.where(combo_active[:, :, None], branch_val, NEG_INF)
         return self._assemble(
-            branch_val, loglik, pair_logliks, w, branch_gates
+            branch_val, loglik, pair_logliks, w, branch_gates,
+            n_artifact_active,
         )
 
-    def _assemble(self, branch_val, loglik, pair_logliks, w, branch_gates):
+    def _assemble(
+        self, branch_val, loglik, pair_logliks, w, branch_gates,
+        n_artifact_active=None,
+    ):
         L, S, B, G = loglik.shape
         NB = self.n_branches
         n_events = len(self.events)
         n_artifact_combos = self.n_artifact_combos or max(1, B - 1)
+        # METHOD: the artifact event splits a 0.5 prior uniformly over the
+        # bias combinations CONSIDERED at each locus (event.biases.len(),
+        # generic.rs:437-441) - a per-locus count driven by the variant
+        # class and pileup (check_* flags, calling.rs:559-566), NOT the
+        # global combo-set size.  Using the global size under-weights the
+        # artifact hypothesis whenever fewer dimensions are considered
+        # (e.g. indels: no read-orientation/read-position/softclip dims).
+        if n_artifact_active is not None:
+            ln_n_art = jnp.log(jnp.maximum(n_artifact_active, 1.0))  # [L]
+        else:
+            ln_n_art = jnp.full((L,), math.log(n_artifact_combos))
         event_vals = []
         for ei in range(n_events):
             idxs = tuple(self.event_branch_idx[ei])
@@ -867,7 +888,7 @@ class PosteriorEngine:
                 if B == 1:  # no artifact combo slot active in this batch
                     val = jnp.full((L,), NEG_INF)
                 else:
-                    bias_prior = PROB_05 - math.log(n_artifact_combos)
+                    bias_prior = PROB_05 - ln_n_art  # [L]
                     val = bias_prior + _lse(ev_b[:, 1:], axis=-1)
             else:
                 val = PROB_05 + ev_b[:, 0]
@@ -993,6 +1014,7 @@ class PosteriorEngine:
         branch_gates,
         ln_prior_absent,
         ln_prior_joint=None,
+        n_artifact_active=None,
     ):
         """Evaluate posteriors for a locus batch.
 
@@ -1014,12 +1036,23 @@ class PosteriorEngine:
             jnp.asarray(branch_gates),
             jnp.asarray(ln_prior_absent, dtype=jnp.float32),
         ]
-        if ln_prior_joint is not None:
-            out = self._run_full(
-                *args, jnp.asarray(ln_prior_joint, dtype=jnp.float32)
+        L = args[0].shape[0]
+        if n_artifact_active is None:
+            n_art = jnp.full(
+                (L,),
+                float(self.n_artifact_combos or 1),
+                dtype=jnp.float32,
             )
         else:
-            out = self._run(*args)
+            n_art = jnp.asarray(n_artifact_active, dtype=jnp.float32)
+        if ln_prior_joint is not None:
+            out = self._run_full(
+                *args,
+                jnp.asarray(ln_prior_joint, dtype=jnp.float32),
+                n_art,
+            )
+        else:
+            out = self._run(*args, None, n_art)
         # the device->host tunnel pays ~40ms latency PER fetch: pack all
         # outputs into one buffer per dtype so the whole result moves in
         # two round trips

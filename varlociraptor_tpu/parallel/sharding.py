@@ -48,11 +48,17 @@ def shard_engine_inputs(mesh: Mesh, *arrays, axis_name: str = "loci"):
 
 
 def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
-                combo_active, branch_gates, ln_prior_absent):
+                combo_active, branch_gates, ln_prior_absent,
+                n_artifact_active=None):
     """Run a PosteriorEngine over a locus batch sharded across the mesh.
 
     Returns host numpy outputs with padding stripped.
     """
+    L0 = np.asarray(feats).shape[0]
+    if n_artifact_active is None:
+        n_artifact_active = np.full(
+            L0, float(engine.n_artifact_combos or 1), dtype=np.float32
+        )
     arrays, pad = shard_engine_inputs(
         mesh,
         np.asarray(feats, dtype=np.float32),
@@ -63,8 +69,9 @@ def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
         np.asarray(combo_active),
         np.asarray(branch_gates),
         np.asarray(ln_prior_absent, dtype=np.float32),
+        np.asarray(n_artifact_active, dtype=np.float32),
     )
-    out = engine._run(*arrays)
+    out = engine._run(*arrays[:-1], None, arrays[-1])
     L = np.asarray(feats).shape[0]
     out = {k: np.asarray(v)[:L] for k, v in out.items()}
     out["n_obs"] = np.asarray(mask).sum(axis=-1)
