@@ -31,14 +31,15 @@ def _timed(engine, inputs, n_iter):
     import jax.numpy as jnp
 
     args = [jnp.asarray(a) for a in inputs]
-    out = engine._run(*args)
-    for v in out.values():
-        np.asarray(v)  # compile + warmup, forced sync
+    # engine.run is the production path: it materializes EVERY output on the
+    # host (posteriors, MAP AFs, deci-PHRED AFDs, combo masses), packed into
+    # one f32 + one i16 fetch; np.asarray inside run() is the only
+    # trustworthy sync on axon (block_until_ready is a no-op there)
+    out = engine.run(*args)
+    assert all(isinstance(v, np.ndarray) for v in out.values())
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = engine._run(*args)
-        for v in out.values():
-            np.asarray(v)  # device->host fetch = the only trustworthy sync
+        out = engine.run(*args)
     return time.perf_counter() - t0
 
 
