@@ -49,7 +49,7 @@ def main():
     enable_xla_cache()  # first compile through the axon tunnel costs minutes
     from varlociraptor_tpu.bench_utils import engine_inputs, tumor_normal_engine
 
-    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     depth = 64
 
     _, engine = tumor_normal_engine()

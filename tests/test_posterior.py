@@ -353,3 +353,71 @@ def np_ln_sum_exp_safe(x):
     if not np.isfinite(m):
         return m
     return float(m + np.log(np.sum(np.exp(x - m))))
+
+
+def test_per_sample_resolution_subgrid():
+    """A sample with a coarse scenario `resolution:` integrates on the
+    k*resolution lattice (generic.rs:357 adaptive-integration step) — the
+    engine's active subgrid must contain exactly that lattice plus the
+    sample's own set values / range endpoints, and posteriors must stay
+    close to the dense-grid evaluation."""
+    import jax.numpy as jnp
+
+    from varlociraptor_tpu.bench_utils import (
+        engine_inputs,
+        tumor_normal_engine,
+    )
+    from varlociraptor_tpu.grammar.compiler import compile_scenario_events
+    from varlociraptor_tpu.grammar.scenario import tumor_normal_scenario
+    from varlociraptor_tpu.ops.biases import FULL_COMBOS_DEFAULT
+
+    scenario, engine = tumor_normal_engine()
+    # sample order is sorted: normal=0 (res 0.1), tumor=1 (res 0.01)
+    ni = scenario.sample_names.index("normal")
+    ti = scenario.sample_names.index("tumor")
+    assert len(engine.active_idx[ti]) == engine.grid.size
+    normal_vals = set(np.round(engine.values_s[ni].astype(float), 6))
+    for k in range(11):
+        assert round(k * 0.1, 6) in normal_vals
+    # coarse: strictly fewer points than the dense grid
+    assert len(engine.active_idx[ni]) < engine.grid.size / 3
+
+    # dense control: same scenario, resolution=None on every sample
+    events, grid_points = compile_scenario_events(scenario, "chr1")
+    grid = AFGrid.build(0.01, extra_points=grid_points)
+    dense_samples = []
+    for name in scenario.sample_names:
+        s = scenario.samples[name]
+        if s.contamination is not None:
+            dense_samples.append(
+                SampleConfig(
+                    name,
+                    contaminated_by=scenario.idx(s.contamination.by),
+                    contamination_fraction=s.contamination.fraction,
+                )
+            )
+        else:
+            dense_samples.append(SampleConfig(name))
+    dense = PosteriorEngine(
+        events,
+        grid,
+        dense_samples,
+        resolution=0.01,
+        all_uniform_prior=True,
+        n_artifact_combos=len(FULL_COMBOS_DEFAULT) - 1,
+    )
+    inputs = engine_inputs(engine, n_loci=64, depth=32, seed=3)
+    out_c = engine.run(*inputs)
+    out_d = dense.run(*inputs)
+    # posteriors: the coarse normal axis changes the integration lattice
+    # (closer to the reference's own 0.1-step adaptive integration); values
+    # must stay within a small tolerance of the dense evaluation
+    pc = out_c["posteriors"]
+    pd = out_d["posteriors"]
+    finite = np.isfinite(pc) & np.isfinite(pd)
+    assert np.all(np.abs(pc[finite] - pd[finite]) < 3.0), (
+        np.max(np.abs(pc[finite] - pd[finite]))
+    )
+    # MAP event choice essentially unchanged (ties may flip on random data)
+    same = np.mean(out_c["best_nonartifact"] == out_d["best_nonartifact"])
+    assert same > 0.95, same

@@ -59,10 +59,11 @@ def tumor_normal_engine(resolution=0.01, purity=0.75):
                     name,
                     contaminated_by=scenario.idx(s.contamination.by),
                     contamination_fraction=s.contamination.fraction,
+                    resolution=s.resolution,
                 )
             )
         else:
-            samples.append(SampleConfig(name))
+            samples.append(SampleConfig(name, resolution=s.resolution))
     engine = PosteriorEngine(
         events,
         grid,

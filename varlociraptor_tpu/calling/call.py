@@ -114,10 +114,13 @@ class GenericCaller:
                         name,
                         contaminated_by=scenario.idx(s.contamination.by),
                         contamination_fraction=s.contamination.fraction,
+                        resolution=s.resolution,
                     )
                 )
             else:
-                self.sample_configs.append(SampleConfig(name))
+                self.sample_configs.append(
+                    SampleConfig(name, resolution=s.resolution)
+                )
 
     # ------------------------------------------------------------------
     def _events_for(self, contig):

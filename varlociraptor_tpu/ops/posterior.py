@@ -22,12 +22,21 @@ implicitly.
 
 TPU performance structure (round 2):
 
+* Per-sample ACTIVE subgrids: each sample's grid axis is restricted to the
+  lattice at the sample's declared scenario ``resolution:``
+  (generic.rs:357 ``self.resolutions[*sample]`` — the step at which the
+  reference's adaptive integration terminates) plus that sample's set
+  values, range endpoints and {0, 1}.  The builtin tumor-normal scenario
+  (normal at 0.1) shrinks the contaminated plane [G, G'] from 103x103 to
+  103x~10, and every contraction with it.  ``resolution=None`` keeps the
+  full shared grid (bit-exact old behavior).
+* Own-likelihood grids are computed only for contamination-tree ROOT
+  samples — a contaminated child's evidence enters solely through the
+  two-axis pair likelihood, so its single-axis grid would be dead compute.
 * The contaminated two-axis likelihood [L,B,G,G'] is evaluated only on the
   UNIQUE (nu, kappa) classes of the effective-AF plane
   (nu = purity*af_p + impurity*af_s; kappa = the af==1 sampling-bias-bypass
-  mass) and gathered back — for percent-scale purities this cuts the
-  transcendental cell count ~15-25x (e.g. purity 0.75 on a 0.01 grid:
-  ~620 classes vs 103^2 cells).
+  mass) and gathered back.
 * Tree variable elimination over contamination components contracts each
   child axis as a shifted-exp einsum (an MXU matmul) instead of a
   materialized [L,B,NB,G,G'] logsumexp.  Shifts are taken per
@@ -153,23 +162,40 @@ def _lfc_components(lfc_list):
 
 
 class SampleConfig:
-    def __init__(self, name, contaminated_by=None, contamination_fraction=0.0):
+    def __init__(
+        self,
+        name,
+        contaminated_by=None,
+        contamination_fraction=0.0,
+        resolution=None,
+    ):
         self.name = name
         self.contaminated_by = contaminated_by
         self.contamination_fraction = contamination_fraction
+        # per-sample integration resolution (scenario `resolution:` field,
+        # generic.rs:357 `self.resolutions[*sample]`): range spectra of this
+        # sample integrate over the lattice k*resolution (plus set points
+        # and range endpoints), exactly like the reference terminates its
+        # adaptive integration at this step size. None = the shared engine
+        # grid (backward-compatible dense behavior).
+        self.resolution = resolution
 
 
-def _pair_class_setup(grid_values, fraction):
+def _pair_class_setup(child_values, parent_values, fraction):
     """Unique (nu, kappa) classes of the contaminated-likelihood plane.
 
-    Returns (nu_u [U] f32, kappa_u [U] f32, inv [G,G] int32) with
-    plane[g, g2] = class inv[g, g2]."""
+    Returns (nu_u [U] f32, kappa_u [U] f32, inv [Ac,Ap] int32) with
+    plane[g_child, g_parent] = class inv[gc, gp].  The axes are the two
+    samples' ACTIVE subgrids (per-sample resolution), which both shrinks
+    the class set (U) and the gathered plane."""
     pur = np.float32(1.0 - fraction)
     imp = np.float32(fraction)
-    g = grid_values.astype(np.float32)
-    nu = pur * g[:, None] + imp * g[None, :]
-    one = (g == 1.0).astype(np.float32)
-    kappa = pur * one[:, None] + imp * one[None, :]
+    gc = np.asarray(child_values, dtype=np.float32)
+    gp = np.asarray(parent_values, dtype=np.float32)
+    nu = pur * gc[:, None] + imp * gp[None, :]
+    onec = (gc == 1.0).astype(np.float32)
+    onep = (gp == 1.0).astype(np.float32)
+    kappa = pur * onec[:, None] + imp * onep[None, :]
     pairs = np.stack([nu.ravel(), kappa.ravel()], axis=1)
     uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
     return (
@@ -245,28 +271,106 @@ class PosteriorEngine:
         G = grid.size
         NB = self.n_branches
         S = self.n_samples
+        self.zero_idx = grid.index_of(0.0)
+
+        # ---- per-sample ACTIVE subgrids (scenario per-sample resolution,
+        # generic.rs:357).  A sample whose declared resolution is coarser
+        # than the shared grid keeps only the lattice k*res plus its own
+        # set values, range endpoints and {0, 1}; everything else keeps the
+        # full shared grid (None / fine resolutions: bit-exact old path).
+        gv64 = np.round(grid.values.astype(np.float64), 10)
+        self.active_idx: list[np.ndarray] = []
+        for si in range(S):
+            res = getattr(samples[si], "resolution", None)
+            if res is None or res <= resolution * (1.0 + 1e-9):
+                self.active_idx.append(np.arange(G, dtype=np.int64))
+                continue
+            pts = {0.0, 1.0}
+            ladder = set()
+            k = 0
+            while k * res <= 1.0 + res * 0.5:
+                pts.add(round(min(k * res, 1.0), 10))
+                k += 1
+            for ei, br in self.branches:
+                sp = br.spectra[si]
+                if sp.kind == SPECTRUM_SET:
+                    pts.update(round(float(v), 10) for v in sp.values)
+                else:
+                    start, end = float(sp.start), float(sp.end)
+                    pts.add(round(start, 10))
+                    pts.add(round(end, 10))
+                    # METHOD: the reference's adaptive integration refines
+                    # at resolution/3 spacing around the density optimum
+                    # (adaptive_integration.rs:104-130).  The optimum of a
+                    # range spectrum overwhelmingly sits at a range
+                    # endpoint (e.g. the clear-ref normal's peak at 0), so
+                    # statically refine a res/3 ladder inside each end.
+                    for k in (1.0 / 3.0, 2.0 / 3.0):
+                        for p in (start + k * res, end - k * res):
+                            if start < p < end:
+                                ladder.add(p)
+            sel = np.zeros(G, dtype=bool)
+            for v in pts:
+                j = int(np.argmin(np.abs(gv64 - v)))
+                if abs(float(gv64[j]) - v) <= 1e-6:
+                    sel[j] = True
+            for v in ladder:
+                # refinement points snap to the NEAREST shared-grid slot
+                # (they are off the coarse lattice by construction)
+                sel[int(np.argmin(np.abs(gv64 - v)))] = True
+            sel[self.zero_idx] = True
+            self.active_idx.append(np.nonzero(sel)[0].astype(np.int64))
+        self.values_s = [grid.values[idx] for idx in self.active_idx]
+        self.zero_s = [
+            int(np.nonzero(idx == self.zero_idx)[0][0]) for idx in self.active_idx
+        ]
+        self.valid_mask_s = [
+            self.valid_vaf_mask[si][self.active_idx[si]]
+            if self.valid_vaf_mask is not None
+            else None
+            for si in range(S)
+        ]
+
+        def _sub_index(si, vaf):
+            vals = self.values_s[si]
+            j = int(np.argmin(np.abs(vals.astype(np.float64) - vaf)))
+            if abs(float(vals[j]) - vaf) > 1e-6:
+                raise KeyError(
+                    f"VAF {vaf} missing from sample {si} active subgrid"
+                )
+            return j
 
         self.is_range = np.zeros((NB, S), dtype=bool)
         self.rng_start = np.zeros((NB, S), dtype=np.float32)
         self.rng_end = np.zeros((NB, S), dtype=np.float32)
         self.rng_lexcl = np.zeros((NB, S), dtype=bool)
         self.rng_rexcl = np.zeros((NB, S), dtype=bool)
+        # full-grid set masks kept for the compat `_branch_weights`
         self.set_mask = np.zeros((NB, S, G), dtype=bool)
+        self.set_mask_s = [
+            np.zeros((NB, len(self.active_idx[si])), dtype=bool)
+            for si in range(S)
+        ]
         self.spectrum_excludes_zero = np.zeros((NB, S), dtype=bool)
         self.spectrum_contains_zero = np.zeros((NB, S), dtype=bool)
-        # static superset of each branch x sample integration support
-        # (inclusive range bounds; used only for einsum shift classes)
-        support = np.zeros((NB, S, G), dtype=bool)
-        gv = grid.values
+        # static superset of each branch x sample integration support on the
+        # sample's active subgrid (used only for einsum shift classes)
+        support_s = [
+            np.zeros((NB, len(self.active_idx[si])), dtype=bool)
+            for si in range(S)
+        ]
         for bi, (ei, br) in enumerate(self.branches):
             for si, sp in enumerate(br.spectra):
+                sv = self.values_s[si]
                 if sp.kind == SPECTRUM_SET:
                     self.set_mask[bi, si] = grid.set_mask(sp.values)
+                    for v in sp.values:
+                        self.set_mask_s[si][bi, _sub_index(si, v)] = True
                     # clear-ref shortcut (generic.rs:296-300): fires when
                     # every set VAF is > 0
                     self.spectrum_excludes_zero[bi, si] = all(v > 0 for v in sp.values)
                     self.spectrum_contains_zero[bi, si] = 0.0 in sp.values
-                    support[bi, si] = self.set_mask[bi, si]
+                    support_s[si][bi] = self.set_mask_s[si][bi]
                 else:
                     self.is_range[bi, si] = True
                     self.rng_start[bi, si] = sp.start
@@ -279,11 +383,11 @@ class PosteriorEngine:
                     # is still integrated, formula.rs:1172-1232)
                     self.spectrum_excludes_zero[bi, si] = sp.start > 0
                     self.spectrum_contains_zero[bi, si] = sp.contains(0.0)
-                    support[bi, si] = (gv >= sp.start - 1e-9) & (
-                        gv <= sp.end + 1e-9
+                    support_s[si][bi] = (sv >= sp.start - 1e-9) & (
+                        sv <= sp.end + 1e-9
                     )
-                if self.valid_vaf_mask is not None:
-                    support[bi, si] &= self.valid_vaf_mask[si]
+                if self.valid_mask_s[si] is not None:
+                    support_s[si][bi] &= self.valid_mask_s[si]
         # per-sample spectrum-support classes for contraction shifts
         self.support_classes = []  # per sample: (class_of_branch [NB], masks [K,G])
         for si in range(S):
@@ -291,15 +395,14 @@ class PosteriorEngine:
             cls = np.zeros(NB, dtype=np.int64)
             masks = []
             for bi in range(NB):
-                key = support[bi, si].tobytes()
+                key = support_s[si][bi].tobytes()
                 if key not in keys:
                     keys[key] = len(masks)
-                    masks.append(support[bi, si])
+                    masks.append(support_s[si][bi])
                 cls[bi] = keys[key]
             self.support_classes.append((cls, np.stack(masks)))
 
         self.branch_has_zero_point = self.spectrum_contains_zero.all(axis=1)
-        self.zero_idx = grid.index_of(0.0)
 
         self.event_branch_idx = [
             [bi for bi, (e, _) in enumerate(self.branches) if e == ei]
@@ -311,26 +414,34 @@ class PosteriorEngine:
         self.event_is_artifact = [ev.is_artifact for ev in events]
         self.event_all_absent = [ev.all_absent() for ev in events]
 
-        # l2fc constraints: per-branch pairwise [G,G] masks over the grid
+        # l2fc constraints: per-branch pairwise [Ga,Gb] masks over the two
+        # samples' active subgrids
         # (utils/log2_fold_change.rs; vaftree NodeKind::Log2FoldChange)
-        self.branch_lfc_masks = {}  # bi -> list[(sample_a, sample_b, mask [G,G])]
-        gvals = grid.values.astype(np.float64)
+        self.branch_lfc_masks = {}  # bi -> list[(sample_a, sample_b, mask [Ga,Gb])]
         for bi, (ei, br) in enumerate(self.branches):
             if not br.lfcs:
                 continue
             by_pair = {}
             for lfc in br.lfcs:
-                m = np.zeros((G, G), dtype=bool)
-                for ia, va in enumerate(gvals):
-                    for ib, vb in enumerate(gvals):
-                        m[ia, ib] = lfc.holds(va, vb)
                 # canonicalize to (min_sample, max_sample) orientation
                 if lfc.sample_a <= lfc.sample_b:
                     key = (lfc.sample_a, lfc.sample_b)
+                    va_list = self.values_s[lfc.sample_a].astype(np.float64)
+                    vb_list = self.values_s[lfc.sample_b].astype(np.float64)
+                    m = np.zeros((len(va_list), len(vb_list)), dtype=bool)
+                    for ia, va in enumerate(va_list):
+                        for ib, vb in enumerate(vb_list):
+                            m[ia, ib] = lfc.holds(va, vb)
                 else:
                     key = (lfc.sample_b, lfc.sample_a)
-                    m = m.T
-                by_pair[key] = by_pair.get(key, np.ones((G, G), dtype=bool)) & m
+                    va_list = self.values_s[lfc.sample_a].astype(np.float64)
+                    vb_list = self.values_s[lfc.sample_b].astype(np.float64)
+                    m = np.zeros((len(vb_list), len(va_list)), dtype=bool)
+                    for ia, va in enumerate(va_list):
+                        for ib, vb in enumerate(vb_list):
+                            m[ib, ia] = lfc.holds(va, vb)
+                prev = by_pair.get(key)
+                by_pair[key] = m if prev is None else (prev & m)
             self.branch_lfc_masks[bi] = [
                 (a, b, m) for (a, b), m in by_pair.items()
             ]
@@ -345,10 +456,11 @@ class PosteriorEngine:
             for si, s in enumerate(samples)
             if s.contaminated_by is not None
         ]
-        # unique (nu, kappa) gather classes per contaminated sample
+        # unique (nu, kappa) gather classes per contaminated sample, on the
+        # (child, parent) active subgrids
         self.pair_class = {
-            si: _pair_class_setup(grid.values, frac)
-            for si, _, frac in self.pairs
+            si: _pair_class_setup(self.values_s[si], self.values_s[by], frac)
+            for si, by, frac in self.pairs
         }
         # mutual contamination (A contaminated by B AND B by A) is a 2-cycle:
         # two pairwise factors over the same two grid axes — fine for the
@@ -380,13 +492,19 @@ class PosteriorEngine:
             groups.setdefault(find(si), []).append(si)
         self.components = [sorted(v) for v in groups.values()]
         self.singletons = [c[0] for c in self.components if len(c) == 1]
+        # samples whose own single-axis likelihood is needed (contamination
+        # roots; a contaminated child's evidence enters via the pair factor)
+        self.root_samples = [si for si in range(S) if self.parent[si] is None]
 
         self._run = jax.jit(self._run_impl)
         self._run_full = jax.jit(self._run_impl)
 
     # ------------------------------------------------------------------
     def _branch_weights(self, n_obs):
-        """[L, NB, S, G] log integration weights."""
+        """[L, NB, S, G] log integration weights on the FULL shared grid.
+
+        Compat/diagnostic path (parity tests); the engine itself uses the
+        per-sample `_weights_list`."""
         grid = jnp.asarray(self.grid.values)
         n = n_obs[:, None, :]  # [L,1,S]
         start = jnp.asarray(self.rng_start)[None]  # [1,NB,S]
@@ -410,6 +528,38 @@ class PosteriorEngine:
             )
         return w
 
+    def _weights_list(self, n_obs):
+        """Per-sample [L, NB, G_i] log integration weights on the active
+        subgrid (trapezoid widths taken on the SUBGRID lattice — the
+        sample's declared integration resolution)."""
+        out = []
+        for si in range(self.n_samples):
+            vals = jnp.asarray(self.values_s[si])
+            n = n_obs[:, si][:, None]  # [L,1]
+            start = jnp.asarray(self.rng_start[:, si])[None]  # [1,NB]
+            end = jnp.asarray(self.rng_end[:, si])[None]
+            lex = jnp.asarray(self.rng_lexcl[:, si])[None]
+            rex = jnp.asarray(self.rng_rexcl[:, si])[None]
+            shape = jnp.broadcast_shapes(n.shape, start.shape)
+            rw = range_weights(
+                vals,
+                jnp.broadcast_to(start, shape),
+                jnp.broadcast_to(end, shape),
+                jnp.broadcast_to(lex, shape),
+                jnp.broadcast_to(rex, shape),
+                jnp.broadcast_to(n, shape),
+            )  # [L,NB,Gi]
+            setw = jnp.where(jnp.asarray(self.set_mask_s[si])[None], 0.0, NEG_INF)
+            w = jnp.where(
+                jnp.asarray(self.is_range[:, si])[None, :, None], rw, setw
+            )
+            if self.valid_mask_s[si] is not None:
+                w = w + jnp.where(
+                    jnp.asarray(self.valid_mask_s[si])[None, None], 0.0, NEG_INF
+                )
+            out.append(w)
+        return out
+
     # ------------------------------------------------------------------
     def _lse_contract(self, F, S, classes, class_masks):
         """logsumexp over v of F[l,b,v,u] + S[l,b,n,v] -> [l,b,n,u].
@@ -420,12 +570,11 @@ class PosteriorEngine:
         classes: np [NB] -> class id; class_masks: np [K, Gv] bool.
         """
         L, B = F.shape[0], F.shape[1]
-        NB = S.shape[2]
         Gu = F.shape[3]
         mS = jnp.max(S, axis=-1)  # [L,B,NB]
         mS_s = jnp.where(jnp.isfinite(mS), mS, 0.0)
         Q = jnp.exp(S - mS_s[..., None])  # [L,B,NB,Gv]
-        out = jnp.zeros((L, B, NB, Gu))
+        out = jnp.zeros((L, B, S.shape[2], Gu))
         for k in range(class_masks.shape[0]):
             idx = tuple(int(i) for i in np.nonzero(classes == k)[0])
             if not idx:
@@ -445,15 +594,17 @@ class PosteriorEngine:
             out = out.at[:, :, idx, :].set(vals)
         return out
 
-    def _component_reduce(self, comp, loglik, pair_logliks, w_s, keep=None):
+    def _component_reduce(self, comp, loglik, pair_logliks, w_list, keep=None):
         """Tree variable elimination over a component's grid axes.
 
-        loglik [L,S',B,G] (own-likelihoods of root samples); pair_logliks
-        {si: [L,B,G,Gparent]}; w_s [L,S,NB,G].  Returns [L,B,NB]
-        (keep=None) or [L,B,NB,G] (keep's own axis retained).
+        loglik {si: [L,B,G_i]} (own-likelihoods of root samples);
+        pair_logliks {si: [L,B,G_i,G_parent]}; w_list [si] = [L,NB,G_i].
+        Returns [L,B,NB] (keep=None) or [L,B,NB,G_keep] (keep's own axis
+        retained).
         """
         from collections import deque
 
+        NB = self.n_branches
         adj = {si: set() for si in comp}
         for si in comp:
             p = self.parent[si]
@@ -474,9 +625,9 @@ class PosteriorEngine:
         # per-node 1-var parts: start with weights (+ own loglik for roots)
         parts = {}
         for si in comp:
-            p_list = [w_s[:, si][:, None]]  # [L,1,NB,G]
+            p_list = [w_list[si][:, None]]  # [L,1,NB,Gi]
             if self.parent[si] is None:
-                p_list.append(loglik[:, si][:, :, None, :])  # [L,B,1,G]
+                p_list.append(loglik[si][:, :, None, :])  # [L,B,1,Gi]
             parts[si] = p_list
         # 2-var factors: (child, parent) -> F [L,B,Gchild,Gparent]
         edge_factors = {}
@@ -504,7 +655,7 @@ class PosteriorEngine:
                 S_v = p_ if S_v is None else S_v + p_
             S_v = jnp.broadcast_to(
                 S_v,
-                (S_v.shape[0], Fs.shape[1], w_s.shape[2], S_v.shape[-1]),
+                (S_v.shape[0], Fs.shape[1], NB, S_v.shape[-1]),
             )
             classes, class_masks = self.support_classes[v]
             msg = self._lse_contract(Fs, S_v, classes, class_masks)
@@ -514,14 +665,20 @@ class PosteriorEngine:
         out = None
         for p_ in parts[root]:
             out = p_ if out is None else out + p_
+        B = max(
+            (t.shape[1] for t in loglik.values()),
+            default=next(iter(pair_logliks.values())).shape[1]
+            if pair_logliks
+            else 1,
+        )
         out = jnp.broadcast_to(
-            out, (out.shape[0], loglik.shape[2], w_s.shape[2], out.shape[-1])
+            out, (out.shape[0], B, NB, out.shape[-1])
         )
         if keep is not None:
             return out
         return _lse(out, axis=-1)
 
-    def _lfc_tree_eliminate(self, group, nodes, loglik, w_s, bi, zi):
+    def _lfc_tree_eliminate(self, group, nodes, loglik, w_list, bi):
         """Chained l2fc over singleton samples: eliminate the acyclic
         constraint graph leaf-to-root with pairwise mask contractions.
         Returns ([L,B] integral, [L,B] all-zero-point value)."""
@@ -543,15 +700,17 @@ class PosteriorEngine:
                     depth[v] = depth[u] + 1
                     dq.append(v)
         d = {
-            s: loglik[:, s] + w_s[:, s, bi][:, None, :]  # [L,B,G]
+            s: loglik[s] + w_list[s][:, bi][:, None, :]  # [L,B,Gs]
             for s in nodes
         }
         z = None
         for s in nodes:
-            zv = d[s][:, :, zi]
+            zv = d[s][:, :, self.zero_s[s]]
             z = zv if z is None else z + zv
         for a, b, m in group:
-            z = z + jnp.where(jnp.asarray(m[zi, zi]), 0.0, NEG_INF)
+            z = z + jnp.where(
+                jnp.asarray(m[self.zero_s[a], self.zero_s[b]]), 0.0, NEG_INF
+            )
         done = set()
         for v in sorted(nodes, key=lambda s: -depth[s]):
             if v == root:
@@ -569,35 +728,36 @@ class PosteriorEngine:
                     break
         return _lse(d[root], axis=-1), z
 
-    def _unit_terms(self, loglik, pair_logliks, w):
+    def _unit_terms(self, loglik, pair_logliks, w_list, B):
         """Per-unit branch integrals.
 
         Returns:
           U: dict[unit_key] -> [L,B,NB] unit integral
           Uzero: dict[unit_key] -> [L,B,NB] unit value at all-zero point
         """
-        w_s = jnp.swapaxes(w, 1, 2)  # [L,S,NB,G]
         U = {}
         Uzero = {}
-        zi = self.zero_idx
+        NB = self.n_branches
         for comp in self.components:
             key = ("c",) + tuple(comp)
-            U[key] = self._component_reduce(comp, loglik, pair_logliks, w_s)
+            U[key] = self._component_reduce(comp, loglik, pair_logliks, w_list)
             zval = None
             for si in comp:
-                tz = w_s[:, si, :, zi][:, None]  # [L,1,NB]
+                zi = self.zero_s[si]
+                tz = w_list[si][:, :, zi][:, None]  # [L,1,NB]
                 if self.parent[si] is None:
-                    tz = tz + loglik[:, si, :, zi][:, :, None]
+                    tz = tz + loglik[si][:, :, zi][:, :, None]
                 else:
-                    tz = tz + pair_logliks[si][:, :, zi, zi][:, :, None]
+                    zp = self.zero_s[self.parent[si]]
+                    tz = tz + pair_logliks[si][:, :, zi, zp][:, :, None]
                 zval = tz if zval is None else zval + tz
             Uzero[key] = jnp.broadcast_to(
-                zval, (zval.shape[0], loglik.shape[2], w_s.shape[2])
+                zval, (zval.shape[0], B, NB)
             )
         return U, Uzero
 
     def _pair_logliks(self, feats, mask, bias_alt, bias_ref, bias_any):
-        """Materialize [L,B,G,G'] contaminated likelihoods via the unique
+        """Materialize [L,B,Gc,Gp] contaminated likelihoods via the unique
         (nu, kappa) class gather."""
         out = {}
         for si, by, frac in self.pairs:
@@ -611,7 +771,7 @@ class PosteriorEngine:
                 jnp.asarray(nu_u),
                 jnp.asarray(kappa_u),
             )  # [L,B,U]
-            out[si] = ll_u[:, :, jnp.asarray(inv)]  # [L,B,G,G']
+            out[si] = ll_u[:, :, jnp.asarray(inv)]  # [L,B,Gc,Gp]
         return out
 
     def _run_impl(
@@ -627,16 +787,25 @@ class PosteriorEngine:
         ln_prior_joint=None,
         n_artifact_active=None,
     ):
-        grid = jnp.asarray(self.grid.values)
         L, S, D, _ = feats.shape
         B = bias_alt.shape[2]
         NB = self.n_branches
 
         n_obs = jnp.sum(mask, axis=-1).astype(jnp.float32)  # [L,S]
 
-        loglik = sample_loglik_grid(
-            feats, mask, bias_alt, bias_ref, bias_any, grid
-        )  # [L,S,B,G]
+        # own-likelihood grids only for contamination roots, each on its
+        # active subgrid
+        loglik = {}
+        for si in self.root_samples:
+            vals = jnp.asarray(self.values_s[si])
+            loglik[si] = sample_loglik_grid(
+                feats[:, si : si + 1],
+                mask[:, si : si + 1],
+                bias_alt[:, si : si + 1],
+                bias_ref[:, si : si + 1],
+                bias_any[:, si : si + 1],
+                vals,
+            )[:, 0]  # [L,B,Gi]
 
         pair_logliks = self._pair_logliks(
             feats, mask, bias_alt, bias_ref, bias_any
@@ -648,12 +817,18 @@ class PosteriorEngine:
         positive_ref = (p_ref - p_alt) > LN_32
         clear_ref = (n_obs > 10) & jnp.all(positive_ref | ~mask, axis=-1)  # [L,S]
 
-        w = self._branch_weights(n_obs)  # [L,NB,S,G]
-        excl0 = jnp.asarray(self.spectrum_excludes_zero)[None]  # [1,NB,S]
-        kill = clear_ref[:, None, :] & excl0
-        w = jnp.where(kill[..., None], NEG_INF, w)
+        w_list = self._weights_list(n_obs)  # per sample [L,NB,Gi]
+        excl0 = jnp.asarray(self.spectrum_excludes_zero)  # [NB,S]
+        w_list = [
+            jnp.where(
+                (clear_ref[:, si][:, None] & excl0[:, si][None])[..., None],
+                NEG_INF,
+                w_list[si],
+            )
+            for si in range(S)
+        ]
 
-        U, Uzero = self._unit_terms(loglik, pair_logliks, w)
+        U, Uzero = self._unit_terms(loglik, pair_logliks, w_list, B)
 
         T = jnp.zeros((L, B, NB))
         Z = jnp.zeros((L, B, NB))
@@ -664,8 +839,6 @@ class PosteriorEngine:
         # branches with l2fc constraints: re-contract the constrained sample
         # pairs jointly under the pairwise grid mask
         if self.branch_lfc_masks:
-            w_s = jnp.swapaxes(w, 1, 2)  # [L,S,NB,G]
-            zi = self.zero_idx
             comp_of_sample = {}
             for comp in self.components:
                 for s in comp:
@@ -697,29 +870,30 @@ class PosteriorEngine:
                                 "cyclic l2fc constraint graphs"
                             )
                         t_c, z_c = self._lfc_tree_eliminate(
-                            group, nodes, loglik, w_s, bi, zi
+                            group, nodes, loglik, w_list, bi
                         )
                         t_bi = t_bi + t_c
                         z_bi = z_bi + z_c
                         continue
                     a, b, mask_np = group[0]
+                    za, zb = self.zero_s[a], self.zero_s[b]
                     lfc_mask = jnp.where(jnp.asarray(mask_np), 0.0, NEG_INF)
                     if a in self.singletons and b in self.singletons:
-                        da = loglik[:, a] + w_s[:, a, bi][:, None, :]  # [L,B,G]
-                        db = loglik[:, b] + w_s[:, b, bi][:, None, :]
+                        da = loglik[a] + w_list[a][:, bi][:, None, :]  # [L,B,Ga]
+                        db = loglik[b] + w_list[b][:, bi][:, None, :]
                         joint_ab = (
                             da[:, :, :, None]
                             + db[:, :, None, :]
                             + lfc_mask[None, None]
                         )
                         t_bi = t_bi + _lse(joint_ab, axis=(-2, -1))
-                        z00 = da[:, :, zi] + db[:, :, zi] + lfc_mask[zi, zi]
+                        z00 = da[:, :, za] + db[:, :, zb] + lfc_mask[za, zb]
                         z_bi = z_bi + z00
                         continue
                     # both contaminated by the same parent (star component,
                     # e.g. tumor_pre/tumor_post both contaminated by normal):
                     # contract lse over (ga, gb, gp) with a scan over the
-                    # parent grid so memory stays at [L,B,G,G]
+                    # parent grid so memory stays at [L,B,Ga,Gb]
                     p = self.parent[a]
                     if (
                         p is None
@@ -732,19 +906,20 @@ class PosteriorEngine:
                             "co-contaminated siblings"
                         )
                     comp = comp_of_sample[a]
-                    fa = pair_logliks[a] + w_s[:, a, bi][:, None, :, None]
-                    fb = pair_logliks[b] + w_s[:, b, bi][:, None, :, None]
-                    rp = loglik[:, p] + w_s[:, p, bi][:, None, :]  # [L,B,Gp]
-                    rp_zero = rp[..., zi]
+                    zp = self.zero_s[p]
+                    fa = pair_logliks[a] + w_list[a][:, bi][:, None, :, None]
+                    fb = pair_logliks[b] + w_list[b][:, bi][:, None, :, None]
+                    rp = loglik[p] + w_list[p][:, bi][:, None, :]  # [L,B,Gp]
+                    rp_zero = rp[..., zp]
                     for c in comp:
                         if c in (a, b, p):
                             continue
-                        fc = pair_logliks[c] + w_s[:, c, bi][:, None, :, None]
+                        fc = pair_logliks[c] + w_list[c][:, bi][:, None, :, None]
                         rp = rp + _lse(fc, axis=-2)
-                        rp_zero = rp_zero + fc[..., zi, zi]
+                        rp_zero = rp_zero + fc[..., self.zero_s[c], zp]
 
                     def _gp_step(carry, xs):
-                        fa_g, fb_g, rp_g = xs  # [L,B,G], [L,B,G], [L,B]
+                        fa_g, fb_g, rp_g = xs  # [L,B,Ga], [L,B,Gb], [L,B]
                         slab = (
                             fa_g[:, :, :, None]
                             + fb_g[:, :, None, :]
@@ -762,9 +937,9 @@ class PosteriorEngine:
                     total, _ = jax.lax.scan(_gp_step, init, xs)
                     t_bi = t_bi + total
                     z00 = (
-                        fa[..., zi, zi]
-                        + fb[..., zi, zi]
-                        + lfc_mask[zi, zi]
+                        fa[..., za, zp]
+                        + fb[..., zb, zp]
+                        + lfc_mask[za, zb]
                         + rp_zero
                     )
                     z_bi = z_bi + z00
@@ -772,44 +947,60 @@ class PosteriorEngine:
                 Z = Z.at[:, :, bi].set(z_bi)
 
         # full-prior mode (--full-prior): evaluate the prior pointwise on the
-        # joint grid instead of the absent-only split. Supported for S <= 2.
+        # joint grid instead of the absent-only split.  ln_prior_joint comes
+        # in on the FULL shared grid per sample axis; subset to each
+        # sample's active subgrid here.
         if ln_prior_joint is not None:
-            w_s = jnp.swapaxes(w, 1, 2)  # [L,S,NB,G]
+            idx = [jnp.asarray(a) for a in self.active_idx]
             if S == 1:
-                d0 = loglik[:, 0, :, None, :] + w_s[:, 0, None, :, :]  # [L,B,NB,G]
-                T = _lse(d0 + ln_prior_joint[:, None, None, :], axis=-1)
+                P = jnp.take(ln_prior_joint, idx[0], axis=1)  # [L,G0]
+                d0 = loglik[0][:, :, None, :] + w_list[0][:, None]  # [L,B,NB,G0]
+                T = _lse(d0 + P[:, None, None, :], axis=-1)
             elif S == 2 and self.pairs:
                 si, by, _ = self.pairs[0]
-                pl = pair_logliks[si]  # [L,B,G,Gc]
-                wp = w_s[:, si, None, :, :, None]
-                wc = w_s[:, by, None, :, None, :]
-                lc = loglik[:, by][:, :, None, None, :]
+                if self.parent[by] is not None:
+                    raise NotImplementedError(
+                        "full prior with mutual contamination"
+                    )
+                pl = pair_logliks[si]  # [L,B,Gc,Gp]
+                wp = w_list[si][:, None, :, :, None]  # [L,1,NB,Gc,1]
+                wc = w_list[by][:, None, :, None, :]  # [L,1,NB,1,Gp]
+                lc = loglik[by][:, :, None, None, :]
+                P01 = jnp.take(
+                    jnp.take(ln_prior_joint, idx[0], axis=1), idx[1], axis=2
+                )  # [L,G0,G1] (sample-index order)
                 P = (
-                    ln_prior_joint[:, None, None, :, :]
+                    P01
                     if si < by
-                    else jnp.swapaxes(ln_prior_joint, -1, -2)[:, None, None, :, :]
-                )
+                    else jnp.swapaxes(P01, -1, -2)
+                )[:, None, None, :, :]
                 joint = pl[:, :, None, :, :] + wp + wc + lc + P
                 T = _lse(joint, axis=(-2, -1))
             elif S == 2:
-                d0 = loglik[:, 0, :, None, :] + w_s[:, 0, None, :, :]
-                d1 = loglik[:, 1, :, None, :] + w_s[:, 1, None, :, :]
+                d0 = loglik[0][:, :, None, :] + w_list[0][:, None]
+                d1 = loglik[1][:, :, None, :] + w_list[1][:, None]
+                P01 = jnp.take(
+                    jnp.take(ln_prior_joint, idx[0], axis=1), idx[1], axis=2
+                )
                 joint = (
                     d0[..., :, None]
                     + d1[..., None, :]
-                    + ln_prior_joint[:, None, None, :, :]
+                    + P01[:, None, None, :, :]
                 )
                 T = _lse(joint, axis=(-2, -1))
             elif S == 3 and not self.pairs:
                 # trio full-prior (mendelian, prior.rs:718-761 with
                 # is_absent_only=false): scan over the first sample's grid
                 # axis so memory stays at [L,B,NB,G,G] per step
-                d0 = loglik[:, 0, :, None, :] + w_s[:, 0, None, :, :]
-                d1 = loglik[:, 1, :, None, :] + w_s[:, 1, None, :, :]
-                d2 = loglik[:, 2, :, None, :] + w_s[:, 2, None, :, :]
+                d0 = loglik[0][:, :, None, :] + w_list[0][:, None]
+                d1 = loglik[1][:, :, None, :] + w_list[1][:, None]
+                d2 = loglik[2][:, :, None, :] + w_list[2][:, None]
+                P = jnp.take(ln_prior_joint, idx[0], axis=1)
+                P = jnp.take(P, idx[1], axis=2)
+                P = jnp.take(P, idx[2], axis=3)
 
                 def _g0_step(carry, xs):
-                    d0_g, P_g = xs  # [L,B,NB], [L,G,G]
+                    d0_g, P_g = xs  # [L,B,NB], [L,G1,G2]
                     slab = (
                         d1[..., :, None]
                         + d2[..., None, :]
@@ -821,7 +1012,7 @@ class PosteriorEngine:
                 init = jnp.full((L, B, NB), NEG_INF)
                 xs = (
                     jnp.moveaxis(d0, -1, 0),
-                    jnp.moveaxis(ln_prior_joint, 1, 0),
+                    jnp.moveaxis(P, 1, 0),
                 )
                 T, _ = jax.lax.scan(_g0_step, init, xs)
             else:
@@ -832,7 +1023,7 @@ class PosteriorEngine:
             T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
             branch_val = jnp.where(combo_active[:, :, None], T, NEG_INF)
             return self._assemble(
-                branch_val, loglik, pair_logliks, w, branch_gates,
+                branch_val, loglik, pair_logliks, w_list, branch_gates,
                 n_artifact_active,
             )
 
@@ -852,15 +1043,17 @@ class PosteriorEngine:
 
         branch_val = jnp.where(combo_active[:, :, None], branch_val, NEG_INF)
         return self._assemble(
-            branch_val, loglik, pair_logliks, w, branch_gates,
+            branch_val, loglik, pair_logliks, w_list, branch_gates,
             n_artifact_active,
         )
 
     def _assemble(
-        self, branch_val, loglik, pair_logliks, w, branch_gates,
+        self, branch_val, loglik, pair_logliks, w_list, branch_gates,
         n_artifact_active=None,
     ):
-        L, S, B, G = loglik.shape
+        L, B = branch_val.shape[0], branch_val.shape[1]
+        S = self.n_samples
+        G = self.grid.size
         NB = self.n_branches
         n_events = len(self.events)
         n_artifact_combos = self.n_artifact_combos or max(1, B - 1)
@@ -927,76 +1120,89 @@ class PosteriorEngine:
             jnp.asarray(self.branch_event)[None, :] == best_ev[:, None]
         ) & branch_gates  # [L,NB]
 
-        wmask = jnp.where(w > NEG_INF / 2, 0.0, NEG_INF)  # [L,NB,S,G]
-        wsel = wmask + jnp.where(sel[:, :, None, None], 0.0, NEG_INF)
-        wsel_s = jnp.swapaxes(wsel, 1, 2)  # [L,S,NB,G]
-        loglik0 = loglik[:, :, :1]  # [L,S,1,G]
+        wsel_list = []
+        for si in range(S):
+            wmask = jnp.where(w_list[si] > NEG_INF / 2, 0.0, NEG_INF)  # [L,NB,Gi]
+            wsel_list.append(
+                wmask + jnp.where(sel[:, :, None], 0.0, NEG_INF)
+            )
+        loglik0 = {si: t[:, :1] for si, t in loglik.items()}
         pair0 = {si: t[:, :1] for si, t in pair_logliks.items()}
 
         U0 = {}
         keep_units = {}
         for comp in self.components:
             key = ("c",) + tuple(comp)
-            U0[key] = self._component_reduce(comp, loglik0, pair0, wsel_s)
+            U0[key] = self._component_reduce(comp, loglik0, pair0, wsel_list)
             for si in comp:
                 keep_units[si] = (key, comp)
-        per_sample = []
-        for si in range(S):
-            key, comp = keep_units[si]
-            d_own = self._component_reduce(
-                comp, loglik0, pair0, wsel_s, keep=si
-            )  # [L,1,NB,G]
-            rest = jnp.zeros((L, 1, NB))
-            for k2, val in U0.items():
-                if k2 != key:
-                    rest = rest + val
-            d = d_own + rest[..., None]  # [L,1,NB,G]
-            per_sample.append(_lse(d[:, 0], axis=1))  # [L,G]
-        densities = jnp.stack(per_sample, axis=1)  # [L,S,G]
 
         # MAP AF with quadratic (log-parabola) off-grid refinement, computed
         # on device (the reference's adaptive integration reports off-grid
         # MAP VAFs; a parabola through the grid peak recovers them).  The
         # AFD is returned marginal-normalized as deci-PHRED int16 — the
         # device->host tunnel moves ~30 MB/s, so shipping the f32 density
-        # cube dominated the whole engine call.
-        grid = jnp.asarray(self.grid.values)
-        gi = jnp.argmax(densities, axis=-1)  # [L,S]
-        G_ = densities.shape[-1]
-        gi_c = jnp.clip(gi, 1, G_ - 2)
-        dm = jnp.take_along_axis(densities, (gi_c - 1)[..., None], -1)[..., 0]
-        d0 = jnp.take_along_axis(densities, gi_c[..., None], -1)[..., 0]
-        dp = jnp.take_along_axis(densities, (gi_c + 1)[..., None], -1)[..., 0]
-        denom = dm - 2.0 * d0 + dp
-        step = jnp.where(denom < -1e-12, 0.5 * (dm - dp) / denom, 0.0)
-        g_at = grid[gi_c]
-        left = g_at - grid[gi_c - 1]
-        right = grid[gi_c + 1] - g_at
-        af_ref = g_at + step * jnp.where(step > 0, right, left)
-        af_ref = jnp.clip(af_ref, grid[gi_c - 1], grid[gi_c + 1])
-        ok = (
-            (gi >= 1)
-            & (gi <= G_ - 2)
-            & jnp.isfinite(dm)
-            & jnp.isfinite(dp)
-            & (jnp.abs(step) <= 1.0)
-            & (denom < -1e-12)
-        )
-        af = jnp.where(ok, af_ref, grid[gi])
+        # cube dominated the whole engine call.  Per-sample densities live
+        # on that sample's active subgrid and are scattered back to the
+        # shared-grid slots (sentinel 32767 = -inf / not evaluated).
+        af_cols = []
+        dphred_full = jnp.full((L, S, G), 32767, dtype=jnp.int16)
+        for si in range(S):
+            key, comp = keep_units[si]
+            d_own = self._component_reduce(
+                comp, loglik0, pair0, wsel_list, keep=si
+            )  # [L,1,NB,Gi]
+            rest = jnp.zeros((L, 1, NB))
+            for k2, val in U0.items():
+                if k2 != key:
+                    rest = rest + val
+            d = d_own + rest[..., None]  # [L,1,NB,Gi]
+            dens = _lse(d[:, 0], axis=1)  # [L,Gi]
 
-        rel = densities - marginal[:, None, None]
-        dphred = -10.0 / math.log(10.0) * rel * 10.0
-        dphred_i16 = jnp.where(
-            jnp.isfinite(rel),
-            jnp.clip(jnp.round(dphred), -32767.0, 32766.0),
-            32767.0,  # sentinel: dropped by the AFD writer
-        ).astype(jnp.int16)
+            vals = jnp.asarray(self.values_s[si])
+            Gi = dens.shape[-1]
+            gi = jnp.argmax(dens, axis=-1)  # [L]
+            if Gi >= 3:
+                gi_c = jnp.clip(gi, 1, Gi - 2)
+                dm = jnp.take_along_axis(dens, (gi_c - 1)[:, None], -1)[:, 0]
+                d0 = jnp.take_along_axis(dens, gi_c[:, None], -1)[:, 0]
+                dp = jnp.take_along_axis(dens, (gi_c + 1)[:, None], -1)[:, 0]
+                denom = dm - 2.0 * d0 + dp
+                step = jnp.where(denom < -1e-12, 0.5 * (dm - dp) / denom, 0.0)
+                g_at = vals[gi_c]
+                left = g_at - vals[gi_c - 1]
+                right = vals[gi_c + 1] - g_at
+                af_ref = g_at + step * jnp.where(step > 0, right, left)
+                af_ref = jnp.clip(af_ref, vals[gi_c - 1], vals[gi_c + 1])
+                ok = (
+                    (gi >= 1)
+                    & (gi <= Gi - 2)
+                    & jnp.isfinite(dm)
+                    & jnp.isfinite(dp)
+                    & (jnp.abs(step) <= 1.0)
+                    & (denom < -1e-12)
+                )
+                af_cols.append(jnp.where(ok, af_ref, vals[gi]))
+            else:
+                af_cols.append(vals[gi])
+
+            rel = dens - marginal[:, None]
+            dphred = -10.0 / math.log(10.0) * rel * 10.0
+            dphred_i16 = jnp.where(
+                jnp.isfinite(rel),
+                jnp.clip(jnp.round(dphred), -32767.0, 32766.0),
+                32767.0,  # sentinel: dropped by the AFD writer
+            ).astype(jnp.int16)
+            dphred_full = dphred_full.at[:, si, jnp.asarray(self.active_idx[si])].set(
+                dphred_i16
+            )
+        af = jnp.stack(af_cols, axis=1)  # [L,S]
 
         return {
             "joint": joint,
             "marginal": marginal,
             "posteriors": posteriors,
-            "densities_dphred": dphred_i16,
+            "densities_dphred": dphred_full,
             "af": af,
             "combo_joint": combo_joint,
             "best_nonartifact": best_ev,
@@ -1021,9 +1227,10 @@ class PosteriorEngine:
         feats [L,S,D,Fe] f32; mask [L,S,D] bool; bias_* [L,S,B,D] f32;
         combo_active [L,B] bool; branch_gates [L,NB] bool;
         ln_prior_absent [L] f32; ln_prior_joint [L, G,...] optional full
-        prior on the joint grid (--full-prior; S <= 2).
+        prior on the joint FULL grid (--full-prior; S <= 3).
         Returns dict: joint [L,E], posteriors [L,E], marginal [L],
-        densities [L,S,G] (MAP non-artifact event), best_nonartifact [L],
+        densities_dphred [L,S,G] (MAP non-artifact event; 32767 sentinel on
+        inactive subgrid slots), af [L,S], best_nonartifact [L],
         n_obs [L,S] (numpy arrays).
         """
         args = [
