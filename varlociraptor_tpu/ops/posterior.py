@@ -70,6 +70,13 @@ from .likelihood import (
 LN_32 = math.log(3.2)  # Kass-Raftery "positive" threshold
 PROB_05 = math.log(0.5)
 
+# AFD points shipped to the host per (locus, sample): the K densest subgrid
+# points (plus indices).  Mirrors the sparse peak-centered VAF set the
+# reference's adaptive integration visits and reports (calling.rs:891+,
+# adaptive_integration.rs); tail points hundreds of PHRED below the peak
+# carry no information for the AFD writer or contamination estimation.
+AFD_TOP_K = 16
+
 
 def _ln_sub_exp(a, b):
     """log(exp(a) - exp(b)) for a >= b (clamped at -inf)."""
@@ -498,6 +505,33 @@ class PosteriorEngine:
 
         self._run = jax.jit(self._run_impl)
         self._run_full = jax.jit(self._run_impl)
+
+        def _packed_impl(*args):
+            # one f32 + one i16 flat buffer, assembled INSIDE the jit: every
+            # un-jitted jnp op on axon is a separate tunnel dispatch, and
+            # np.asarray(mask) on a device array re-fetched the [L,S,D]
+            # bool mask (~4 MB at batch 32k).  `posteriors` is derived on
+            # the host (joint - marginal) and not shipped at all.
+            out = self._run_impl(*args)
+            mask = args[1]
+            n_obs = mask.sum(axis=-1).astype(jnp.int16)  # [L,S]
+            f32_flat = jnp.concatenate(
+                [
+                    out[k].astype(jnp.float32).ravel()
+                    for k in ("joint", "marginal", "combo_joint", "af")
+                ]
+            )
+            i16_flat = jnp.concatenate(
+                [
+                    out["densities_dphred"].ravel(),
+                    out["afd_idx"].ravel(),
+                    out["best_nonartifact"].astype(jnp.int16).ravel(),
+                    n_obs.ravel(),
+                ]
+            )
+            return f32_flat, i16_flat
+
+        self._run_packed = jax.jit(_packed_impl)
 
     # ------------------------------------------------------------------
     def _branch_weights(self, n_obs):
@@ -1146,7 +1180,8 @@ class PosteriorEngine:
         # on that sample's active subgrid and are scattered back to the
         # shared-grid slots (sentinel 32767 = -inf / not evaluated).
         af_cols = []
-        dphred_full = jnp.full((L, S, G), 32767, dtype=jnp.int16)
+        dphred_blocks = []
+        afd_idx_blocks = []
         for si in range(S):
             key, comp = keep_units[si]
             d_own = self._component_reduce(
@@ -1193,20 +1228,62 @@ class PosteriorEngine:
                 jnp.clip(jnp.round(dphred), -32767.0, 32766.0),
                 32767.0,  # sentinel: dropped by the AFD writer
             ).astype(jnp.int16)
-            dphred_full = dphred_full.at[:, si, jnp.asarray(self.active_idx[si])].set(
-                dphred_i16
+            # top-K AFD points per (locus, sample): the reference's adaptive
+            # integration reports only the VAF points it visited (a sparse
+            # peak-centered set, calling.rs:891+), and the ~70 MB/s
+            # device->host tunnel made the full-grid AFD the single biggest
+            # cost of run().  Ship the K densest points + their subgrid
+            # indices; run() scatters back to shared-grid slots host-side.
+            K = min(AFD_TOP_K, dens.shape[-1])
+            _, top_idx = jax.lax.top_k(dens, K)  # [L,K] distinct
+            dphred_blocks.append(
+                jnp.take_along_axis(dphred_i16, top_idx, axis=-1)
             )
+            afd_idx_blocks.append(top_idx.astype(jnp.int16))
         af = jnp.stack(af_cols, axis=1)  # [L,S]
+        dphred_cat = jnp.concatenate(dphred_blocks, axis=1)  # [L, sum Ki]
+        afd_idx_cat = jnp.concatenate(afd_idx_blocks, axis=1)  # [L, sum Ki]
 
         return {
             "joint": joint,
             "marginal": marginal,
             "posteriors": posteriors,
-            "densities_dphred": dphred_full,
+            "densities_dphred": dphred_cat,
+            "afd_idx": afd_idx_cat,
             "af": af,
             "combo_joint": combo_joint,
             "best_nonartifact": best_ev,
         }
+
+    # ------------------------------------------------------------------
+    @property
+    def afd_k(self):
+        """Per-sample AFD top-K widths (K_i = min(AFD_TOP_K, |subgrid_i|))."""
+        return [
+            min(AFD_TOP_K, len(self.active_idx[si]))
+            for si in range(self.n_samples)
+        ]
+
+    def expand_afd(self, vals_cat, idx_cat):
+        """Scatter compact per-sample top-K AFD blocks [N, sum Ki] (int16
+        deci-PHRED values + subgrid indices, _run's ``densities_dphred`` /
+        ``afd_idx``) back into the shared-grid layout [N, S, G] host-side
+        (sentinel 32767 on unshipped slots, dropped by the AFD writer)."""
+        vals_cat = np.asarray(vals_cat)
+        idx_cat = np.asarray(idx_cat).astype(np.int64)
+        N = vals_cat.shape[0]
+        S = self.n_samples
+        full = np.full((N, S, self.grid.size), 32767, dtype=np.int16)
+        pos = 0
+        for si, k in enumerate(self.afd_k):
+            shared_idx = np.asarray(self.active_idx[si])[
+                idx_cat[:, pos : pos + k]
+            ]  # [N, Ki] indices into the shared grid
+            np.put_along_axis(
+                full[:, si, :], shared_idx, vals_cat[:, pos : pos + k], axis=1
+            )
+            pos += k
+        return full
 
     # ------------------------------------------------------------------
     def run(
@@ -1253,38 +1330,39 @@ class PosteriorEngine:
         else:
             n_art = jnp.asarray(n_artifact_active, dtype=jnp.float32)
         if ln_prior_joint is not None:
-            out = self._run_full(
-                *args,
-                jnp.asarray(ln_prior_joint, dtype=jnp.float32),
-                n_art,
+            f32_flat, i16_flat = self._run_packed(
+                *args, jnp.asarray(ln_prior_joint, dtype=jnp.float32), n_art
             )
         else:
-            out = self._run(*args, None, n_art)
-        # the device->host tunnel pays ~40ms latency PER fetch: pack all
-        # outputs into one buffer per dtype so the whole result moves in
-        # two round trips
-        f32_keys = ("joint", "marginal", "posteriors", "combo_joint", "af")
-        f32_flat = np.asarray(
-            jnp.concatenate([out[k].astype(jnp.float32).ravel() for k in f32_keys])
-        )
-        i16_flat = np.asarray(
-            jnp.concatenate(
-                [
-                    out["densities_dphred"].ravel(),
-                    out["best_nonartifact"].astype(jnp.int16).ravel(),
-                ]
-            )
-        )
+            f32_flat, i16_flat = self._run_packed(*args, None, n_art)
+        f32_flat = np.asarray(f32_flat)
+        i16_flat = np.asarray(i16_flat)
+
+        S = self.n_samples
+        G = self.grid.size
+        E = len(self.events)
+        B = args[2].shape[2]
         host = {}
         pos = 0
-        for k in f32_keys:
-            n = int(np.prod(out[k].shape))
-            host[k] = f32_flat[pos : pos + n].reshape(out[k].shape)
+        for k, shape in (
+            ("joint", (L, E)),
+            ("marginal", (L,)),
+            ("combo_joint", (L, B)),
+            ("af", (L, S)),
+        ):
+            n = int(np.prod(shape))
+            host[k] = f32_flat[pos : pos + n].reshape(shape)
             pos += n
-        nd = int(np.prod(out["densities_dphred"].shape))
-        host["densities_dphred"] = i16_flat[:nd].reshape(
-            out["densities_dphred"].shape
+        host["posteriors"] = host["joint"] - host["marginal"][:, None]
+        sum_k = sum(self.afd_k)
+        nd = L * sum_k
+        host["densities_dphred"] = self.expand_afd(
+            i16_flat[:nd].reshape(L, sum_k),
+            i16_flat[nd : 2 * nd].reshape(L, sum_k),
         )
-        host["best_nonartifact"] = i16_flat[nd:].astype(np.int64)
-        host["n_obs"] = np.asarray(mask).sum(axis=-1)
+        nd *= 2
+        host["best_nonartifact"] = i16_flat[nd : nd + L].astype(np.int64)
+        host["n_obs"] = (
+            i16_flat[nd + L : nd + L + L * S].reshape(L, S).astype(np.int64)
+        )
         return host

@@ -74,6 +74,11 @@ def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
     out = engine._run(*arrays[:-1], None, arrays[-1])
     L = np.asarray(feats).shape[0]
     out = {k: np.asarray(v)[:L] for k, v in out.items()}
+    # _run ships the AFD as compact per-sample top-K blocks [L, sum Ki];
+    # expand to the shared-grid [L, S, G] layout the callers consume
+    out["densities_dphred"] = engine.expand_afd(
+        out["densities_dphred"], out.pop("afd_idx")
+    )
     out["n_obs"] = np.asarray(mask).sum(axis=-1)
     return out
 
