@@ -214,7 +214,14 @@ def _pair_class_setup(child_values, parent_values, fraction):
 
 def _pair_loglik_classes(feats, mask, bias_alt, bias_ref, bias_any, nu_u, kappa_u):
     """[L, B, U] contaminated likelihood sums on the unique classes.
-    feats [L,D,Fe]; bias [L,B,D]; nu_u/kappa_u [U]."""
+    feats [L,D,Fe]; bias [L,B,D]; nu_u/kappa_u [U].
+
+    With VLT_PALLAS=1 on a TPU backend, routes through the hand-written
+    Pallas kernel (ops/pallas_kernels.py, verified-parity alternative)."""
+    from .pallas_kernels import ll_classes, pallas_enabled
+
+    if pallas_enabled():
+        return ll_classes(feats, mask, bias_alt, bias_ref, bias_any, nu_u, kappa_u)
     a, r, m, c, psa = _read_terms(feats, bias_alt, bias_ref, bias_any)
     psa_ = psa[:, :, None, :]  # [L,1,1,D]
     w = psa_ * nu_u[:, None] + kappa_u[:, None] * (1.0 - psa_)  # [L,1|B,U,D]
