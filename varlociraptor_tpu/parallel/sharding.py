@@ -36,14 +36,21 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
 
 
 def shard_engine_inputs(mesh: Mesh, *arrays, axis_name: str = "loci"):
-    """Pad batch dim to mesh size and device_put with locus sharding."""
-    n_dev = mesh.devices.size
+    """Pad batch dim and lay out with locus sharding.
+
+    Single process: pads to the device count and device_puts the full
+    batch.  Multi-process (true multi-host): each process passes its OWN
+    local loci block (all processes must pass equal-sized blocks); blocks
+    are padded to the local device count and assembled into the global
+    array from process-local shards."""
+    n_proc = jax.process_count()
+    n_pad_unit = mesh.devices.size // n_proc if n_proc > 1 else mesh.devices.size
     out = []
     pad = 0
     for arr in arrays:
-        padded, pad = pad_to_multiple(np.asarray(arr), n_dev, axis=0)
+        padded, pad = pad_to_multiple(np.asarray(arr), n_pad_unit, axis=0)
         sharding = NamedSharding(mesh, P(axis_name, *([None] * (padded.ndim - 1))))
-        out.append(jax.device_put(padded, sharding))
+        out.append(_put_global(padded, sharding))
     return out, pad
 
 
@@ -73,7 +80,18 @@ def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
     )
     out = engine._run(*arrays[:-1], None, arrays[-1])
     L = np.asarray(feats).shape[0]
-    out = {k: np.asarray(v)[:L] for k, v in out.items()}
+    if jax.process_count() > 1:
+        # outputs are loci-sharded; each process materializes only ITS
+        # addressable rows (its own loci block), in device order
+        def local_rows(v):
+            shards = sorted(
+                v.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+        out = {k: local_rows(v)[:L] for k, v in out.items()}
+    else:
+        out = {k: np.asarray(v)[:L] for k, v in out.items()}
     # _run ships the AFD as compact per-sample top-K blocks [L, sum Ki];
     # expand to the shared-grid [L, S, G] layout the callers consume
     out["densities_dphred"] = engine.expand_afd(
@@ -101,6 +119,15 @@ def distributed_mesh(axis: str = "loci") -> Mesh:
     return locus_mesh(jax.devices(), axis=axis)
 
 
+def _put_global(bits: np.ndarray, sharding):
+    """device_put for single-process meshes; build-from-local-shards for
+    multi-process (DCN) meshes, where each process only provides the rows
+    of its own addressable devices."""
+    if jax.process_count() == 1:
+        return jax.device_put(bits, sharding)
+    return jax.make_array_from_process_local_data(sharding, bits)
+
+
 def all_gather_rows(local_rows: np.ndarray, mesh, axis: str = "loci"):
     """Collective gather of per-shard row blocks -> replicated full array.
 
@@ -110,22 +137,56 @@ def all_gather_rows(local_rows: np.ndarray, mesh, axis: str = "loci"):
     the shard axis, and an ``all_gather`` over the mesh axis replicates the
     full tensor.  Returns the concatenated [sum rows_i, C] numpy array in
     shard order (NaN-row padding stripped).
+
+    Multi-process (true multi-host over DCN): every process calls this with
+    ITS OWN rows; the rows are spread over the process's addressable
+    devices, the count agreement and the gather ride the same collective,
+    and every process returns the identical full array.
     """
     from jax import shard_map
 
+    n_proc = jax.process_count()
+    n_local = mesh.devices.size // n_proc if n_proc > 1 else mesh.devices.size
     n_dev = mesh.devices.size
-    blocks = np.array_split(np.asarray(local_rows, dtype=np.float64), n_dev)
-    max_rows = max((b.shape[0] for b in blocks), default=0)
+    blocks = np.array_split(np.asarray(local_rows, dtype=np.float64), n_local)
+    local_max = max((b.shape[0] for b in blocks), default=0)
+    if n_proc > 1:
+        # agree on the global max row count (+ per-device row counts) with
+        # a first all_gather of the counts
+        counts_local = np.array(
+            [[b.shape[0]] for b in blocks], dtype=np.int32
+        )  # [n_local, 1]
+        csharding = NamedSharding(mesh, P(axis, None))
+        carr = _put_global(counts_local, csharding)
+
+        @jax.jit
+        def gather_counts(x):
+            def f(blk):
+                return jax.lax.all_gather(blk, axis, tiled=True)
+
+            return shard_map(
+                f,
+                mesh=mesh,
+                in_specs=P(axis, None),
+                out_specs=P(None, None),
+                check_vma=False,
+            )(x)
+
+        all_counts = np.asarray(gather_counts(carr))[:, 0]  # [n_dev]
+        max_rows = int(all_counts.max()) if n_dev else 0
+    else:
+        all_counts = np.array([b.shape[0] for b in blocks], dtype=np.int32)
+        max_rows = local_max
     C = local_rows.shape[1] if local_rows.ndim == 2 else 1
-    stacked = np.zeros((n_dev, max(max_rows, 1), C), dtype=np.float64)
+    stacked = np.zeros((n_local, max(max_rows, 1), C), dtype=np.float64)
     for i, b in enumerate(blocks):
         stacked[i, : b.shape[0]] = b.reshape(b.shape[0], C)
     # carry the f64 BITS as int32 pairs: device arrays default to f32
     # (jax_enable_x64 off), which would silently round the statistics and
     # shift FDR thresholds at the last ulp
-    bits = stacked.view(np.int32).reshape(n_dev, max(max_rows, 1), C * 2)
+    bits = stacked.view(np.int32).reshape(n_local, max(max_rows, 1), C * 2)
     sharding = NamedSharding(mesh, P(axis, None, None))
-    x = jax.device_put(bits, sharding)
+    x = _put_global(bits, sharding)
 
     @jax.jit
     def gather(x):
@@ -146,7 +207,7 @@ def all_gather_rows(local_rows: np.ndarray, mesh, axis: str = "loci"):
         .reshape(n_dev, max(max_rows, 1), C)
     )  # replicated, bit-exact
     rows = []
-    for i, b in enumerate(blocks):
-        rows.append(full[i, : b.shape[0]])
+    for i in range(n_dev):
+        rows.append(full[i, : all_counts[i]])
     out = np.concatenate(rows, axis=0) if rows else np.zeros((0, C))
     return out if local_rows.ndim == 2 else out[:, 0]
