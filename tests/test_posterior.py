@@ -421,3 +421,107 @@ def test_per_sample_resolution_subgrid():
     # MAP event choice essentially unchanged (ties may flip on random data)
     same = np.mean(out_c["best_nonartifact"] == out_d["best_nonartifact"])
     assert same > 0.95, same
+
+
+def test_cyclic_contamination_component_matches_bruteforce():
+    """Contamination cycles longer than 2 (rho-shaped component: cycle
+    0->1->2->0 plus tree node 3->1) contract via the tree-width-2
+    eliminator; verify against direct joint enumeration."""
+    import jax.numpy as jnp
+
+    samples = [
+        SampleConfig("s0", contaminated_by=1, contamination_fraction=0.1),
+        SampleConfig("s1", contaminated_by=2, contamination_fraction=0.2),
+        SampleConfig("s2", contaminated_by=0, contamination_fraction=0.3),
+        SampleConfig("s3", contaminated_by=1, contamination_fraction=0.15),
+    ]
+    grid = AFGrid.build(0.1, extra_points=[0.5])
+    engine = PosteriorEngine(two_events(4), grid, samples, resolution=0.1)
+    assert sorted(map(sorted, engine.components)) == [[0, 1, 2, 3]]
+    assert set(engine._component_cycle([0, 1, 2, 3])) == {0, 1, 2}
+
+    rng = np.random.default_rng(5)
+    L, B, NB = 3, 2, engine.n_branches
+    G = [len(engine.values_s[i]) for i in range(4)]
+    par = [1, 2, 0, 1]
+    # integration weights are NEG_INF outside each branch's spectrum
+    # support (the engine's contraction relies on this invariant)
+    w_list = []
+    for i in range(4):
+        wv = rng.normal(size=(L, NB, G[i])).astype(np.float32)
+        cls, masks = engine.support_classes[i]
+        for n in range(NB):
+            wv[:, n, ~masks[cls[n]]] = -np.inf
+        w_list.append(jnp.asarray(wv))
+    F = {
+        i: jnp.asarray(
+            rng.normal(size=(L, B, G[i], G[par[i]])).astype(np.float32)
+        )
+        for i in range(4)
+    }
+
+    comp = [0, 1, 2, 3]
+    got = np.asarray(engine._component_reduce(comp, {}, F, w_list))
+
+    # brute force: lse over (g0,g1,g2,g3)
+    w = [np.asarray(x) for x in w_list]
+    f = {i: np.asarray(x) for i, x in F.items()}
+    tot = np.zeros((L, B, NB, G[0], G[1], G[2], G[3]))
+    tot += w[0][:, None, :, :, None, None, None]
+    tot += w[1][:, None, :, None, :, None, None]
+    tot += w[2][:, None, :, None, None, :, None]
+    tot += w[3][:, None, :, None, None, None, :]
+    tot += f[0][:, :, None, :, :, None, None]
+    tot += f[1][:, :, None, None, :, :, None]
+    tot += np.transpose(f[2], (0, 1, 3, 2))[:, :, None, :, None, :, None]
+    tot += f[3][:, :, None, None, :, None, :].swapaxes(4, 6)  # F3[g3,g1]
+    ref = tot.reshape(L, B, NB, -1)
+    m = ref.max(-1)
+    ms = np.where(np.isfinite(m), m, 0.0)
+    ref = np.where(
+        np.isfinite(m),
+        ms + np.log(np.exp(ref - ms[..., None]).sum(-1)),
+        -np.inf,
+    )
+    assert np.allclose(got, ref, atol=2e-4), np.max(np.abs(got - ref))
+
+    # keep= every node: brute force retaining that axis
+    axes = {0: (4, 5, 6), 1: (3, 5, 6), 2: (3, 4, 6), 3: (3, 4, 5)}
+    for keep, ax in axes.items():
+        gk = np.asarray(
+            engine._component_reduce(comp, {}, F, w_list, keep=keep)
+        )
+        mt = tot.max(axis=ax, keepdims=True)
+        mts = np.where(np.isfinite(mt), mt, 0.0)
+        rk = np.where(
+            np.isfinite(mt),
+            mts + np.log(np.exp(tot - mts).sum(axis=ax, keepdims=True)),
+            -np.inf,
+        )
+        rk = np.squeeze(rk, axis=ax)
+        fin = np.isfinite(rk)
+        assert np.array_equal(np.isfinite(gk), fin), keep
+        assert np.allclose(gk[fin], rk[fin], atol=2e-4), (
+            keep,
+            np.max(np.abs(gk[fin] - rk[fin])),
+        )
+
+
+def test_cyclic_contamination_end_to_end():
+    """Full run() with a 3-cycle of mutually contaminated samples."""
+    p = [
+        Pileup(read_observations=[alt_obs() for _ in range(8)]),
+        Pileup(read_observations=[alt_obs() for _ in range(8)]),
+        Pileup(read_observations=[alt_obs() for _ in range(8)]),
+    ]
+    samples = [
+        SampleConfig("a", contaminated_by=1, contamination_fraction=0.1),
+        SampleConfig("b", contaminated_by=2, contamination_fraction=0.1),
+        SampleConfig("c", contaminated_by=0, contamination_fraction=0.1),
+    ]
+    engine, out = build_inputs([p], two_events(3), samples=samples)
+    post = out["posteriors"][0]
+    names = [e.name for e in engine.events]
+    assert np.isfinite(out["marginal"]).all()
+    assert names[int(np.argmax(post))] == "present"
+    assert np.all(out["af"][0] > 0.9)  # all-alt pileups -> AF ~ 1

@@ -477,20 +477,11 @@ class PosteriorEngine:
             for si, by, frac in self.pairs
         }
         # mutual contamination (A contaminated by B AND B by A) is a 2-cycle:
-        # two pairwise factors over the same two grid axes — fine for the
-        # eliminator. Longer cycles would need loopy contraction; reject.
-        for si in range(S):
-            seen = set()
-            p = si
-            while p is not None:
-                if p in seen:
-                    if self.parent[p] is not None and self.parent[self.parent[p]] == p:
-                        break  # 2-cycle
-                    raise NotImplementedError(
-                        "contamination cycles longer than 2 not supported"
-                    )
-                seen.add(p)
-                p = self.parent[p]
+        # two pairwise factors over the same two grid axes — handled by the
+        # tree eliminator directly.  Longer cycles (each sample has at most
+        # one contaminant parent, so every component is a "rho": at most one
+        # cycle with trees hanging off it) take the tree-width-2 path in
+        # _component_reduce_cyclic.
         comp_of = list(range(S))
 
         def find(x):
@@ -645,6 +636,12 @@ class PosteriorEngine:
         """
         from collections import deque
 
+        cyc = self._component_cycle(comp)
+        if len(cyc) >= 3:
+            return self._component_reduce_cyclic(
+                comp, cyc, loglik, pair_logliks, w_list, keep
+            )
+
         NB = self.n_branches
         adj = {si: set() for si in comp}
         for si in comp:
@@ -715,6 +712,119 @@ class PosteriorEngine:
         out = jnp.broadcast_to(
             out, (out.shape[0], B, NB, out.shape[-1])
         )
+        if keep is not None:
+            return out
+        return _lse(out, axis=-1)
+
+    def _component_cycle(self, comp):
+        """Cycle nodes of a component in parent order (parent(c[i]) ==
+        c[i+1 % k]), or [].  Each sample has at most one contaminant
+        parent, so a component contains at most one cycle."""
+        compset = set(comp)
+        seen = {}
+        p = comp[0]
+        while p is not None and p in compset:
+            if p in seen:
+                cyc = [p]
+                q = self.parent[p]
+                while q != p:
+                    cyc.append(q)
+                    q = self.parent[q]
+                return cyc
+            seen[p] = True
+            p = self.parent[p]
+        # comp[0]'s chain ended at a root: the component is a tree (a
+        # cycle, if present, is reachable from EVERY node's chain)
+        return []
+
+    def _component_reduce_cyclic(
+        self, comp, cyc, loglik, pair_logliks, w_list, keep=None
+    ):
+        """Variable elimination for a rho-shaped component (one
+        contamination cycle of length >= 3 with trees hanging off it).
+
+        The cycle is contracted with a running two-axis frontier
+        T[L,B,NB,G_i,G_base] — eliminating around the cycle keeps the
+        treewidth at 2, matching the reference's semantics where the
+        nested adaptive integration simply enumerates the full joint
+        (generic.rs:191-460; contamination graphs are unrestricted there).
+        Direct logsumexp (not the shifted einsum) — cyclic scenarios are
+        rare and small, clarity wins over MXU use here.
+        """
+        NB = self.n_branches
+        B = next(iter(pair_logliks.values())).shape[1]
+        cycset = set(cyc)
+
+        parts = {si: [w_list[si][:, None]] for si in comp}
+        for si in comp:
+            if self.parent[si] is None:
+                parts[si].append(loglik[si][:, :, None, :])
+
+        # attachment/base node on the cycle + the keep->cycle path
+        if keep is None or keep in cycset:
+            base = keep if keep is not None else cyc[0]
+            path = []
+        else:
+            path = [keep]
+            p = self.parent[keep]
+            while p not in cycset:
+                path.append(p)
+                p = self.parent[p]
+            base = p
+        path_set = set(path)
+
+        def S_of(v):
+            s = None
+            for p_ in parts.pop(v):
+                s = p_ if s is None else s + p_
+            return jnp.broadcast_to(s, (s.shape[0], B, NB, s.shape[-1]))
+
+        # 1) eliminate pure tree nodes into their parents, deepest first
+        def dist_to_cycle(v):
+            d, p = 0, v
+            while p not in cycset:
+                p = self.parent[p]
+                d += 1
+            return d
+
+        tree_nodes = [v for v in comp if v not in cycset and v not in path_set]
+        for v in sorted(tree_nodes, key=lambda v: -dist_to_cycle(v)):
+            u = self.parent[v]
+            msg = self._lse_contract(
+                pair_logliks[v], S_of(v), *self.support_classes[v]
+            )
+            parts[u].append(msg)
+
+        # 2) contract the cycle into base (keeping g_base)
+        i0 = cyc.index(base)
+        order = cyc[i0:] + cyc[:i0]  # order[0]=base, parent(order[i])=order[i+1]
+        k = len(order)
+        F0 = pair_logliks[order[0]]  # [L,B,G_base,G_b1]
+        T = jnp.swapaxes(F0, -1, -2)[:, :, None] + S_of(order[1])[..., None]
+        # T: [L,B,NB,G_b1,G_base]
+        for i in range(1, k - 1):
+            Fi = pair_logliks[order[i]]  # [L,B,G_bi,G_bi+1]
+            T = _lse(
+                T[:, :, :, :, None, :] + Fi[:, :, None, :, :, None], axis=3
+            )  # [L,B,NB,G_bi+1,G_base]
+            if i + 1 < k:
+                T = T + S_of(order[i + 1])[..., None]
+        Fk = pair_logliks[order[-1]]  # [L,B,G_bk-1,G_base]
+        M = _lse(T + Fk[:, :, None, :, :], axis=-2)  # [L,B,NB,G_base]
+        parts[base].append(M)
+
+        # 3) walk the keep path: eliminate base down toward keep
+        cur = base
+        for v in reversed(path):
+            F = jnp.swapaxes(pair_logliks[v], -1, -2)  # [L,B,G_cur,G_v]
+            msg = self._lse_contract(F, S_of(cur), *self.support_classes[cur])
+            parts[v].append(msg)
+            cur = v
+
+        out = None
+        for p_ in parts[cur]:
+            out = p_ if out is None else out + p_
+        out = jnp.broadcast_to(out, (out.shape[0], B, NB, out.shape[-1]))
         if keep is not None:
             return out
         return _lse(out, axis=-1)
