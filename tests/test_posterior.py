@@ -525,3 +525,182 @@ def test_cyclic_contamination_end_to_end():
     assert np.isfinite(out["marginal"]).all()
     assert names[int(np.argmax(post))] == "present"
     assert np.all(out["af"][0] > 0.9)  # all-alt pileups -> AF ~ 1
+
+
+def test_lfc_group_joint_matches_tree_eliminate():
+    """The generic l2fc joint enumerator must agree with the structured
+    tree eliminator on configurations both support (3 singleton samples,
+    2-constraint chain)."""
+    import jax.numpy as jnp
+    from varlociraptor_tpu.ops.event_program import LfcConstraint
+
+    n_s = 3
+    chained = EventSpec(
+        name="equal_all",
+        branches=(
+            BranchSpec(
+                spectra=tuple(
+                    SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True)
+                    for _ in range(n_s)
+                ),
+                lfcs=(
+                    LfcConstraint(0, 1, "==", 0.0),
+                    LfcConstraint(1, 2, "<=", 1.0),
+                ),
+            ),
+        ),
+    )
+    grid = AFGrid.build(0.1, extra_points=[0.5])
+    engine = PosteriorEngine(
+        [absent_event(n_s), chained],
+        grid,
+        [SampleConfig(f"s{i}") for i in range(n_s)],
+        resolution=0.1,
+    )
+    bi = engine.event_branch_idx[1][0]
+    group = engine.branch_lfc_masks[bi]
+    nodes = sorted({s for (a, b, _) in group for s in (a, b)})
+    rng = np.random.default_rng(9)
+    L, B, NB = 2, 2, engine.n_branches
+    G = [len(engine.values_s[i]) for i in range(n_s)]
+    loglik = {
+        i: jnp.asarray(rng.normal(size=(L, B, G[i])).astype(np.float32))
+        for i in range(n_s)
+    }
+    w_list = [
+        jnp.asarray(rng.normal(size=(L, NB, G[i])).astype(np.float32))
+        for i in range(n_s)
+    ]
+    comp_of = {i: (i,) for i in range(n_s)}
+    t_tree, z_tree = engine._lfc_tree_eliminate(group, nodes, loglik, w_list, bi)
+    t_gen, z_gen = engine._lfc_group_joint(
+        group, nodes, loglik, {}, w_list, bi, comp_of
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_gen), np.asarray(t_tree), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_gen), np.asarray(z_tree), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_cyclic_l2fc_end_to_end():
+    """Cyclic l2fc constraint graph (a~b, b~c, c~a): generic enumeration;
+    posterior must match a brute-force triple-grid integral."""
+    from varlociraptor_tpu.ops.event_program import LfcConstraint
+    from varlociraptor_tpu.ops.likelihood import sample_loglik_grid
+    import jax.numpy as jnp
+    import math as _math
+
+    n_s = 3
+    cyc = EventSpec(
+        name="all_close",
+        branches=(
+            BranchSpec(
+                spectra=tuple(
+                    SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True)
+                    for _ in range(n_s)
+                ),
+                lfcs=(
+                    LfcConstraint(0, 1, "<=", 1.0),
+                    LfcConstraint(1, 2, "<=", 1.0),
+                    LfcConstraint(2, 0, "<=", 1.0),
+                ),
+            ),
+        ),
+    )
+    events = [absent_event(n_s), cyc]
+    piles = [
+        [
+            Pileup(
+                read_observations=[alt_obs() for _ in range(6)]
+                + [ref_obs() for _ in range(6)]
+            )
+            for _ in range(n_s)
+        ]
+    ]
+    samples = [SampleConfig(f"s{i}") for i in range(n_s)]
+    engine, out = build_inputs(piles, events, samples=samples)
+
+    g = engine.grid.values
+    batch = ObservationBatch.collate(piles, depth=16)
+    combos = [BiasCombo()]
+    bias = build_bias_tensor(piles[0], combos, 16)
+    ll = np.asarray(
+        sample_loglik_grid(
+            jnp.asarray(batch.features), jnp.asarray(batch.mask),
+            jnp.asarray(bias.alt[None]), jnp.asarray(bias.ref[None]),
+            jnp.asarray(bias.any[None]), jnp.asarray(g.astype(np.float32)),
+        )
+    )[0, :, 0]  # [S, G]
+    bi = engine.event_branch_idx[1][0]
+    n_obs = jnp.asarray(batch.mask.sum(-1), dtype=jnp.float32)
+    wfull = np.asarray(engine._branch_weights(n_obs))[0, bi]  # [S,G]
+    masks = {(a, b): m for (a, b, m) in engine.branch_lfc_masks[bi]}
+    m01, m12, m02 = masks[(0, 1)], masks[(1, 2)], masks[(0, 2)]
+    vals = ll + wfull
+    total = -np.inf
+    for i0 in range(len(g)):
+        for i1 in range(len(g)):
+            if not m01[i0, i1]:
+                continue
+            keep2 = m12[i1] & m02[i0, :]
+            row = np.where(keep2, vals[2], -np.inf) + vals[0, i0] + vals[1, i1]
+            total = np.logaddexp(total, np_ln_sum_exp_safe(row))
+    absent_T = float(ll[:, engine.zero_idx].sum())
+    pa = _math.log(0.5)
+    from varlociraptor_tpu.ops.likelihood import _ln1mexp as _l1m
+
+    ln_not_absent = float(np.asarray(_l1m(jnp.asarray(pa))))
+    bv_cyc = ln_not_absent + total
+    bv_absent = pa + absent_T
+    joint = np.array([_math.log(0.5) + bv_absent, _math.log(0.5) + bv_cyc])
+    want_post = joint - np_ln_sum_exp_safe(joint)
+    np.testing.assert_allclose(
+        out["posteriors"][0], want_post, rtol=1e-4, atol=2e-3
+    )
+
+
+def test_chained_l2fc_over_contaminated_end_to_end():
+    """Chained l2fc where samples are contaminated (s0, s1 both
+    contaminated by s2; constraints l2fc(0,1) & l2fc(1,2)): generic joint
+    enumeration over the union component."""
+    from varlociraptor_tpu.ops.event_program import LfcConstraint
+
+    n_s = 3
+    ev = EventSpec(
+        name="linked",
+        branches=(
+            BranchSpec(
+                spectra=tuple(
+                    SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True)
+                    for _ in range(n_s)
+                ),
+                lfcs=(
+                    LfcConstraint(0, 1, "==", 0.0),
+                    LfcConstraint(1, 2, "<=", 1.0),
+                ),
+            ),
+        ),
+    )
+    events = [absent_event(n_s), ev]
+    piles = [
+        [
+            Pileup(
+                read_observations=[alt_obs() for _ in range(8)]
+                + [ref_obs() for _ in range(8)]
+            )
+            for _ in range(n_s)
+        ]
+    ]
+    samples = [
+        SampleConfig("s0", contaminated_by=2, contamination_fraction=0.1),
+        SampleConfig("s1", contaminated_by=2, contamination_fraction=0.1),
+        SampleConfig("s2"),
+    ]
+    engine, out = build_inputs(piles, events, samples=samples)
+    post = out["posteriors"][0]
+    names = [e.name for e in engine.events]
+    assert np.isfinite(out["marginal"]).all()
+    # all three pileups are half-alt -> equal VAFs -> "linked" must win
+    assert names[int(np.argmax(post))] == "linked"

@@ -829,6 +829,102 @@ class PosteriorEngine:
             return out
         return _lse(out, axis=-1)
 
+    def _lfc_group_joint(
+        self, constraints, nodes, loglik, pair_logliks, w_list, bi,
+        comp_of_sample,
+    ):
+        """Generic l2fc fallback: jointly enumerate the union of the
+        contamination components touched by a constraint cluster under all
+        pairwise l2fc masks.
+
+        Covers the shapes the structured paths cannot: cyclic constraint
+        graphs, chains over contaminated samples, and arbitrary
+        contamination topologies.  The reference composes these freely
+        inside the vaftree recursion (log2_fold_change.rs:10-134, the
+        nested integration simply enumerates the joint); here the product
+        space is enumerated with a lax.scan over all but the two largest
+        grid axes, so memory stays at one [L,B,Gx,Gy] slab.
+        Returns ([L,B] integral, [L,B] all-zero-point value).
+        """
+        union = sorted({s for n in nodes for s in comp_of_sample[n]})
+        L = w_list[0].shape[0]
+        B = (
+            next(iter(pair_logliks.values())).shape[1]
+            if pair_logliks
+            else next(iter(loglik.values())).shape[1]
+        )
+        d = {}
+        for s in union:
+            ds = w_list[s][:, bi][:, None, :]  # [L,1,Gs]
+            if self.parent[s] is None:
+                ds = ds + loglik[s]
+            d[s] = jnp.broadcast_to(ds, (L, B, ds.shape[-1]))
+        factors = []  # (x, y, tensor broadcastable to [L,B,Gx,Gy])
+        for s in union:
+            p = self.parent[s]
+            if p is not None:
+                factors.append((s, p, pair_logliks[s]))
+        for a, b, m in constraints:
+            factors.append(
+                (a, b, jnp.where(jnp.asarray(m), 0.0, NEG_INF)[None, None])
+            )
+
+        z = jnp.zeros((L, B))
+        for s in union:
+            z = z + d[s][..., self.zero_s[s]]
+        for x2, y2, Fxy in factors:
+            z = z + Fxy[..., self.zero_s[x2], self.zero_s[y2]]
+
+        order = sorted(union, key=lambda s: d[s].shape[-1])
+        x, y = order[-2], order[-1]
+        lead = order[:-2]
+        slab_base = d[x][:, :, :, None] + d[y][:, :, None, :]
+        lead_factors = []
+        for a2, b2, Fab in factors:
+            if {a2, b2} <= {x, y}:
+                t = Fab if (a2, b2) == (x, y) else jnp.swapaxes(Fab, -1, -2)
+                slab_base = slab_base + t
+            else:
+                lead_factors.append((a2, b2, Fab))
+        if not lead:
+            return _lse(slab_base, axis=(-2, -1)), z
+
+        lead_sizes = tuple(d[s].shape[-1] for s in lead)
+        lead_pos = {s: i for i, s in enumerate(lead)}
+
+        def step(carry, t):
+            coords = jnp.unravel_index(t, lead_sizes)
+            slab = slab_base
+            for s in lead:
+                gi = coords[lead_pos[s]]
+                slab = slab + jnp.take(d[s], gi, axis=-1)[:, :, None, None]
+            for a2, b2, Fab in lead_factors:
+                if a2 in lead_pos and b2 in lead_pos:
+                    v = jnp.take(
+                        jnp.take(Fab, coords[lead_pos[a2]], axis=2),
+                        coords[lead_pos[b2]],
+                        axis=2,
+                    )
+                    slab = slab + v[:, :, None, None]
+                elif a2 in lead_pos:
+                    v = jnp.take(Fab, coords[lead_pos[a2]], axis=2)
+                    slab = slab + (
+                        v[:, :, :, None] if b2 == x else v[:, :, None, :]
+                    )
+                else:
+                    v = jnp.take(Fab, coords[lead_pos[b2]], axis=3)
+                    slab = slab + (
+                        v[:, :, :, None] if a2 == x else v[:, :, None, :]
+                    )
+            val = _lse(slab, axis=(-2, -1))
+            return jnp.logaddexp(carry, val), None
+
+        init = jnp.full((L, B), NEG_INF)
+        total, _ = jax.lax.scan(
+            step, init, jnp.arange(int(np.prod(lead_sizes)))
+        )
+        return total, z
+
     def _lfc_tree_eliminate(self, group, nodes, loglik, w_list, bi):
         """Chained l2fc over singleton samples: eliminate the acyclic
         constraint graph leaf-to-root with pairwise mask contractions.
@@ -1007,22 +1103,52 @@ class PosteriorEngine:
                 # group constraints into connected components of the
                 # constraint graph; chained constraints (shared samples)
                 # are eliminated along the tree (log2_fold_change.rs
-                # composes freely inside the vaftree recursion)
-                lfc_groups = _lfc_components(lfc_list)
+                # composes freely inside the vaftree recursion).  Groups
+                # that touch the SAME contamination component must merge
+                # into one cluster — their integrals share grid axes and
+                # may only be counted once.
+                lfc_groups = [
+                    list(g) for g in _lfc_components(lfc_list)
+                ]
+                merged = True
+                while merged:
+                    merged = False
+                    for i in range(len(lfc_groups)):
+                        ci = {
+                            comp_of_sample[s]
+                            for (a, b, _) in lfc_groups[i]
+                            for s in (a, b)
+                            if len(comp_of_sample[s]) > 1
+                        }
+                        for j in range(i + 1, len(lfc_groups)):
+                            cj = {
+                                comp_of_sample[s]
+                                for (a, b, _) in lfc_groups[j]
+                                for s in (a, b)
+                                if len(comp_of_sample[s]) > 1
+                            }
+                            if ci & cj:
+                                lfc_groups[i].extend(lfc_groups.pop(j))
+                                merged = True
+                                break
+                        if merged:
+                            break
                 for group in lfc_groups:
                     nodes = sorted({s for (a, b, _) in group for s in (a, b)})
+                    all_singleton = all(s in self.singletons for s in nodes)
+                    acyclic = len(group) == len(nodes) - 1
                     if len(group) > 1:
-                        if not all(s in self.singletons for s in nodes):
-                            raise NotImplementedError(
-                                "chained l2fc over contaminated samples"
+                        if all_singleton and acyclic:
+                            t_c, z_c = self._lfc_tree_eliminate(
+                                group, nodes, loglik, w_list, bi
                             )
-                        if len(group) != len(nodes) - 1:
-                            raise NotImplementedError(
-                                "cyclic l2fc constraint graphs"
+                        else:
+                            # cyclic graphs / chains over contaminated
+                            # samples: generic joint enumeration
+                            t_c, z_c = self._lfc_group_joint(
+                                group, nodes, loglik, pair_logliks,
+                                w_list, bi, comp_of_sample,
                             )
-                        t_c, z_c = self._lfc_tree_eliminate(
-                            group, nodes, loglik, w_list, bi
-                        )
                         t_bi = t_bi + t_c
                         z_bi = z_bi + z_c
                         continue
@@ -1052,10 +1178,16 @@ class PosteriorEngine:
                         or self.parent[p] is not None
                         or comp_of_sample[a] != comp_of_sample[b]
                     ):
-                        raise NotImplementedError(
-                            "l2fc supported between plain samples or "
-                            "co-contaminated siblings"
+                        # any other shape (l2fc against one's own
+                        # contaminant, deeper chains, ...): generic joint
+                        # enumeration
+                        t_c, z_c = self._lfc_group_joint(
+                            group, nodes, loglik, pair_logliks, w_list,
+                            bi, comp_of_sample,
                         )
+                        t_bi = t_bi + t_c
+                        z_bi = z_bi + z_c
+                        continue
                     comp = comp_of_sample[a]
                     zp = self.zero_s[p]
                     fa = pair_logliks[a] + w_list[a][:, bi][:, None, :, None]
