@@ -704,3 +704,44 @@ def test_chained_l2fc_over_contaminated_end_to_end():
     assert np.isfinite(out["marginal"]).all()
     # all three pileups are half-alt -> equal VAFs -> "linked" must win
     assert names[int(np.argmax(post))] == "linked"
+
+
+def test_full_prior_mutual_contamination():
+    """--full-prior with a mutual-contamination 2-cycle: the joint-prior
+    path must match the same engine run with a flat joint prior vs the
+    absent-split run at prior 0.5 (both encode a uniform prior here)."""
+    import jax.numpy as jnp
+    import math as _math
+
+    piles = [
+        [
+            Pileup(
+                read_observations=[alt_obs() for _ in range(8)]
+                + [ref_obs() for _ in range(8)]
+            ),
+            Pileup(read_observations=[ref_obs() for _ in range(16)]),
+        ]
+    ]
+    samples = [
+        SampleConfig("a", contaminated_by=1, contamination_fraction=0.1),
+        SampleConfig("b", contaminated_by=0, contamination_fraction=0.05),
+    ]
+    events = two_events(2)
+    batch = ObservationBatch.collate(piles, depth=16)
+    combos = [BiasCombo()]
+    bias = build_bias_tensor(piles[0], combos, 16)
+    grid = AFGrid.build(0.01, extra_points=[0.5])
+    engine = PosteriorEngine(events, grid, samples, all_uniform_prior=True)
+    L = 1
+    G = grid.size
+    branch_gates = np.ones((L, engine.n_branches), dtype=bool)
+    ln_prior_absent = np.full(L, _math.log(0.5), dtype=np.float32)
+    flat = np.zeros((L, G, G), dtype=np.float32)  # uniform joint prior
+    out_fp = engine.run(
+        batch.features, batch.mask, bias.alt[None], bias.ref[None],
+        bias.any[None], np.ones((L, 1), bool), branch_gates,
+        ln_prior_absent, ln_prior_joint=flat,
+    )
+    assert np.isfinite(out_fp["marginal"]).all()
+    names = [e.name for e in engine.events]
+    assert names[int(np.argmax(out_fp["posteriors"][0]))] == "present"

@@ -1241,14 +1241,16 @@ class PosteriorEngine:
                 T = _lse(d0 + P[:, None, None, :], axis=-1)
             elif S == 2 and self.pairs:
                 si, by, _ = self.pairs[0]
-                if self.parent[by] is not None:
-                    raise NotImplementedError(
-                        "full prior with mutual contamination"
-                    )
                 pl = pair_logliks[si]  # [L,B,Gc,Gp]
                 wp = w_list[si][:, None, :, :, None]  # [L,1,NB,Gc,1]
                 wc = w_list[by][:, None, :, None, :]  # [L,1,NB,1,Gp]
-                lc = loglik[by][:, :, None, None, :]
+                if self.parent[by] is not None:
+                    # mutual contamination (2-cycle): BOTH samples carry a
+                    # two-axis pair likelihood; neither has an own-axis term
+                    pl = pl + jnp.swapaxes(pair_logliks[by], -1, -2)
+                    lc = jnp.zeros((1, 1, 1, 1, 1))
+                else:
+                    lc = loglik[by][:, :, None, None, :]
                 P01 = jnp.take(
                     jnp.take(ln_prior_joint, idx[0], axis=1), idx[1], axis=2
                 )  # [L,G0,G1] (sample-index order)
