@@ -75,3 +75,48 @@ def test_preprocess_through_lazy_reader_identical(tmp_path):
         )
         outs[mode] = out
     assert filecmp.cmp(outs["eager"], outs["lazy"], shallow=False)
+
+
+def test_written_index_roundtrip(tmp_path):
+    """BamWriter(index=True) writes a BAI our lazy reader uses for region
+    fetches identical to the eager scan; huge contigs switch to CSI."""
+    from varlociraptor_tpu.io.bam import BamWriter
+
+    src = BamReader(TUMOR, lazy=False)
+    records = sorted(src.fetch("chr10", 0, 10**9), key=lambda r: r.pos)
+    out = tmp_path / "rt.bam"
+    w = BamWriter(out, src.ref_names, src.ref_lengths)
+    for r in records:
+        w.write_record(r)
+    w.close(index=True)
+    assert (tmp_path / "rt.bam.bai").exists()
+
+    eager = BamReader(out, lazy=False)
+    lazy = BamReader(out, lazy=True)
+    assert lazy._index is not None if hasattr(lazy, "_index") else True
+    rng = random.Random(3)
+    for _ in range(12):
+        s = rng.randint(49000, 128000)
+        e = s + rng.randint(50, 5000)
+        a = sorted((r.qname, r.pos, r.flag) for r in eager.fetch("chr10", s, e))
+        b = sorted((r.qname, r.pos, r.flag) for r in lazy.fetch("chr10", s, e))
+        assert a == b, (s, e)
+
+    # explicit CSI request parses through the same loader
+    w2 = BamWriter(tmp_path / "rt2.bam", src.ref_names, src.ref_lengths)
+    for r in records[:500]:
+        w2.write_record(r)
+    w2.close(index="csi")
+    assert (tmp_path / "rt2.bam.csi").exists()
+    idx = BamIndex.load(tmp_path / "rt2.bam")
+    assert idx is not None and idx.ioffsets[src.tid("chr10")] == []
+    lazy2 = BamReader(tmp_path / "rt2.bam", lazy=True)
+    got = sorted(
+        (r.qname, r.pos) for r in lazy2.fetch("chr10", 50000, 52000)
+    )
+    want = sorted(
+        (r.qname, r.pos)
+        for r in records[:500]
+        if r.pos < 52000 and r.end_pos > 50000
+    )
+    assert got == want

@@ -600,9 +600,13 @@ for _i, _b in enumerate(SEQ_CODE_TO_ASCII):
 _CIGAR_OP_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
 
 
-def _encode_bgzf(data: bytes, block_size: int = 65000) -> bytes:
-    """Compress to BGZF (gzip members with BC extra field + EOF marker)."""
+def _encode_bgzf_blocks(data: bytes, block_size: int = 65000):
+    """Compress to BGZF; returns (bytes, per-member compressed sizes).
+
+    The size list (one entry per member, EOF marker excluded) lets the
+    index writer map uncompressed offsets to virtual file offsets."""
     out = []
+    sizes = []
     for off in range(0, len(data), block_size):
         chunk = data[off : off + block_size]
         comp = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -617,13 +621,19 @@ def _encode_bgzf(data: bytes, block_size: int = 65000) -> bytes:
             + struct.pack("<II", zlib.crc32(chunk) & 0xFFFFFFFF, len(chunk))
         )
         out.append(member)
+        sizes.append(len(member))
     # standard BGZF EOF marker
     out.append(
         bytes.fromhex(
             "1f8b08040000000000ff0600424302001b0003000000000000000000"
         )
     )
-    return b"".join(out)
+    return b"".join(out), sizes
+
+
+def _encode_bgzf(data: bytes, block_size: int = 65000) -> bytes:
+    """Compress to BGZF (gzip members with BC extra field + EOF marker)."""
+    return _encode_bgzf_blocks(data, block_size)[0]
 
 
 def _reg2bin(beg: int, end: int) -> int:
@@ -693,6 +703,8 @@ class BamWriter:
             nb = n.encode("latin1") + b"\x00"
             body += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(l))
         self._body = body
+        self._ref_lengths = [int(l) for l in ref_lengths]
+        self._rec_meta = []  # (tid, pos, end, body_start, body_end)
 
     def tid(self, contig: str) -> int:
         return self._tid_by_name.get(contig, -1)
@@ -736,11 +748,39 @@ class BamWriter:
             + qual
             + tags
         )
+        start = len(self._body)
         self._body += struct.pack("<i", len(data)) + data
+        self._rec_meta.append((tid, rec.pos, end, start, len(self._body)))
 
-    def close(self):
+    def close(self, index: bool | str = False):
+        """Write the BAM; with index=True/'bai'/'csi' also write the
+        matching index (.bai by default; .csi for contigs >= 2^29, the
+        BAI coordinate ceiling — SAM spec §5.2/§5.4)."""
+        data, sizes = _encode_bgzf_blocks(bytes(self._body))
         with open(self.path, "wb") as f:
-            f.write(_encode_bgzf(bytes(self._body)))
+            f.write(data)
+        if not index:
+            return
+        comp_start = [0]
+        for s in sizes:
+            comp_start.append(comp_start[-1] + s)
+
+        def voff(o, block=65000):
+            return (comp_start[o // block] << 16) | (o % block)
+
+        meta = [
+            (tid, pos, end, voff(s0), voff(s1))
+            for (tid, pos, end, s0, s1) in self._rec_meta
+        ]
+        from .bam_index import write_bai, write_csi
+
+        kind = index if isinstance(index, str) else (
+            "csi" if max(self._ref_lengths, default=0) >= (1 << 29) else "bai"
+        )
+        if kind == "csi":
+            write_csi(str(self.path) + ".csi", meta, len(self.ref_names))
+        else:
+            write_bai(str(self.path) + ".bai", meta, len(self.ref_names))
 
     def __enter__(self):
         return self

@@ -162,3 +162,111 @@ class BamIndex:
             else:
                 merged.append((cb, ce))
         return merged
+
+
+# ---------------------------------------------------------------------------
+# Index WRITING (the capture/interop side: BAMs produced by io.bam.BamWriter
+# get a .bai — or .csi for contigs >= 2^29 — so both our own lazy reader and
+# htslib-based tools can random-access them).
+
+
+def build_index_tables(record_meta, n_ref, min_shift=14, depth=5):
+    """Aggregate per-record metadata into per-ref bin/linear tables.
+
+    record_meta: iterable of (tid, pos, end, vbeg, vend) for mapped records
+    in coordinate order (vbeg/vend = BGZF virtual offsets).
+    Returns (bins_per_ref, ioffsets_per_ref) in BamIndex's layout.
+    """
+    bins_per_ref = [dict() for _ in range(n_ref)]
+    lin_per_ref = [[] for _ in range(n_ref)]
+    last = (-1, -1)
+    for tid, pos, end, vbeg, vend in record_meta:
+        if tid < 0:
+            continue
+        if tid < last[0] or (tid == last[0] and pos < last[1]):
+            raise ValueError("records not coordinate-sorted; cannot index")
+        last = (tid, pos)
+        end = max(end, pos + 1)
+        b = _reg2bin_sd(pos, end, min_shift, depth)
+        ent = bins_per_ref[tid].setdefault(b, [0, []])
+        cks = ent[1]
+        if cks and cks[-1][1] == vbeg:
+            cks[-1] = (cks[-1][0], vend)  # merge file-adjacent chunks
+        else:
+            cks.append((vbeg, vend))
+        if ent[0] == 0 or vbeg < ent[0]:
+            ent[0] = vbeg  # loffset (CSI)
+        lin = lin_per_ref[tid]
+        for w in range(pos >> min_shift, ((end - 1) >> min_shift) + 1):
+            while len(lin) <= w:
+                lin.append(0)
+            if lin[w] == 0 or vbeg < lin[w]:
+                lin[w] = vbeg
+    # fill empty linear windows with the previous value (SAM spec behavior)
+    for lin in lin_per_ref:
+        prev = 0
+        for i, v in enumerate(lin):
+            if v == 0:
+                lin[i] = prev
+            else:
+                prev = v
+    bins_out = [
+        {b: (loff, cks) for b, (loff, cks) in ref.items()}
+        for ref in bins_per_ref
+    ]
+    return bins_out, lin_per_ref
+
+
+def _reg2bin_sd(beg: int, end: int, min_shift: int, depth: int) -> int:
+    """reg2bin for arbitrary (min_shift, depth) (SAM spec §5.3)."""
+    end -= 1
+    level = depth
+    s = min_shift
+    while level > 0:
+        if beg >> s == end >> s:
+            t = ((1 << (level * 3)) - 1) // 7
+            return t + (beg >> s)
+        s += 3
+        level -= 1
+    return 0
+
+
+def write_bai(path, record_meta, n_ref):
+    """Write a BAI (SAM spec §5.2) for coordinate-sorted record metadata."""
+    bins_per_ref, lin_per_ref = build_index_tables(record_meta, n_ref)
+    out = bytearray(b"BAI\x01")
+    out += struct.pack("<i", n_ref)
+    for tid in range(n_ref):
+        bins = bins_per_ref[tid]
+        out += struct.pack("<i", len(bins))
+        for b in sorted(bins):
+            loff, cks = bins[b]
+            out += struct.pack("<Ii", b, len(cks))
+            for vb, ve in cks:
+                out += struct.pack("<QQ", vb, ve)
+        lin = lin_per_ref[tid]
+        out += struct.pack("<i", len(lin))
+        for v in lin:
+            out += struct.pack("<Q", v)
+    Path(path).write_bytes(bytes(out))
+
+
+def write_csi(path, record_meta, n_ref, min_shift=14, depth=5):
+    """Write a CSI (SAM spec §5.4; BGZF-compressed) index."""
+    from .bam import _encode_bgzf
+
+    bins_per_ref, _ = build_index_tables(
+        record_meta, n_ref, min_shift=min_shift, depth=depth
+    )
+    body = bytearray(b"CSI\x01")
+    body += struct.pack("<iii", min_shift, depth, 0)  # no aux
+    body += struct.pack("<i", n_ref)
+    for tid in range(n_ref):
+        bins = bins_per_ref[tid]
+        body += struct.pack("<i", len(bins))
+        for b in sorted(bins):
+            loff, cks = bins[b]
+            body += struct.pack("<IQi", b, loff, len(cks))
+            for vb, ve in cks:
+                body += struct.pack("<QQ", vb, ve)
+    Path(path).write_bytes(_encode_bgzf(bytes(body)))
