@@ -745,3 +745,80 @@ def test_full_prior_mutual_contamination():
     assert np.isfinite(out_fp["marginal"]).all()
     names = [e.name for e in engine.events]
     assert names[int(np.argmax(out_fp["posteriors"][0]))] == "present"
+
+
+def test_full_prior_applies_l2fc_masks():
+    """--full-prior must fold per-branch l2fc masks into the joint
+    evaluation (previously they were silently dropped)."""
+    import jax.numpy as jnp
+    import math as _math
+    from varlociraptor_tpu.ops.event_program import LfcConstraint
+    from varlociraptor_tpu.ops.likelihood import sample_loglik_grid
+
+    ev = EventSpec(
+        name="equal",
+        branches=(
+            BranchSpec(
+                spectra=(
+                    SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True),
+                    SpectrumSpec.from_range(0.0, 1.0, left_exclusive=True),
+                ),
+                lfcs=(LfcConstraint(0, 1, "==", 0.0),),
+            ),
+        ),
+    )
+    events = [absent_event(2), ev]
+    # sample 0 at VAF ~0.5, sample 1 at VAF ~1.0 -> "equal" must be penalized
+    piles = [
+        [
+            Pileup(
+                read_observations=[alt_obs() for _ in range(8)]
+                + [ref_obs() for _ in range(8)]
+            ),
+            Pileup(read_observations=[alt_obs() for _ in range(16)]),
+        ]
+    ]
+    batch = ObservationBatch.collate(piles, depth=16)
+    combos = [BiasCombo()]
+    bias = build_bias_tensor(piles[0], combos, 16)
+    grid = AFGrid.build(0.01, extra_points=[0.5])
+    engine = PosteriorEngine(
+        events, grid, [SampleConfig("a"), SampleConfig("b")],
+        all_uniform_prior=True,
+    )
+    L, G = 1, grid.size
+    branch_gates = np.ones((L, engine.n_branches), dtype=bool)
+    lpa = np.full(L, _math.log(0.5), dtype=np.float32)
+    flat = np.zeros((L, G, G), dtype=np.float32)
+    out = engine.run(
+        batch.features, batch.mask, bias.alt[None], bias.ref[None],
+        bias.any[None], np.ones((L, 1), bool), branch_gates, lpa,
+        ln_prior_joint=flat,
+    )
+
+    # brute force on the dense grid with the mask
+    g = grid.values
+    ll = np.asarray(
+        sample_loglik_grid(
+            jnp.asarray(batch.features), jnp.asarray(batch.mask),
+            jnp.asarray(bias.alt[None]), jnp.asarray(bias.ref[None]),
+            jnp.asarray(bias.any[None]), jnp.asarray(g.astype(np.float32)),
+        )
+    )[0, :, 0]  # [S,G]
+    n_obs = jnp.asarray(batch.mask.sum(-1), dtype=jnp.float32)
+    bi = engine.event_branch_idx[1][0]
+    w = np.asarray(engine._branch_weights(n_obs))[0]  # [NB,S,G]
+    m = engine.branch_lfc_masks[bi][0][2]
+    d0 = ll[0] + w[bi, 0]
+    d1 = ll[1] + w[bi, 1]
+    joint = d0[:, None] + d1[None, :] + np.where(m, 0.0, -np.inf)
+    t_eq = np_ln_sum_exp_safe(joint.ravel())
+    bi_a = engine.event_branch_idx[0][0]
+    t_abs = np_ln_sum_exp_safe(
+        (ll[0] + w[bi_a, 0])[:, None] + (ll[1] + w[bi_a, 1])[None, :]
+    )
+    jv = np.array([_math.log(0.5) + t_abs, _math.log(0.5) + t_eq])
+    want = jv - np_ln_sum_exp_safe(jv)
+    np.testing.assert_allclose(
+        out["posteriors"][0], want, rtol=1e-4, atol=2e-3
+    )

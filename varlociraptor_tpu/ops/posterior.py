@@ -1235,6 +1235,24 @@ class PosteriorEngine:
         # sample's active subgrid here.
         if ln_prior_joint is not None:
             idx = [jnp.asarray(a) for a in self.active_idx]
+            # l2fc constraints under --full-prior: fold the per-branch
+            # pairwise masks into the joint evaluation (the absent-split
+            # path above is bypassed in full-prior mode, so the masks must
+            # enter here or they would be silently dropped)
+            lfc_by_pair = {}
+            if self.branch_lfc_masks:
+                NB_ = self.n_branches
+                for bi, lfc_list in self.branch_lfc_masks.items():
+                    for a, b, m in lfc_list:
+                        key = (a, b)
+                        if key not in lfc_by_pair:
+                            lfc_by_pair[key] = np.zeros(
+                                (NB_,) + m.shape, dtype=np.float32
+                            )
+                        lfc_by_pair[key][bi] += np.where(m, 0.0, -np.inf)
+                lfc_by_pair = {
+                    k: jnp.asarray(v) for k, v in lfc_by_pair.items()
+                }
             if S == 1:
                 P = jnp.take(ln_prior_joint, idx[0], axis=1)  # [L,G0]
                 d0 = loglik[0][:, :, None, :] + w_list[0][:, None]  # [L,B,NB,G0]
@@ -1260,6 +1278,10 @@ class PosteriorEngine:
                     else jnp.swapaxes(P01, -1, -2)
                 )[:, None, None, :, :]
                 joint = pl[:, :, None, :, :] + wp + wc + lc + P
+                # joint axes are (si, by); masks stored as (0, 1)
+                for (a, b), M in lfc_by_pair.items():
+                    Mo = M if (a, b) == (si, by) else jnp.swapaxes(M, -1, -2)
+                    joint = joint + Mo[None, None, :, :, :]
                 T = _lse(joint, axis=(-2, -1))
             elif S == 2:
                 d0 = loglik[0][:, :, None, :] + w_list[0][:, None]
@@ -1272,6 +1294,8 @@ class PosteriorEngine:
                     + d1[..., None, :]
                     + P01[:, None, None, :, :]
                 )
+                for (a, b), M in lfc_by_pair.items():  # canonical (0, 1)
+                    joint = joint + M[None, None, :, :, :]
                 T = _lse(joint, axis=(-2, -1))
             elif S == 3 and not self.pairs:
                 # trio full-prior (mendelian, prior.rs:718-761 with
@@ -1284,13 +1308,26 @@ class PosteriorEngine:
                 P = jnp.take(P, idx[1], axis=2)
                 P = jnp.take(P, idx[2], axis=3)
 
+                M12 = lfc_by_pair.get((1, 2))
+
                 def _g0_step(carry, xs):
-                    d0_g, P_g = xs  # [L,B,NB], [L,G1,G2]
+                    d0_g, P_g, g0 = xs  # [L,B,NB], [L,G1,G2], scalar
                     slab = (
                         d1[..., :, None]
                         + d2[..., None, :]
                         + P_g[:, None, None]
                     )
+                    if M12 is not None:
+                        slab = slab + M12[None, None]
+                    for (a, b), M in lfc_by_pair.items():
+                        if a != 0:
+                            continue
+                        row = jnp.take(M, g0, axis=1)  # [NB, G_b]
+                        slab = slab + (
+                            row[None, None, :, :, None]
+                            if b == 1
+                            else row[None, None, :, None, :]
+                        )
                     val = _lse(slab, axis=(-2, -1)) + d0_g
                     return jnp.logaddexp(carry, val), None
 
@@ -1298,6 +1335,7 @@ class PosteriorEngine:
                 xs = (
                     jnp.moveaxis(d0, -1, 0),
                     jnp.moveaxis(P, 1, 0),
+                    jnp.arange(d0.shape[-1]),
                 )
                 T, _ = jax.lax.scan(_g0_step, init, xs)
             else:
