@@ -63,10 +63,8 @@ def main():
     # rounds — the minimum wall-time is the least-contended, most
     # hardware-representative sample, and every round still forces full
     # host materialization of all outputs
-    dt = min(
-        _timed(engine, engine_inputs(engine, n_loci=n_loci, depth=depth), 5)
-        for _ in range(3)
-    )
+    inputs = engine_inputs(engine, n_loci=n_loci, depth=depth)
+    dt = min(_timed(engine, inputs, 5) for _ in range(3))
     per_iter_small = t_small / 2
     per_iter_big = dt / 5
     if per_iter_big < 1.5 * per_iter_small and n_loci >= 4 * small:

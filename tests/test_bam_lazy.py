@@ -120,3 +120,46 @@ def test_written_index_roundtrip(tmp_path):
         if r.pos < 52000 and r.end_pos > 50000
     )
     assert got == want
+
+
+def test_csi_loffset_overlap_aware(tmp_path):
+    """A long read spanning a 16kb-window boundary lives in a parent bin;
+    the next window's leaf-bin loffset must still cover it or CSI chunk
+    pruning drops it (regression: loffset was min-vbeg of CONTAINED
+    records only)."""
+    from varlociraptor_tpu.io.bam import BamReader, BamRecord, BamWriter
+    import numpy as np
+
+    def rec(name, pos, seq_len, cigar):
+        r = BamRecord.__new__(BamRecord)
+        r.qname = name
+        r.flag = 0
+        r.tid = 0
+        r.pos = pos
+        r.mapq = 60
+        r.cigar = cigar
+        r.mtid = -1
+        r.mpos = -1
+        r.tlen = 0
+        r.seq = np.frombuffer(b"A" * seq_len, dtype=np.uint8)
+        r.qual = np.full(seq_len, 30, dtype=np.uint8)
+        r.tags = {}
+        return r
+
+    out = tmp_path / "span.bam"
+    w = BamWriter(out, ["chr1"], [1 << 30])  # >= 2^29 -> auto CSI
+    # 10kb-spanning read starting in window 0, crossing into window 1
+    w.write_record(rec("long", 15000, 100, [(0, 50), (3, 10000), (0, 50)]))
+    # short reads in window 1 (leaf bin there)
+    for i in range(5):
+        w.write_record(rec(f"s{i}", 19000 + i * 10, 100, [(0, 100)]))
+    w.close(index=True)
+    assert (tmp_path / "span.bam.csi").exists()
+
+    eager = BamReader(out, lazy=False)
+    lazy = BamReader(out, lazy=True)
+    for s, e in ((20000, 21000), (19000, 19500), (24000, 25500)):
+        a = sorted(r.qname for r in eager.fetch("chr1", s, e))
+        b = sorted(r.qname for r in lazy.fetch("chr1", s, e))
+        assert a == b, (s, e, a, b)
+    assert "long" in [r.qname for r in lazy.fetch("chr1", 20000, 21000)]

@@ -822,3 +822,24 @@ def test_full_prior_applies_l2fc_masks():
     np.testing.assert_allclose(
         out["posteriors"][0], want, rtol=1e-4, atol=2e-3
     )
+
+
+def test_afd_backbone_spans_full_subgrid():
+    """Shipped AFDs must keep full-range support (top-K peak points plus
+    the strided backbone): the contamination estimator's piecewise-linear
+    pdf treats out-of-support VAFs as probability zero, so a peak-only
+    AFD would hard-zero fraction candidates the reference scores finite."""
+    pileup = Pileup(read_observations=[alt_obs() for _ in range(12)])
+    engine, out = build_inputs([[pileup]], two_events())
+    d = out["densities_dphred"][0, 0]  # [G]
+    shipped = np.nonzero(d != 32767)[0]
+    active = np.asarray(engine.active_idx[0])
+    # the supported span (AFs above the observable bound carry finite
+    # density) must be covered with backbone-bounded gaps — not just a
+    # peak neighborhood.  With 12 alt reads the peak sits at AF ~1 while
+    # the observable bound is ~1/12, so the span is wide.
+    assert len(shipped) >= 12
+    span = shipped[-1] - shipped[0]
+    assert span > len(active) // 2, (shipped[0], shipped[-1])
+    gaps = np.diff(np.searchsorted(active, shipped))
+    assert gaps.max() <= int(np.ceil(len(active) / 15)) + 1

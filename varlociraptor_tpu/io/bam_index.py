@@ -210,11 +210,36 @@ def build_index_tables(record_meta, n_ref, min_shift=14, depth=5):
                 lin[i] = prev
             else:
                 prev = v
+    # loffset must be OVERLAP-aware (htslib semantics): a long record that
+    # spans into a bin's window may live in a PARENT bin, so the min-vbeg
+    # of records *contained* in the bin overstates the safe lower bound and
+    # would let CSI chunk pruning drop spanning reads.  The linear table is
+    # already overlap-aware — derive each bin's loffset from it.
+    for tid in range(n_ref):
+        lin = lin_per_ref[tid]
+        for b, ent in bins_per_ref[tid].items():
+            w = _bin_first_window(b, min_shift, depth)
+            if w < len(lin) and lin[w]:
+                ent[0] = min(ent[0], lin[w]) if ent[0] else lin[w]
     bins_out = [
         {b: (loff, cks) for b, (loff, cks) in ref.items()}
         for ref in bins_per_ref
     ]
     return bins_out, lin_per_ref
+
+
+def _bin_first_window(b: int, min_shift: int, depth: int) -> int:
+    """First min_shift-sized window covered by bin b."""
+    level = 0
+    t = 0
+    while True:
+        nxt = t + (1 << (level * 3))
+        if b < nxt:
+            break
+        t = nxt
+        level += 1
+    beg = (b - t) << (min_shift + 3 * (depth - level))
+    return beg >> min_shift
 
 
 def _reg2bin_sd(beg: int, end: int, min_shift: int, depth: int) -> int:

@@ -71,11 +71,17 @@ LN_32 = math.log(3.2)  # Kass-Raftery "positive" threshold
 PROB_05 = math.log(0.5)
 
 # AFD points shipped to the host per (locus, sample): the K densest subgrid
-# points (plus indices).  Mirrors the sparse peak-centered VAF set the
-# reference's adaptive integration visits and reports (calling.rs:891+,
-# adaptive_integration.rs); tail points hundreds of PHRED below the peak
-# carry no information for the AFD writer or contamination estimation.
+# points PLUS a static strided backbone across the whole subgrid (plus
+# indices).  Mirrors the VAF set the reference's adaptive integration
+# visits and reports (calling.rs:891+, adaptive_integration.rs): a coarse
+# sweep across the full observable range to locate the peak, refined near
+# it.  The backbone keeps the AFD's support spanning [0, 1] — the
+# contamination estimator interpolates the AFD piecewise-linearly and
+# treats points outside the support as probability zero
+# (estimation/contamination.py pdf), so a peak-only set would hard-zero
+# fraction candidates the reference scores with small finite density.
 AFD_TOP_K = 16
+AFD_BACKBONE_K = 16
 
 
 def _ln_sub_exp(a, b):
@@ -502,7 +508,6 @@ class PosteriorEngine:
         self.root_samples = [si for si in range(S) if self.parent[si] is None]
 
         self._run = jax.jit(self._run_impl)
-        self._run_full = jax.jit(self._run_impl)
 
         def _packed_impl(*args):
             # one f32 + one i16 flat buffer, assembled INSIDE the jit: every
@@ -512,7 +517,10 @@ class PosteriorEngine:
             # the host (joint - marginal) and not shipped at all.
             out = self._run_impl(*args)
             mask = args[1]
-            n_obs = mask.sum(axis=-1).astype(jnp.int16)  # [L,S]
+            # clamp to the int16 ceiling of the packed buffer (pileups are
+            # depth-capped far below this; a >32767-read pileup would OOM
+            # the feature tensor long before the count could wrap)
+            n_obs = jnp.minimum(mask.sum(axis=-1), 32767).astype(jnp.int16)
             f32_flat = jnp.concatenate(
                 [
                     out[k].astype(jnp.float32).ravel()
@@ -1491,20 +1499,26 @@ class PosteriorEngine:
                 dm = jnp.take_along_axis(dens, (gi_c - 1)[:, None], -1)[:, 0]
                 d0 = jnp.take_along_axis(dens, gi_c[:, None], -1)[:, 0]
                 dp = jnp.take_along_axis(dens, (gi_c + 1)[:, None], -1)[:, 0]
-                denom = dm - 2.0 * d0 + dp
-                step = jnp.where(denom < -1e-12, 0.5 * (dm - dp) / denom, 0.0)
                 g_at = vals[gi_c]
                 left = g_at - vals[gi_c - 1]
                 right = vals[gi_c + 1] - g_at
-                af_ref = g_at + step * jnp.where(step > 0, right, left)
-                af_ref = jnp.clip(af_ref, vals[gi_c - 1], vals[gi_c + 1])
+                # unequal-spacing parabola vertex through the three points
+                # (subgrids have irregular gaps: resolution lattice + set
+                # points + refinement ladders); reduces to the classic
+                # 0.5*(dm-dp)/(dm-2*d0+dp) step for uniform spacing
+                num = (dm - d0) * right * right - (dp - d0) * left * left
+                den = (dm - d0) * right + (dp - d0) * left
+                off = jnp.where(den < -1e-12, 0.5 * num / den, 0.0)
+                af_ref = jnp.clip(
+                    g_at + off, vals[gi_c - 1], vals[gi_c + 1]
+                )
                 ok = (
                     (gi >= 1)
                     & (gi <= Gi - 2)
                     & jnp.isfinite(dm)
                     & jnp.isfinite(dp)
-                    & (jnp.abs(step) <= 1.0)
-                    & (denom < -1e-12)
+                    & (jnp.abs(off) <= jnp.maximum(left, right))
+                    & (den < -1e-12)
                 )
                 af_cols.append(jnp.where(ok, af_ref, vals[gi]))
             else:
@@ -1517,17 +1531,26 @@ class PosteriorEngine:
                 jnp.clip(jnp.round(dphred), -32767.0, 32766.0),
                 32767.0,  # sentinel: dropped by the AFD writer
             ).astype(jnp.int16)
-            # top-K AFD points per (locus, sample): the reference's adaptive
-            # integration reports only the VAF points it visited (a sparse
-            # peak-centered set, calling.rs:891+), and the ~70 MB/s
-            # device->host tunnel made the full-grid AFD the single biggest
-            # cost of run().  Ship the K densest points + their subgrid
+            # top-K + backbone AFD points per (locus, sample): the
+            # reference's adaptive integration reports the VAF points it
+            # visited (a coarse full-range sweep refined near the peak,
+            # calling.rs:891+), and the ~70 MB/s device->host tunnel made
+            # the full-grid AFD the single biggest cost of run().  Ship the
+            # K densest points + a static strided backbone + their subgrid
             # indices; run() scatters back to shared-grid slots host-side.
             K = min(AFD_TOP_K, dens.shape[-1])
             _, top_idx = jax.lax.top_k(dens, K)  # [L,K] distinct
-            dphred_blocks.append(
-                jnp.take_along_axis(dphred_i16, top_idx, axis=-1)
+            bb = jnp.broadcast_to(
+                jnp.asarray(self._afd_backbone(si))[None, :],
+                (dens.shape[0], len(self._afd_backbone(si))),
             )
+            idx_all = jnp.concatenate([top_idx, bb], axis=-1)
+            dphred_blocks.append(
+                jnp.take_along_axis(dphred_i16, idx_all, axis=-1)
+            )
+            # the backbone indices are STATIC per sample — only the top-K
+            # indices travel to the host; run()/expand_afd re-append the
+            # backbone host-side
             afd_idx_blocks.append(top_idx.astype(jnp.int16))
         af = jnp.stack(af_cols, axis=1)  # [L,S]
         dphred_cat = jnp.concatenate(dphred_blocks, axis=1)  # [L, sum Ki]
@@ -1545,33 +1568,66 @@ class PosteriorEngine:
         }
 
     # ------------------------------------------------------------------
+    def _afd_backbone(self, si):
+        """Static strided backbone indices over sample si's subgrid
+        (np int32, includes both endpoints)."""
+        gi = len(self.active_idx[si])
+        k = min(AFD_BACKBONE_K, gi)
+        return np.unique(np.round(np.linspace(0, gi - 1, k)).astype(np.int32))
+
     @property
     def afd_k(self):
-        """Per-sample AFD top-K widths (K_i = min(AFD_TOP_K, |subgrid_i|))."""
+        """Per-sample shipped-AFD value widths (top-K + static backbone;
+        duplicates between the two sets scatter the same value twice,
+        harmlessly)."""
+        return [
+            min(AFD_TOP_K, len(self.active_idx[si]))
+            + len(self._afd_backbone(si))
+            for si in range(self.n_samples)
+        ]
+
+    @property
+    def afd_idx_k(self):
+        """Per-sample shipped index widths (top-K only; the backbone
+        indices are static and re-appended host-side)."""
         return [
             min(AFD_TOP_K, len(self.active_idx[si]))
             for si in range(self.n_samples)
         ]
 
     def expand_afd(self, vals_cat, idx_cat):
-        """Scatter compact per-sample top-K AFD blocks [N, sum Ki] (int16
-        deci-PHRED values + subgrid indices, _run's ``densities_dphred`` /
-        ``afd_idx``) back into the shared-grid layout [N, S, G] host-side
-        (sentinel 32767 on unshipped slots, dropped by the AFD writer)."""
+        """Scatter compact per-sample AFD blocks back into the shared-grid
+        layout [N, S, G] host-side (sentinel 32767 on unshipped slots,
+        dropped by the AFD writer).
+
+        vals_cat [N, sum (Ktop_i + Kbb_i)] int16 deci-PHRED (_run's
+        ``densities_dphred``); idx_cat [N, sum Ktop_i] subgrid indices of
+        the top-K values (_run's ``afd_idx``) — backbone indices are
+        static per sample."""
         vals_cat = np.asarray(vals_cat)
         idx_cat = np.asarray(idx_cat).astype(np.int64)
         N = vals_cat.shape[0]
         S = self.n_samples
         full = np.full((N, S, self.grid.size), 32767, dtype=np.int16)
-        pos = 0
-        for si, k in enumerate(self.afd_k):
-            shared_idx = np.asarray(self.active_idx[si])[
-                idx_cat[:, pos : pos + k]
-            ]  # [N, Ki] indices into the shared grid
-            np.put_along_axis(
-                full[:, si, :], shared_idx, vals_cat[:, pos : pos + k], axis=1
+        vpos = 0
+        ipos = 0
+        for si in range(S):
+            ktop = self.afd_idx_k[si]
+            bb = self._afd_backbone(si).astype(np.int64)
+            k = ktop + len(bb)
+            idx_full = np.concatenate(
+                [
+                    idx_cat[:, ipos : ipos + ktop],
+                    np.broadcast_to(bb[None, :], (N, len(bb))),
+                ],
+                axis=1,
             )
-            pos += k
+            shared_idx = np.asarray(self.active_idx[si])[idx_full]
+            np.put_along_axis(
+                full[:, si, :], shared_idx, vals_cat[:, vpos : vpos + k], axis=1
+            )
+            vpos += k
+            ipos += ktop
         return full
 
     # ------------------------------------------------------------------
@@ -1644,12 +1700,13 @@ class PosteriorEngine:
             pos += n
         host["posteriors"] = host["joint"] - host["marginal"][:, None]
         sum_k = sum(self.afd_k)
-        nd = L * sum_k
+        sum_ki = sum(self.afd_idx_k)
+        nv = L * sum_k
         host["densities_dphred"] = self.expand_afd(
-            i16_flat[:nd].reshape(L, sum_k),
-            i16_flat[nd : 2 * nd].reshape(L, sum_k),
+            i16_flat[:nv].reshape(L, sum_k),
+            i16_flat[nv : nv + L * sum_ki].reshape(L, sum_ki),
         )
-        nd *= 2
+        nd = nv + L * sum_ki
         host["best_nonartifact"] = i16_flat[nd : nd + L].astype(np.int64)
         host["n_obs"] = (
             i16_flat[nd + L : nd + L + L * S].reshape(L, S).astype(np.int64)
