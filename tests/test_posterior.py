@@ -843,3 +843,74 @@ def test_afd_backbone_spans_full_subgrid():
     assert span > len(active) // 2, (shipped[0], shipped[-1])
     gaps = np.diff(np.searchsorted(active, shipped))
     assert gaps.max() <= int(np.ceil(len(active) / 15)) + 1
+
+
+def test_full_prior_four_samples_matches_bruteforce():
+    """Generic pedigree full-prior (S=4, no contamination): scan-based
+    joint enumeration on coarse subgrids vs direct sum."""
+    import jax.numpy as jnp
+    import math as _math
+    from varlociraptor_tpu.ops.likelihood import sample_loglik_grid
+
+    n_s = 4
+    piles = [
+        [
+            Pileup(
+                read_observations=[alt_obs() for _ in range(4 + 2 * i)]
+                + [ref_obs() for _ in range(8 - 2 * i)]
+            )
+            for i in range(n_s)
+        ]
+    ]
+    batch = ObservationBatch.collate(piles, depth=16)
+    combos = [BiasCombo()]
+    bias = build_bias_tensor(piles[0], combos, 16)
+    grid = AFGrid.build(0.1, extra_points=[0.5])
+    engine = PosteriorEngine(
+        two_events(n_s),
+        grid,
+        [SampleConfig(f"s{i}") for i in range(n_s)],
+        resolution=0.1,
+        all_uniform_prior=True,
+    )
+    L = 1
+    G = [len(engine.values_s[i]) for i in range(n_s)]
+    flat = np.zeros((L,) + tuple(G), dtype=np.float32)
+    out = engine.run(
+        batch.features, batch.mask, bias.alt[None], bias.ref[None],
+        bias.any[None], np.ones((L, 1), bool),
+        np.ones((L, engine.n_branches), bool),
+        np.full(L, _math.log(0.5), dtype=np.float32),
+        ln_prior_joint=flat,
+    )
+
+    # brute force over the 4-sample subgrid product
+    n_obs = jnp.asarray(batch.mask.sum(-1), dtype=jnp.float32)
+    wfull = np.asarray(engine._branch_weights(n_obs))[0]  # [NB,S,Gfull]
+    act = [np.asarray(engine.active_idx[i]) for i in range(n_s)]
+    ll_full = np.asarray(
+        sample_loglik_grid(
+            jnp.asarray(batch.features), jnp.asarray(batch.mask),
+            jnp.asarray(bias.alt[None]), jnp.asarray(bias.ref[None]),
+            jnp.asarray(bias.any[None]),
+            jnp.asarray(grid.values.astype(np.float32)),
+        )
+    )[0, :, 0]  # [S,Gfull]
+    jv = []
+    for ei in range(2):
+        bi = engine.event_branch_idx[ei][0]
+        d = [
+            (ll_full[s] + wfull[bi, s])[act[s]] for s in range(n_s)
+        ]
+        tot = (
+            d[0][:, None, None, None]
+            + d[1][None, :, None, None]
+            + d[2][None, None, :, None]
+            + d[3][None, None, None, :]
+        )
+        jv.append(_math.log(0.5) + np_ln_sum_exp_safe(tot.ravel()))
+    jv = np.array(jv)
+    want = jv - np_ln_sum_exp_safe(jv)
+    np.testing.assert_allclose(
+        out["posteriors"][0], want, rtol=1e-4, atol=2e-3
+    )

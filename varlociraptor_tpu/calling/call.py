@@ -202,17 +202,20 @@ class GenericCaller:
             hints=hints,
         )
 
-    def _full_prior_table(self, contig, variant, prior, grid, S):
-        """Dense joint-grid prior table for --full-prior, cached per
-        (contig, vartype, per-variant overrides): the table is
-        locus-independent unless the candidate carries HETEROZYGOSITY /
-        SOMATIC_EFFECTIVE_MUTATION_RATE INFO overrides (prior.rs:251-271)."""
+    def _full_prior_table(self, contig, variant, prior, value_lists):
+        """Joint prior table for --full-prior on the engine's per-sample
+        ACTIVE subgrids (scenario ``resolution:`` lattices — the axes the
+        engine integrates), cached per (contig, vartype, per-variant
+        overrides): the table is locus-independent unless the candidate
+        carries HETEROZYGOSITY / SOMATIC_EFFECTIVE_MUTATION_RATE INFO
+        overrides (prior.rs:251-271).  Arbitrary sample counts: the axes
+        multiply, so coarse resolutions keep pedigree-sized joints small."""
         key = (
             contig,
             variant.kind,
             variant.heterozygosity,
             variant.somatic_effective_mutation_rate,
-            S,
+            len(value_lists),
         )
         cache = getattr(self, "_full_prior_tables", None)
         if cache is None:
@@ -220,22 +223,24 @@ class GenericCaller:
         hit = cache.get(key)
         if hit is not None:
             return hit
-        g = grid.values.astype(np.float64)
+        shapes = tuple(len(v) for v in value_lists)
+        size = int(np.prod(shapes))
+        if size > 2_000_000:
+            from ..errors import InvalidPriorConfigurationError
+
+            raise InvalidPriorConfigurationError(
+                f"--full-prior joint grid has {size} cells over "
+                f"{len(value_lists)} samples; coarsen per-sample "
+                "`resolution:` in the scenario"
+            )
+        vals = [np.asarray(v, dtype=np.float64) for v in value_lists]
         prior.is_absent_only = False
         try:
-            table = np.zeros((len(g),) * S, dtype=np.float32)
-            if S == 1:
-                for i, v in enumerate(g):
-                    table[i] = prior.compute([v])
-            elif S == 2:
-                for i, v0 in enumerate(g):
-                    for j, v1 in enumerate(g):
-                        table[i, j] = prior.compute([v0, v1])
-            else:
-                for i, v0 in enumerate(g):
-                    for j, v1 in enumerate(g):
-                        for k, v2 in enumerate(g):
-                            table[i, j, k] = prior.compute([v0, v1, v2])
+            table = np.zeros(shapes, dtype=np.float32)
+            for idx in np.ndindex(*shapes):
+                table[idx] = prior.compute(
+                    [vals[s][idx[s]] for s in range(len(vals))]
+                )
         finally:
             prior.is_absent_only = True
         cache[key] = table
@@ -289,9 +294,13 @@ class GenericCaller:
 
         ln_prior_absent = np.zeros(L, dtype=np.float32)
         ln_prior_joint = None
-        if self.options.full_prior and S <= 3:
-            g = grid.values.astype(np.float64)
-            shape = (L,) + (len(g),) * S
+        if self.options.full_prior:
+            # prior table lives on the engine's per-sample ACTIVE subgrids
+            # (scenario resolution lattices) — pedigrees of any size work
+            # as long as the joint stays tractable (guard in
+            # _full_prior_table)
+            value_lists = [engine.values_s[si] for si in range(S)]
+            shape = (L,) + tuple(len(v) for v in value_lists)
             ln_prior_joint = np.zeros(shape, dtype=np.float32)
         for li, it in enumerate(items):
             prior = self._prior_for(contig, it.variant.kind)
@@ -304,7 +313,7 @@ class GenericCaller:
             ln_prior_absent[li] = prior.prob_absent()
             if ln_prior_joint is not None:
                 ln_prior_joint[li] = self._full_prior_table(
-                    contig, it.variant, prior, grid, S
+                    contig, it.variant, prior, value_lists
                 )
 
         # pad the locus axis to the fixed batch size so partial batches

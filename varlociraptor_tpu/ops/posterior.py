@@ -524,7 +524,7 @@ class PosteriorEngine:
             f32_flat = jnp.concatenate(
                 [
                     out[k].astype(jnp.float32).ravel()
-                    for k in ("joint", "marginal", "combo_joint", "af")
+                    for k in ("posteriors", "marginal", "combo_joint", "af")
                 ]
             )
             i16_flat = jnp.concatenate(
@@ -1242,7 +1242,6 @@ class PosteriorEngine:
         # in on the FULL shared grid per sample axis; subset to each
         # sample's active subgrid here.
         if ln_prior_joint is not None:
-            idx = [jnp.asarray(a) for a in self.active_idx]
             # l2fc constraints under --full-prior: fold the per-branch
             # pairwise masks into the joint evaluation (the absent-split
             # path above is bypassed in full-prior mode, so the masks must
@@ -1262,7 +1261,7 @@ class PosteriorEngine:
                     k: jnp.asarray(v) for k, v in lfc_by_pair.items()
                 }
             if S == 1:
-                P = jnp.take(ln_prior_joint, idx[0], axis=1)  # [L,G0]
+                P = ln_prior_joint  # [L,G0] on the active subgrid
                 d0 = loglik[0][:, :, None, :] + w_list[0][:, None]  # [L,B,NB,G0]
                 T = _lse(d0 + P[:, None, None, :], axis=-1)
             elif S == 2 and self.pairs:
@@ -1277,9 +1276,7 @@ class PosteriorEngine:
                     lc = jnp.zeros((1, 1, 1, 1, 1))
                 else:
                     lc = loglik[by][:, :, None, None, :]
-                P01 = jnp.take(
-                    jnp.take(ln_prior_joint, idx[0], axis=1), idx[1], axis=2
-                )  # [L,G0,G1] (sample-index order)
+                P01 = ln_prior_joint  # [L,G0,G1] on the active subgrids
                 P = (
                     P01
                     if si < by
@@ -1294,9 +1291,7 @@ class PosteriorEngine:
             elif S == 2:
                 d0 = loglik[0][:, :, None, :] + w_list[0][:, None]
                 d1 = loglik[1][:, :, None, :] + w_list[1][:, None]
-                P01 = jnp.take(
-                    jnp.take(ln_prior_joint, idx[0], axis=1), idx[1], axis=2
-                )
+                P01 = ln_prior_joint
                 joint = (
                     d0[..., :, None]
                     + d1[..., None, :]
@@ -1312,9 +1307,7 @@ class PosteriorEngine:
                 d0 = loglik[0][:, :, None, :] + w_list[0][:, None]
                 d1 = loglik[1][:, :, None, :] + w_list[1][:, None]
                 d2 = loglik[2][:, :, None, :] + w_list[2][:, None]
-                P = jnp.take(ln_prior_joint, idx[0], axis=1)
-                P = jnp.take(P, idx[1], axis=2)
-                P = jnp.take(P, idx[2], axis=3)
+                P = ln_prior_joint
 
                 M12 = lfc_by_pair.get((1, 2))
 
@@ -1346,10 +1339,64 @@ class PosteriorEngine:
                     jnp.arange(d0.shape[-1]),
                 )
                 T, _ = jax.lax.scan(_g0_step, init, xs)
+            elif not self.pairs:
+                # generic pedigree full-prior (any S without contamination,
+                # prior.rs:718-761 with is_absent_only=false): enumerate
+                # the joint subgrid product with a scan over the flattened
+                # leading S-2 axes; per-step memory is one
+                # [L,B,NB,G_{S-2},G_{S-1}] slab.  Feasibility is governed
+                # by the scenario's per-sample `resolution:` (the caller
+                # guards the joint size).
+                d = [
+                    loglik[s][:, :, None, :] + w_list[s][:, None]
+                    for s in range(S)
+                ]  # each [L,B,NB,Gs]
+                lead_sizes = tuple(
+                    len(self.values_s[s]) for s in range(S - 2)
+                )
+                x_s, y_s = S - 2, S - 1
+
+                def _lead_step(carry, t2):
+                    coords = jnp.unravel_index(t2, lead_sizes)
+                    slab = d[x_s][..., :, None] + d[y_s][..., None, :]
+                    Pt = ln_prior_joint
+                    for s in range(S - 2):
+                        Pt = jnp.take(Pt, coords[s], axis=1)
+                        slab = slab + jnp.take(d[s], coords[s], axis=-1)[
+                            ..., None, None
+                        ]
+                    slab = slab + Pt[:, None, None]
+                    for (a3, b3), M in lfc_by_pair.items():
+                        if (a3, b3) == (x_s, y_s):
+                            slab = slab + M[None, None]
+                        elif b3 < x_s:  # both on lead axes
+                            v3 = jnp.take(
+                                jnp.take(M, coords[a3], axis=1),
+                                coords[b3],
+                                axis=1,
+                            )  # [NB]
+                            slab = slab + v3[None, None, :, None, None]
+                        else:  # a3 on lead, b3 in {x_s, y_s} (a3 < b3)
+                            row = jnp.take(M, coords[a3], axis=1)  # [NB,Gb]
+                            slab = slab + (
+                                row[None, None, :, :, None]
+                                if b3 == x_s
+                                else row[None, None, :, None, :]
+                            )
+                    val = _lse(slab, axis=(-2, -1))
+                    return jnp.logaddexp(carry, val), None
+
+                init = jnp.full((L, B, NB), NEG_INF)
+                T, _ = jax.lax.scan(
+                    _lead_step,
+                    init,
+                    jnp.arange(int(np.prod(lead_sizes))),
+                )
             else:
                 raise NotImplementedError(
-                    "full prior supported for <= 3 samples without "
-                    "contamination, or <= 2 with (use absent-only)"
+                    "full prior with contamination is supported for <= 2 "
+                    "samples; larger contaminated designs use the "
+                    "absent-only prior split"
                 )
             T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
             branch_val = jnp.where(combo_active[:, :, None], T, NEG_INF)
@@ -1690,7 +1737,7 @@ class PosteriorEngine:
         host = {}
         pos = 0
         for k, shape in (
-            ("joint", (L, E)),
+            ("posteriors", (L, E)),
             ("marginal", (L,)),
             ("combo_joint", (L, B)),
             ("af", (L, S)),
@@ -1698,7 +1745,7 @@ class PosteriorEngine:
             n = int(np.prod(shape))
             host[k] = f32_flat[pos : pos + n].reshape(shape)
             pos += n
-        host["posteriors"] = host["joint"] - host["marginal"][:, None]
+        host["joint"] = host["posteriors"] + host["marginal"][:, None]
         sum_k = sum(self.afd_k)
         sum_ki = sum(self.afd_idx_k)
         nv = L * sum_k
