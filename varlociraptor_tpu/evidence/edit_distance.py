@@ -3,11 +3,13 @@ homopolymer indel extraction.
 
 Re-implements ``/root/reference/src/variants/evidence/realignment/edit_distance.rs``:
 best-hit semiglobal edit alignment of the read window against an allele
-window (the reference uses Myers bit-parallel; we use a native C++ O(nm)
-DP with traceback — identical results incl. first/last co-optimal
-placements; measured at ~6% of total preprocess wall-time at 2000-locus
-scale, so a Myers port would save <=5% while risking traceback-preference
-divergence — deliberately not ported), per-allele edit-operation counts
+window.  Like the reference we use Myers bit-parallel (u128, reads up to
+128bp — ``native/vlt_native.cpp:vlt_myers_semiglobal``) to locate the
+first/last co-optimal end columns on LONG allele windows, then run the
+native O(nm) traceback DP only on the hit windows
+(``io/native.py:semiglobal_edit_hybrid``); short windows go straight to
+the DP, which is already cheaper there (~6% of total preprocess
+wall-time at 2000-locus scale).  Per-allele edit-operation counts
 restricted to the variant's ref range, the "explainable by error rates"
 classification, read-derived ("third") allele patching
 (``edit_distance.rs:360-467``), and the homopolymer indel operation
