@@ -304,12 +304,13 @@ class GenericCaller:
             ln_prior_joint = np.zeros(shape, dtype=np.float32)
         for li, it in enumerate(items):
             prior = self._prior_for(contig, it.variant.kind)
-            if it.variant.heterozygosity is not None:
-                prior.variant_heterozygosity = it.variant.heterozygosity
-            if it.variant.somatic_effective_mutation_rate is not None:
-                prior.variant_somatic_rate = (
-                    it.variant.somatic_effective_mutation_rate
-                )
+            # per-variant INFO overrides (prior.rs:251-271); reset first —
+            # the Prior is shared per (contig, vartype), so a previous
+            # record's override must not leak into override-free records
+            prior.variant_heterozygosity = it.variant.heterozygosity
+            prior.variant_somatic_rate = (
+                it.variant.somatic_effective_mutation_rate
+            )
             ln_prior_absent[li] = prior.prob_absent()
             if ln_prior_joint is not None:
                 ln_prior_joint[li] = self._full_prior_table(

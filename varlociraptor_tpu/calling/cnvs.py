@@ -183,7 +183,6 @@ def viterbi(obs: np.ndarray, min_bayes_factor: float):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_platforms", jax.default_backend())
     T, K = obs.shape
     eps = min_bayes_factor - 1.0
     denom = K + eps
@@ -248,6 +247,19 @@ def call_cnvs(
         raise ValueError("--min-bayes-factor must be > 1")
     reader = open_variant_file(calls_path)
     records = reader.records()  # also populates sample_names from #CHROM
+    # ##contig lengths for the trailing CIEND bound (cnvs.rs CNVCall write)
+    contig_lengths: dict[str, int] = {}
+    for line in reader.header_lines:
+        if line.startswith("##contig=") and "length=" in line:
+            body = line.split("<", 1)[-1].rstrip(">")
+            fields = dict(
+                kv.split("=", 1) for kv in body.split(",") if "=" in kv
+            )
+            if "ID" in fields and "length" in fields:
+                try:
+                    contig_lengths[fields["ID"]] = int(fields["length"])
+                except ValueError:
+                    pass
     sample_idx = {n: i for i, n in enumerate(reader.sample_names)}
     ti, ni = sample_idx[tumor_sample], sample_idx[normal_sample]
 
@@ -356,7 +368,9 @@ def call_cnvs(
                             f"{-(first.start - first.prev_start) if first.prev_start is not None else -first.start},0"
                         ),
                         "CIEND": (
-                            f"0,{(last.next_start - end) if last.next_start is not None else 0}"
+                            # no successor locus: CI extends to the contig
+                            # end like the reference (cnvs.rs CNVCall write)
+                            f"0,{(last.next_start - end) if last.next_start is not None else max(contig_lengths.get(last.chrom, end) - end, 0)}"
                         ),
                         "OBS": letters,
                     }

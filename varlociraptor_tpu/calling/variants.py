@@ -35,12 +35,6 @@ class VariantInfo:
     def variant_type(self) -> str:
         return self.kind
 
-    def is_snv_or_mnv_shape(self) -> bool:
-        """True when REF and ALT have equal length (bias gating rule,
-        calling.rs:521-535)."""
-        return self.kind in ("snv", "mnv", "none", "methylation")
-
-
 def haplotype_identifier(rec: VcfRecord):
     """HaplotypeIdentifier::from (variants/model/mod.rs:88-134): EVENT tag,
     else sorted (ID, MATEID) pair for breakends."""

@@ -381,17 +381,26 @@ class Realigner:
             # allow a small epsilon — semantically the read comes from a third
             # allele either way, and the patched-allele check below still
             # guards the replacement.
-            # NOTE: the patched-allele forward below is computed from
-            # host-side edit-distance state only (not gated on the HMM
-            # probabilities), so the forward-call sequence is deterministic
-            # and the record/replay batching stays aligned; the HMM-prob
-            # gate is applied when DECIDING whether to use the result.
-            if alt_hit is not None:
-                patched = derive_patched_allele(alt_emission, read_window, alt_hit)
+            # NOTE: the patched-allele forwards are computed for EVERY alt
+            # allele from host-side edit-distance state only — during the
+            # record pass `probs` is an all-zeros stub, so anything derived
+            # from argmax(probs) (which alt wins) would differ between the
+            # record and replay passes and desynchronize the batched-forward
+            # cursor. Queuing the superset keeps the forward-call sequence
+            # bitwise identical across passes; the HMM-prob gate below only
+            # decides whether the SELECTED alt's result is used.
+            p_inferred_by_alt: list[float | None] = []
+            for a_em, a_hit in zip(alt_alleles, hits[n_ref:]):
+                p_inf = None
+                patched = (
+                    derive_patched_allele(a_em, read_window, a_hit)
+                    if a_hit is not None
+                    else None
+                )
                 if (
                     patched is not None
-                    and alt_emission.alt_vs_ref_len_diff != 0
-                    and len(patched) == len(alt_emission.seq)
+                    and a_em.alt_vs_ref_len_diff != 0
+                    and len(patched) == len(a_em.seq)
                 ):
                     # METHOD: for an indel variant, a read-derived allele of
                     # the SAME length as the candidate allele means the read
@@ -406,7 +415,7 @@ class Realigner:
                     patched = None
                 if patched is not None:
                     phit = calc_hit(
-                        AlleleEmission(seq=patched, ref_offset=alt_emission.ref_offset),
+                        AlleleEmission(seq=patched, ref_offset=a_em.ref_offset),
                         read_window,
                         props,
                         error_rate,
@@ -415,11 +424,11 @@ class Realigner:
                     lo = max(phit.start - EDIT_BAND, 0)
                     hi = min(phit.end + EDIT_BAND, len(patched))
                     if self.mode == "fast":
-                        p_inferred = path_score(
+                        p_inf = path_score(
                             phit.ops, read_window, qual_window, self.hmm.gap
                         )
                     else:
-                        p_inferred = float(
+                        p_inf = float(
                             self._forward(
                                 [patched[lo:hi]],
                                 [read_window],
@@ -427,9 +436,12 @@ class Realigner:
                                 [phit.dist + EDIT_BAND],
                             )[0]
                         )
-                    if prob_alt > prob_ref - 1.0 and p_inferred > prob_ref:
-                        prob_ref = p_inferred
-                        is_third_allele = True
+                p_inferred_by_alt.append(p_inf)
+            p_inferred = p_inferred_by_alt[alt_rel]
+            if p_inferred is not None:
+                if prob_alt > prob_ref - 1.0 and p_inferred > prob_ref:
+                    prob_ref = p_inferred
+                    is_third_allele = True
 
             # normalization: only the ratio matters (mod.rs:350-376)
             if prob_ref > LOG_ZERO and prob_alt > LOG_ZERO:

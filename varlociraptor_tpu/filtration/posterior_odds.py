@@ -39,7 +39,10 @@ def filter_by_odds(in_vcf, out_vcf, events: list[str], min_evidence: str) -> int
             op = tags_prob_sum(rec, other_tags)
             if tp is None or op is None:
                 continue
-            bf = math.exp(op - tp) if tp > -math.inf else math.inf
+            d = op - tp if tp > -math.inf else math.inf
+            # exp overflows f64 above ~709 — clamp to +inf like the
+            # codebase's other Bayes-factor sites (observation.py, cnvs.py)
+            bf = math.inf if d > 700.0 else math.exp(d)
             if kass_raftery(bf) < min_level:
                 w.write(rec)
                 n += 1

@@ -162,8 +162,13 @@ class Prior:
         return self._compute_cached(tuple(0.0 for _ in range(self.n_samples)))
 
     def _compute_cached(self, key):
+        # per-variant HETEROZYGOSITY / SOMATIC_EFFECTIVE_MUTATION_RATE INFO
+        # overrides (prior.rs:251-271) are set on the shared per-contig
+        # Prior by the caller; they MUST be part of the cache key or an
+        # override-free record would serve (and poison) overridden values
+        key = (key, self.variant_heterozygosity, self.variant_somatic_rate)
         if key not in self._cache:
-            self._cache[key] = self._calc_prob(list(key), [])
+            self._cache[key] = self._calc_prob(list(key[0]), [])
         return self._cache[key]
 
     # ------------------------------------------------------------------
