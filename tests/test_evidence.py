@@ -183,3 +183,22 @@ def test_record_replay_batching_matches_direct(ref_resources):
     assert len(a) == len(b) > 50
     for (r1, a1, s1), (r2, a2, s2) in zip(a, b):
         assert abs(r1 - r2) < 1e-9 and abs(a1 - a2) < 1e-9 and s1 == s2
+
+
+def test_read_pos_full_skips_leading_hardclip():
+    """A supplementary split read with CIGAR 10H 20S 100M: the softclip is
+    still LEADING (rust-htslib read_pos skips index-0 hardclips), so query
+    positions must be computed accordingly."""
+    import numpy as np
+
+    from varlociraptor_tpu.evidence.realignment import read_pos_full
+    from varlociraptor_tpu.io.bam import BamRecord, OP_H, OP_M, OP_S
+
+    rec = BamRecord.__new__(BamRecord)
+    rec.pos = 1000
+    rec.cigar = [(OP_H, 10), (OP_S, 20), (OP_M, 100)]
+    # inside the match: query = 20 softclip bases + offset
+    assert read_pos_full(rec, 1005) == 25
+    # inside the (leading) softclip, projected before pos
+    assert read_pos_full(rec, 990) == 10
+    assert read_pos_full(rec, 979) is None

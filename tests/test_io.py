@@ -110,3 +110,50 @@ def test_bcf_writer_roundtrip(ref_tests, tmp_path):
     assert len(back) == len(recs)
     for a, b in zip(recs, back):
         assert (a.chrom, a.pos, a.ref, tuple(a.alts)) == (b.chrom, b.pos, b.ref, tuple(b.alts))
+
+
+def test_bcf_writer_honors_idx_attributes(tmp_path):
+    """Header lines carrying explicit IDX= (htslib non-contiguous
+    dictionaries) must key INFO values by IDX, not appearance order —
+    conformant readers (incl. our BcfReader) resolve by IDX."""
+    from varlociraptor_tpu.io.bcf import BcfReader, BcfWriter
+    from varlociraptor_tpu.io.vcf import VcfRecord
+
+    header = [
+        "##fileformat=VCFv4.2",
+        '##FILTER=<ID=PASS,Description="ok",IDX=0>',
+        '##contig=<ID=chr1,length=1000,IDX=0>',
+        '##INFO=<ID=XX,Number=1,Type=Integer,Description="x",IDX=2>',
+        '##INFO=<ID=YY,Number=1,Type=Integer,Description="y",IDX=1>',
+    ]
+    rec = VcfRecord(
+        chrom="chr1", pos=100, id=".", ref="A", alts=["T"],
+        qual=None, filter="PASS", info={"XX": "7", "YY": "9"}, samples=[],
+    )
+    out = tmp_path / "idx.bcf"
+    with BcfWriter(out, header_lines=header) as w:
+        w.write(rec)
+    back = BcfReader(out).records()
+    assert back[0].info_get("XX") in ("7", 7)
+    assert back[0].info_get("YY") in ("9", 9)
+
+
+def test_bcf_writer_wide_format_integers(tmp_path):
+    """FORMAT Integer values beyond int16 must widen, not crash."""
+    from varlociraptor_tpu.io.bcf import BcfReader, BcfWriter
+    from varlociraptor_tpu.io.vcf import VcfRecord
+
+    header = [
+        "##fileformat=VCFv4.2",
+        '##contig=<ID=chr1,length=1000>',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">',
+    ]
+    rec = VcfRecord(
+        chrom="chr1", pos=5, id=".", ref="A", alts=["T"], qual=None,
+        filter=".", info={}, samples=[{"DP": "40000"}], format=["DP"],
+    )
+    out = tmp_path / "wide.bcf"
+    with BcfWriter(out, sample_names=["s"], header_lines=header) as w:
+        w.write(rec)
+    back = BcfReader(out).records()
+    assert str(back[0].samples[0].get("DP")) == "40000"

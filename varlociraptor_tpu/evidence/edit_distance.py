@@ -39,6 +39,11 @@ class EditHit:
     n_del_in_range: int = 0
     explainable: bool | None = None
     homopolymer_indel_len: int | None = None
+    # alignment whose edit-operation counts won the co-optimal-placement
+    # comparison (edit_distance.rs some_alignment: the reference patches
+    # the allele from the MIN-counts alignment, not always the first)
+    range_start: int | None = None
+    range_ops: list | None = None
 
     @property
     def in_range_dist(self):
@@ -160,47 +165,76 @@ def calc_hit(
     end = min(last_start + len(read) + dist, len(allele))
     hit = EditHit(dist=dist, start=start, end=end, ops=ops)
 
+    # co-optimal placements considered for edit-operation counts and the
+    # homopolymer op: the reference evaluates ALL of them and takes the
+    # min (edit_distance.rs:246-301); we evaluate the first and last —
+    # middle placements of >2-way repeat ties are not enumerated
+    placements = [(start, ops)]
+    if last_start != start:
+        r2 = semiglobal_edit(allele[last_start:], read)
+        if r2 is not None and r2[0] == dist:
+            placements.append((last_start + r2[1], r2[2]))
+
     vrange = getattr(emission, "variant_ref_range", None)
     if not is_patched and vrange is not None:
         lo, hi = vrange
-        pos = emission.ref_offset + start
-        n_s = n_i = n_d = 0
-        aln_start = pos
-        for op in ops:
-            in_range = lo <= pos < hi
-            if op == S:
-                if in_range:
-                    n_s += 1
-                pos += 1
-            elif op == D:
-                if in_range:
-                    n_d += 1
-                pos += 1
-            elif op == I:
-                if in_range:
-                    n_i += 1
-            else:
-                pos += 1
+        best = None
+        for p_start, p_ops in placements:
+            pos = emission.ref_offset + p_start
+            n_s = n_i = n_d = 0
+            aln_start = pos
+            for op in p_ops:
+                in_range = lo <= pos < hi
+                if op == S:
+                    if in_range:
+                        n_s += 1
+                    pos += 1
+                elif op == D:
+                    if in_range:
+                        n_d += 1
+                    pos += 1
+                elif op == I:
+                    if in_range:
+                        n_i += 1
+                else:
+                    pos += 1
+            aln_len = pos - aln_start
+            expl = is_explainable_by_error_rates(
+                n_s, n_i, n_d, aln_len, props, read_error_rate
+            )
+            # reference Ord: explainable < not, then subs, ins, dels
+            key = (not expl, n_s, n_i, n_d)
+            if best is None or key < best[0]:
+                best = (key, n_s, n_i, n_d, expl, p_start, p_ops)
+        _, n_s, n_i, n_d, expl, w_start, w_ops = best
         hit.n_subst_in_range = n_s
         hit.n_ins_in_range = n_i
         hit.n_del_in_range = n_d
-        aln_len = pos - aln_start
-        hit.explainable = is_explainable_by_error_rates(
-            n_s, n_i, n_d, aln_len, props, read_error_rate
-        )
+        hit.explainable = expl
+        hit.range_start = w_start
+        hit.range_ops = w_ops
 
-    # homopolymer indel length (edit_distance.rs:239-...; homopolymers.rs)
+    # homopolymer indel length (edit_distance.rs:239-...; homopolymers.rs):
+    # min indel length over the co-optimal placements
     hrange = getattr(emission, "homopolymer_ref_range", None)
     if not is_patched and hrange is not None:
-        op_res = homopolymer_indel_operation(
-            np.frombuffer(bytes(allele), dtype=np.uint8)[start:], read, ops
-        )
-        if op_res is not None:
-            oplen, text_pos = op_res
-            ref_pos = emission.ref_offset + start + text_pos
-            lo, hi = hrange
-            if lo <= ref_pos < hi and (oplen > 0 or lo <= ref_pos + abs(oplen) < hi):
-                hit.homopolymer_indel_len = oplen
+        lo, hi = hrange
+        lens = []
+        for p_start, p_ops in placements:
+            op_res = homopolymer_indel_operation(
+                np.frombuffer(bytes(allele), dtype=np.uint8)[p_start:],
+                read,
+                p_ops,
+            )
+            if op_res is not None:
+                oplen, text_pos = op_res
+                ref_pos = emission.ref_offset + p_start + text_pos
+                if lo <= ref_pos < hi and (
+                    oplen > 0 or lo <= ref_pos + abs(oplen) < hi
+                ):
+                    lens.append(oplen)
+        if lens:
+            hit.homopolymer_indel_len = min(lens)
     return hit
 
 
@@ -221,14 +255,18 @@ def derive_patched_allele(emission, read: np.ndarray, hit: EditHit) -> bytes | N
     fall inside the variant ref range."""
     if hit.explainable is None or hit.explainable:
         return None
+    # patch from the alignment whose edit-operation counts won the
+    # co-optimal comparison (edit_distance.rs some_alignment)
+    p_start = hit.range_start if hit.range_start is not None else hit.start
+    p_ops = hit.range_ops if hit.range_ops is not None else hit.ops
     allele = np.frombuffer(bytes(emission.seq), dtype=np.uint8)
     vrange = emission.variant_ref_range
     lo, hi = vrange
-    pos_ref = hit.start
+    pos_ref = p_start
     pos_read = 0
-    out = bytearray(bytes(allele[: hit.start]))
+    out = bytearray(bytes(allele[:p_start]))
     read_b = np.asarray(read, dtype=np.uint8)
-    for op in hit.ops:
+    for op in p_ops:
         in_range = lo <= (pos_ref + emission.ref_offset) < hi
         if op == M:
             out.append(allele[pos_ref])
@@ -313,10 +351,12 @@ def homopolymer_indel_operation(text: np.ndarray, pattern: np.ndarray, ops):
             rpos += length
         elif op == I:
             seg = pattern[qpos : qpos + length]
+            # no rpos < len(text) gate: an insertion aligned at the end of
+            # the allele window is still homopolymer-extendable via the
+            # backward stretch (homopolymers.rs Ins arm has no such gate)
             if (
                 length <= 256
                 and _is_homopolymer(seg)
-                and rpos < len(text)
                 and is_extendable(rpos, seg[0])
             ):
                 if found is None:

@@ -12,10 +12,10 @@ Re-implements the reference's ``Observable`` blanket machinery
   (deterministic via sorted dict; ``types/mod.rs:294-340``),
 - MAPQ -> log-prob with the conservative pair-max rule
   (``types/mod.rs:255-272``),
-- depth-capped subsampling (``types/mod.rs:386-389``; reference uses a fixed
-  global RNG seed 48074578, we derive the seed from the locus coordinate so
-  results are invariant to shard boundaries — a deliberate, documented
-  divergence that only matters above --max-depth),
+- depth-capped subsampling (``types/mod.rs:386-389``): bit-exact port of
+  the reference's SubsampleCandidates with its fixed seed 48074578,
+  RESTARTED per locus — simultaneously reference-identical draw
+  sequences and shard-boundary-invariant kept sets,
 - observation construction (``read_observation.rs:626-701``).
 """
 
@@ -182,11 +182,14 @@ class Evidence:
         return min(r.mapq for r in self.records())
 
 
-def collect_fragments(bam, contig: str, fetch_intervals, window: int):
+def collect_fragments(bam, contig: str, fetch_intervals, window: int, props=None):
     """Fetch + fragment pairing (types/mod.rs:283-340).
 
     Returns Evidence objects keyed/sorted by qname (deterministic order, as
-    the reference's BTreeMap guarantees).
+    the reference's BTreeMap guarantees).  When ``props`` is given, cigar
+    maxima are tracked for EVERY streamed record (types/mod.rs:309 updates
+    before pairing/mapq filters — records later dropped by those filters
+    still raise max_del/ins_cigar_len in the reference).
     """
     candidates: dict[str, list] = {}
     seen_windows = []
@@ -206,6 +209,8 @@ def collect_fragments(bam, contig: str, fetch_intervals, window: int):
                 or rec.is_qc_fail
             ):
                 continue
+            if props is not None:
+                props.update_max_cigar_ops_len(rec)
             slot = candidates.get(rec.qname)
             if slot is None:
                 candidates[rec.qname] = [rec, None]
@@ -233,7 +238,7 @@ def collect_fragments(bam, contig: str, fetch_intervals, window: int):
     return evidence
 
 
-def subsample_keep_mask(n: int, max_depth: int, locus_seed: int) -> np.ndarray:
+def subsample_keep_mask(n: int, max_depth: int) -> np.ndarray:
     """Deterministic, shard-invariant subsampling decision per candidate.
 
     Bit-exact port of the reference's SubsampleCandidates
@@ -297,12 +302,8 @@ def extract_observations(
         window = single_read_window
 
     fragments = collect_fragments(
-        bam, variant.contig, variant.fetch_intervals(), window
+        bam, variant.contig, variant.fetch_intervals(), window, props=props
     )
-    # track cigar maxima like the reference does while streaming
-    for ev in fragments:
-        for rec in ev.records():
-            props.update_max_cigar_ops_len(rec)
 
     candidates = []
     locus_depths: dict[int, int] = {}
@@ -318,9 +319,7 @@ def extract_observations(
         d > max_depth for d in locus_depths.values()
     )
     if subsample:
-        keep = subsample_keep_mask(
-            len(candidates), max_depth, variant.first_pos
-        )
+        keep = subsample_keep_mask(len(candidates), max_depth)
     else:
         keep = np.ones(len(candidates), dtype=bool)
 

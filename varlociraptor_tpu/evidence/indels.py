@@ -440,6 +440,14 @@ class _BreakendBacked(RealignedVariant):
         return self.len
 
     def _ref_base(self, pos):
+        if pos < 0:
+            # an INV/DUP starting at contig position 0 needs a breakend
+            # BEFORE the contig (the reference underflows u64 here);
+            # Python's negative indexing would silently return the LAST
+            # contig base — fail loudly instead
+            raise ValueError(
+                f"breakend position {pos} before start of {self.contig}"
+            )
         return chr(self.realigner.reference.seq(self.contig)[pos])
 
 

@@ -36,6 +36,11 @@ def read_pos_full(record: BamRecord, ref_pos: int, include_softclips=True, inclu
     first = True
     for op, l in record.cigar:
         l = int(l)
+        if op == OP_H:
+            # hard clips consume neither query nor reference and must not
+            # demote a following leading softclip (supplementary split
+            # reads routinely start H+S; rust-htslib read_pos skips them)
+            continue
         if op == OP_S:
             if include_softclips:
                 # softclip treated as if aligned before/after the read
@@ -452,6 +457,20 @@ class Realigner:
                 prob_ref = prob_alt = math.log(0.5)
 
             if prob_ref != prob_alt:
+                # per-base SI aux strand info: OR the strands over this
+                # region's read interval (realignment/mod.rs:380-388); the
+                # FLAG-based fallback below fires only when SI is absent
+                si = record.tags.get("SI")
+                if isinstance(si, str):
+                    from .observation import (
+                        STRAND_FORWARD as _SF,
+                        STRAND_REVERSE as _SR,
+                    )
+
+                    for c in si[region.read_start : region.read_end]:
+                        strand |= {"+": _SF, "-": _SR, "*": _SF | _SR}.get(
+                            c, 0
+                        )
                 if homopolymer_indel_len is None and alt_hit is not None:
                     homopolymer_indel_len = alt_hit.homopolymer_indel_len
 
@@ -462,7 +481,9 @@ class Realigner:
             prob_ref_all += prob_ref
             prob_alt_all += prob_alt
 
-        if prob_ref_all != prob_alt_all:
+        if record.tags.get("SI") is None and prob_ref_all != prob_alt_all:
+            # no per-base strand info: whole-record FLAG strand
+            # (realignment/mod.rs:405-409)
             strand = strand_from_record(record)
 
         return AlleleSupport(

@@ -133,7 +133,10 @@ class BcfReader:
             n_info_allele = struct.unpack_from("<I", raw, p + 16)[0]
             n_info = n_info_allele & 0xFFFF
             n_allele = n_info_allele >> 16
-            p += 24  # skip n_fmt_sample too
+            n_fmt_sample = struct.unpack_from("<I", raw, p + 20)[0]
+            n_sample = n_fmt_sample & 0xFFFFFF
+            n_fmt = n_fmt_sample >> 24
+            p += 24
             vid, p = self._typed(p)
             alleles = []
             for _ in range(n_allele):
@@ -159,6 +162,61 @@ class BcfReader:
                     info[name] = [
                         float(v) if val.dtype.kind == "f" else int(v) for v in val
                     ]
+            # FORMAT/sample block: per field a typed key then a typed
+            # descriptor whose count is PER SAMPLE, repeated n_sample times
+            fmt_keys = []
+            samples = [dict() for _ in range(n_sample)]
+            p = rec_start + l_shared
+            for _ in range(n_fmt):
+                key_idx, p = self._typed(p)
+                key_idx = int(np.asarray(key_idx).ravel()[0])
+                name = self._strings.get(key_idx, f"KEY{key_idx}")
+                fmt_keys.append(name)
+                desc = raw[p]
+                p += 1
+                typ = desc & 0x0F
+                count = desc >> 4
+                if count == 15:
+                    cv, p = self._typed(p)
+                    count = int(np.asarray(cv).ravel()[0])
+                for si in range(n_sample):
+                    if typ == 0:
+                        samples[si][name] = "."
+                        continue
+                    if typ == 7:
+                        s = raw[p : p + count].decode("latin1").rstrip("\x00")
+                        p += count
+                        samples[si][name] = s if s else "."
+                        continue
+                    if typ == 1:
+                        vals = np.frombuffer(raw, np.int8, count, p)
+                        p += count
+                        miss = -128
+                    elif typ == 2:
+                        vals = np.frombuffer(raw, "<i2", count, p)
+                        p += 2 * count
+                        miss = -32768
+                    elif typ == 3:
+                        vals = np.frombuffer(raw, "<i4", count, p)
+                        p += 4 * count
+                        miss = -2147483648
+                    elif typ == 5:
+                        vals = np.frombuffer(raw, "<f4", count, p)
+                        p += 4 * count
+                        miss = None
+                    else:
+                        raise ValueError(f"bad BCF FORMAT type {typ}")
+                    parts = []
+                    for v in vals:
+                        if miss is not None and v == miss:
+                            parts.append(".")
+                        elif miss is None and np.isnan(v):
+                            parts.append(".")
+                        else:
+                            parts.append(
+                                f"{float(v):g}" if miss is None else str(int(v))
+                            )
+                    samples[si][name] = ",".join(parts)
             pos = rec_start + l_shared + l_indiv
             yield VcfRecord(
                 chrom=self._contigs.get(chrom_id, str(chrom_id)),
@@ -169,6 +227,8 @@ class BcfReader:
                 qual="." if np.isnan(qual) else f"{qual:g}",
                 filter=".",
                 info=info,
+                format=fmt_keys,
+                samples=samples,
             )
 
     def records(self):
@@ -228,19 +288,42 @@ class BcfWriter:
         self._chrom_line = "\t".join(chrom_cols)
         self._declared_contigs = None  # filled below
         self._declared_strings = None
-        # dictionaries (same implicit order as BcfReader._parse_header)
+        # dictionaries (same implicit order as BcfReader._parse_header);
+        # explicit IDX= attributes (written by htslib for non-contiguous
+        # dictionaries) OVERRIDE appearance order — conformant readers
+        # honor them, so ignoring them would silently mis-key INFO/contig
+        # data when header lines are passed through from an htslib BCF
         self._string_idx = {}
         self._contig_idx = {}
         if not any(re.match(r"##FILTER=<ID=PASS", l) for l in lines):
             self._string_idx["PASS"] = 0
+
+        def _explicit_idx(line):
+            m = re.search(r"[<,]IDX=(\d+)", line)
+            return int(m.group(1)) if m else None
+
         for line in lines:
             m = re.match(r"##contig=<[^>]*?ID=([^,>]+)", line)
             if m:
-                self._contig_idx.setdefault(m.group(1), len(self._contig_idx))
+                idx = _explicit_idx(line)
+                if idx is not None:
+                    self._contig_idx[m.group(1)] = idx
+                else:
+                    self._contig_idx.setdefault(
+                        m.group(1), len(self._contig_idx)
+                    )
                 continue
             m = re.match(r"##(?:FILTER|INFO|FORMAT)=<[^>]*?ID=(\w+)", line)
-            if m and m.group(1) not in self._string_idx:
-                self._string_idx[m.group(1)] = len(self._string_idx)
+            if m:
+                idx = _explicit_idx(line)
+                if idx is not None:
+                    self._string_idx[m.group(1)] = idx
+                elif m.group(1) not in self._string_idx:
+                    nxt = 0
+                    used = set(self._string_idx.values())
+                    while nxt in used:
+                        nxt += 1
+                    self._string_idx[m.group(1)] = nxt
         # field value types from header declarations
         self._types = {}
         for line in lines:
@@ -307,9 +390,24 @@ class BcfWriter:
             if typ in ("Integer", "Float") and all("," not in v for v in vals):
                 try:
                     if typ == "Integer":
-                        enc = _typed_desc(1, 2) + b"".join(
-                            struct.pack("<h", int(float(v)) if v != "." else -32768)
-                            for v in vals
+                        ints = [
+                            int(float(v)) if v != "." else None for v in vals
+                        ]
+                        # pick the narrowest BCF int width that fits every
+                        # value OUTSIDE the reserved missing/EOV range
+                        # (int16 alone crashed on DP > 32767 deep pileups)
+                        fin = [x for x in ints if x is not None]
+                        lo = min(fin, default=0)
+                        hi = max(fin, default=0)
+                        if -120 <= lo and hi <= 127:
+                            t, fmtc, miss = 1, "<b", -128
+                        elif -32000 <= lo and hi <= 32767:
+                            t, fmtc, miss = 2, "<h", -32768
+                        else:
+                            t, fmtc, miss = 3, "<i", -2147483648
+                        enc = _typed_desc(1, t) + b"".join(
+                            struct.pack(fmtc, x if x is not None else miss)
+                            for x in ints
                         )
                     else:
                         enc = _typed_desc(1, 5) + b"".join(
@@ -320,8 +418,8 @@ class BcfWriter:
                         )
                     indiv += enc
                     continue
-                except ValueError:
-                    pass
+                except (ValueError, struct.error):
+                    pass  # fall back to string encoding
             width = max((len(v) for v in vals), default=1)
             indiv += _typed_desc(width, 7) + b"".join(
                 v.encode("latin1").ljust(width, b"\x00") for v in vals

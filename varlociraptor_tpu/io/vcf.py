@@ -95,13 +95,17 @@ class VcfReader:
         return open(self.path, "rt")
 
     def __iter__(self):
+        # rebuild (not append) per pass so a second iteration does not
+        # duplicate every header line in self.header_lines
+        header: list[str] = []
+        self.header_lines = header
         with self._open() as f:
             for line in f:
                 line = line.rstrip("\n")
                 if not line:
                     continue
                 if line.startswith("##"):
-                    self.header_lines.append(line)
+                    header.append(line)
                     continue
                 if line.startswith("#CHROM"):
                     cols = line.split("\t")
