@@ -190,3 +190,56 @@ events:
     for nv in probes:
         for tv in probes:
             assert member(g, nv, tv) == member(e, nv, tv), (nv, tv)
+
+
+def test_vafrange_overlap_exclusivity_tiebreaks():
+    """formula.rs:1137-1170: at equal boundary values an exclusive bound
+    lies strictly inside an inclusive one (regression: the tie-breaks were
+    inverted, crashing negation over exclusive-bound universes)."""
+    from varlociraptor_tpu.grammar.formula import VAFRange
+
+    incl = VAFRange(0.0, 0.5, False, False)
+    excl = VAFRange(0.0, 0.5, True, True)
+    assert excl.overlap(incl) == "contained"
+    assert incl.overlap(excl) == "contains"
+    # half-open vs closed
+    ho = VAFRange(0.0, 0.5, True, False)
+    assert ho.overlap(incl) == "start"
+    assert incl.overlap(ho) == "contains"
+
+
+def test_vafrange_intersect_keeps_exclusive_bound():
+    """formula.rs:1234-1262: equal boundaries intersect to the OR of the
+    exclusivities."""
+    from varlociraptor_tpu.grammar.formula import VAFRange
+
+    i = VAFRange(0.0, 0.5, True, False).intersect(VAFRange(0.0, 0.5, False, False))
+    assert i.left_exclusive and not i.right_exclusive
+    j = VAFRange(0.0, 0.5, False, True).intersect(VAFRange(0.0, 0.5, True, False))
+    assert j.left_exclusive and j.right_exclusive
+
+
+def test_negation_over_exclusive_universe():
+    """Negating an inclusive range against the common
+    '{0.0,0.5,1.0} | ]0.0,0.5[ | ]0.5,1.0[' universe must not crash and
+    must produce the complement."""
+    from varlociraptor_tpu.grammar.formula import (
+        VAFRange,
+        VAFSpectrum,
+        negate_spectrum_against_universe,
+    )
+
+    universe = [
+        VAFSpectrum.from_set([0.0, 0.5, 1.0]),
+        VAFSpectrum.range(VAFRange(0.0, 0.5, True, True)),
+        VAFSpectrum.range(VAFRange(0.5, 1.0, True, True)),
+    ]
+    got = negate_spectrum_against_universe(
+        VAFSpectrum.range(VAFRange(0.0, 0.5, False, False)), universe
+    )
+    # complement = {1.0} and ]0.5,1.0[
+    pts = set()
+    for s in got:
+        if s.set_values is not None:
+            pts |= set(s.set_values)
+    assert 1.0 in pts and 0.5 not in pts and 0.0 not in pts

@@ -676,6 +676,11 @@ def _result_to_record(res, sample_names) -> VcfRecord:
             "inversion": "INV",
             "duplication": "DUP",
         }[v.kind]
+        if v.kind in ("inversion", "duplication") and v.svlen:
+            # collect_variants requires END for INV/DUP (1-based inclusive;
+            # svlen = end0 + 1 - pos0) — without it, vartype-filtered FDR
+            # would drop every such record
+            info["END"] = v.pos + v.svlen
     if res["hints"]:
         info["HINTS"] = ",".join(res["hints"])
     # --propagate-info-fields passthrough (utils/aux_info.rs:52-135)

@@ -237,7 +237,12 @@ def preprocess(
                         )
                     except ValueError:
                         skipped["breakend"] = skipped.get("breakend", 0) + 1
-                        continue
+                        # fall through WITHOUT `continue`: if this was the
+                        # haplotype's last member, the group must still
+                        # flush below or its valid mates would be orphaned
+                        # in pending_groups (no records ever written ->
+                        # inconsistent observation files across samples)
+                        bnd = None
                     if bnd is not None:
                         pending_groups.setdefault(info.haplotype, []).append(
                             (info, bnd)

@@ -320,6 +320,21 @@ def open_observations(path, sample_name: str | None = None):
     from ..io.vcf import open_variant_file
 
     head = open(path, "rb").read(4)
+    if head[:2] == b"\x1f\x8b":
+        # gzip can wrap EITHER a BCF/VCF or our JSON-lines observation
+        # format (.jsonl.gz) — sniff the decompressed payload, don't
+        # assume binary means variant file
+        import gzip as _gz
+
+        try:
+            with _gz.open(path, "rt") as f:
+                first = f.readline()
+            if first.startswith("{"):
+                from .observations import ObservationReader
+
+                return ObservationReader(path)
+        except OSError:
+            pass
     looks_binary = head[:3] == b"BCF" or head[:2] == b"\x1f\x8b"
     if not looks_binary:
         try:
@@ -595,8 +610,29 @@ class ReferenceObservationWriter:
                 "inversion": "INV",
                 "duplication": "DUP",
             }[kind]
-        if variant.haplotype is not None:
-            info["EVENT"] = str(variant.haplotype)
+            if kind in ("inversion", "duplication") and svlen:
+                # INV/DUP need END (1-based inclusive) or the read-back
+                # collect_variants drops the record silently
+                info["END"] = str(variant.pos + svlen)
+        rec_id = "."
+        hap = variant.haplotype
+        if hap is not None:
+            # internal identifiers carry a discriminating prefix
+            # (haplotype_identifier): EVENT-derived ids round-trip as the
+            # bare EVENT name; MATEID-derived ids restore ID/MATEID so the
+            # read-back haplotype_identifier reconstructs the same key
+            # (writing the prefixed string verbatim would re-prefix on
+            # every round trip and break cross-file breakend grouping)
+            hap = str(hap)
+            if hap.startswith("event:"):
+                info["EVENT"] = hap[len("event:") :]
+            elif hap.startswith("mates:"):
+                ids = hap[len("mates:") :].split(",")
+                if len(ids) == 2:
+                    rec_id = ids[0] if kind == "breakend" else "."
+                    info["MATEID"] = ids[1] if rec_id == ids[0] else ids[0]
+            else:
+                info["EVENT"] = hap
         if not variant.precise:
             info["IMPRECISE"] = True
         if aux:
@@ -609,7 +645,7 @@ class ReferenceObservationWriter:
             VcfRecord(
                 chrom=variant.chrom,
                 pos=variant.pos,
-                id=".",
+                id=rec_id,
                 ref=variant.ref_allele,
                 alts=[alt],
                 info=info,

@@ -357,7 +357,12 @@ def estimate_gap_params(transitions) -> GapParams | None:
         prob_start = from_match_to_gap / max(from_match, 1)
         prob_extend = extend_gap / max(from_gap, 1)
         out.append((_logprob_from_rate(prob_start), _logprob_from_rate(prob_extend)))
-    (del_open, del_ext), (ins_open, ins_ext) = out  # GapX = deletion axis
+    # reference destructuring (alignment_properties.rs:868-870): the
+    # GapX-derived rates (accumulated from Cigar::Del) become the
+    # INSERTION params and GapY-derived (Cigar::Ins) the DELETION params —
+    # the pair-HMM's x/y gap axes are named from the reference sequence's
+    # perspective, opposite to the CIGAR's read-centric naming
+    (ins_open, ins_ext), (del_open, del_ext) = out
     return GapParams(
         prob_insertion_artifact=ins_open,
         prob_deletion_artifact=del_open,

@@ -74,21 +74,32 @@ class VAFRange:
         return lspec, rspec
 
     def overlap(self, other: "VAFRange") -> str:
-        """one of contained/contains/end/start/equal/none."""
+        """one of contained/contains/end/start/equal/none
+        (formula.rs:1137-1170, incl. the exclusivity tie-breaks: at equal
+        boundary values an exclusive bound is strictly inside an
+        inclusive one)."""
         if self == other:
             return "equal"
-        s_right_of = (self.start, not self.left_exclusive) > (
-            other.start,
-            not other.left_exclusive,
+        s_right_of = (
+            self.start >= other.start
+            if (self.left_exclusive and not other.left_exclusive)
+            else self.start > other.start
         )
-        e_left_of = (self.end, self.right_exclusive) < (other.end, other.right_exclusive)
-        # no overlap checks
-        if (self.start > other.end) or (
-            self.start == other.end and (self.left_exclusive or other.right_exclusive)
-        ):
-            return "none"
-        if (other.start > self.end) or (
-            other.start == self.end and (other.left_exclusive or self.right_exclusive)
+        e_left_of = (
+            self.end <= other.end
+            if (self.right_exclusive and not other.right_exclusive)
+            else self.end < other.end
+        )
+        if (
+            (self.end < other.start or self.start > other.end)
+            or (
+                self.end <= other.start
+                and (self.right_exclusive or other.left_exclusive)
+            )
+            or (
+                self.start >= other.end
+                and (self.left_exclusive or other.right_exclusive)
+            )
         ):
             return "none"
         if s_right_of and e_left_of:
@@ -100,16 +111,24 @@ class VAFRange:
         return "contains"
 
     def intersect(self, other: "VAFRange") -> "VAFRange":
+        """formula.rs:1234-1262: at equal boundary values the EXCLUSIVE
+        bound wins (OR of the exclusivities)."""
         if self.overlap(other) == "none":
             return VAFRange(0.0, 0.0, True, True)
-        if (self.start, not self.left_exclusive) >= (other.start, not other.left_exclusive):
+        if self.start > other.start:
             start, lex = self.start, self.left_exclusive
-        else:
+        elif self.start < other.start:
             start, lex = other.start, other.left_exclusive
-        if (self.end, self.right_exclusive) <= (other.end, other.right_exclusive):
-            end, rex = self.end, self.right_exclusive
         else:
+            start = self.start
+            lex = self.left_exclusive or other.left_exclusive
+        if self.end < other.end:
+            end, rex = self.end, self.right_exclusive
+        elif self.end > other.end:
             end, rex = other.end, other.right_exclusive
+        else:
+            end = self.end
+            rex = self.right_exclusive or other.right_exclusive
         return VAFRange(start, end, lex, rex)
 
 

@@ -128,7 +128,9 @@ class SampleDef:
                     raise ValueError(f"universe for contig {contig} not found")
             return fm.parse_universe(defn)
         ploidy = self.contig_ploidy(contig, species)
-        has_somatic = self.eff_somatic_effective_mutation_rate(species) is not None
+        # SAMPLE-level rate only (grammar/mod.rs:537): a species-level rate
+        # does NOT switch the ploidy-derived universe to continuous ranges
+        has_somatic = self.somatic_effective_mutation_rate is not None
         if ploidy is not None and not has_somatic:
             pts = (
                 [i / ploidy for i in range(ploidy + 1)] if ploidy > 0 else [0.0]
@@ -252,8 +254,14 @@ class Scenario:
         if not doc:
             return None
         vtf = VariantTypeFraction()
-        if doc.get("variant-fractions"):
-            vf = doc["variant-fractions"]
+        def both(kebab):
+            # both spellings are admitted by the strict-key check, so both
+            # must be READ (admitting a key but ignoring its value would be
+            # a silent model change)
+            return doc.get(kebab, doc.get(kebab.replace("-", "_")))
+
+        if both("variant-fractions"):
+            vf = both("variant-fractions")
             vtf = VariantTypeFraction(
                 indel=vf.get("indel", 0.0125),
                 mnv=vf.get("mnv", 0.001),
@@ -261,9 +269,9 @@ class Scenario:
             )
         return Species(
             heterozygosity=_maybe_float(doc.get("heterozygosity")),
-            germline_mutation_rate=_maybe_float(doc.get("germline-mutation-rate")),
+            germline_mutation_rate=_maybe_float(both("germline-mutation-rate")),
             somatic_effective_mutation_rate=_maybe_float(
-                doc.get("somatic-effective-mutation-rate")
+                both("somatic-effective-mutation-rate")
             ),
             variant_type_fractions=vtf,
             ploidy=doc.get("ploidy"),
