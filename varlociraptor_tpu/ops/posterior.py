@@ -331,12 +331,14 @@ class PosteriorEngine:
                                 ladder.add(p)
             sel = np.zeros(G, dtype=bool)
             for v in pts:
-                j = int(np.argmin(np.abs(gv64 - v)))
-                if abs(float(gv64[j]) - v) <= 1e-6:
-                    sel[j] = True
+                # snap to the NEAREST shared-grid slot: a resolution that
+                # is not a multiple of the grid step (0.025, 1/3, ...)
+                # produces lattice points between slots, and dropping them
+                # would silently coarsen the integration far below the
+                # declared per-sample resolution
+                sel[int(np.argmin(np.abs(gv64 - v)))] = True
             for v in ladder:
-                # refinement points snap to the NEAREST shared-grid slot
-                # (they are off the coarse lattice by construction)
+                # refinement points snap likewise (off-lattice by design)
                 sel[int(np.argmin(np.abs(gv64 - v)))] = True
             sel[self.zero_idx] = True
             self.active_idx.append(np.nonzero(sel)[0].astype(np.int64))
@@ -855,6 +857,15 @@ class PosteriorEngine:
         Returns ([L,B] integral, [L,B] all-zero-point value).
         """
         union = sorted({s for n in nodes for s in comp_of_sample[n]})
+        joint_cells = int(
+            np.prod([len(self.values_s[s]) for s in union])
+        )
+        if joint_cells > 2_000_000:
+            raise ValueError(
+                f"l2fc constraint cluster spans a joint grid of "
+                f"{joint_cells} cells over samples {union}; coarsen "
+                "per-sample `resolution:` in the scenario"
+            )
         L = w_list[0].shape[0]
         B = (
             next(iter(pair_logliks.values())).shape[1]
@@ -1237,10 +1248,11 @@ class PosteriorEngine:
                 T = T.at[:, :, bi].set(t_bi)
                 Z = Z.at[:, :, bi].set(z_bi)
 
-        # full-prior mode (--full-prior): evaluate the prior pointwise on the
-        # joint grid instead of the absent-only split.  ln_prior_joint comes
-        # in on the FULL shared grid per sample axis; subset to each
-        # sample's active subgrid here.
+        # full-prior mode (--full-prior): evaluate the prior pointwise on
+        # the joint grid instead of the absent-only split.  ln_prior_joint
+        # comes in on each sample's ACTIVE subgrid
+        # ((L,) + tuple(len(values_s[si]))) — call.py builds it from
+        # engine.values_s; no subsetting happens here.
         if ln_prior_joint is not None:
             # l2fc constraints under --full-prior: fold the per-branch
             # pairwise masks into the joint evaluation (the absent-split
@@ -1696,7 +1708,9 @@ class PosteriorEngine:
         feats [L,S,D,Fe] f32; mask [L,S,D] bool; bias_* [L,S,B,D] f32;
         combo_active [L,B] bool; branch_gates [L,NB] bool;
         ln_prior_absent [L] f32; ln_prior_joint [L, G,...] optional full
-        prior on the joint FULL grid (--full-prior; S <= 3).
+        prior on the joint of the per-sample ACTIVE subgrids
+        ((L,) + tuple(len(values_s[si])); --full-prior, any S without
+        contamination, <= 2 samples with).
         Returns dict: joint [L,E], posteriors [L,E], marginal [L],
         densities_dphred [L,S,G] (MAP non-artifact event; 32767 sentinel on
         inactive subgrid slots), af [L,S], best_nonartifact [L],

@@ -165,9 +165,15 @@ class Prior:
         # per-variant HETEROZYGOSITY / SOMATIC_EFFECTIVE_MUTATION_RATE INFO
         # overrides (prior.rs:251-271) are set on the shared per-contig
         # Prior by the caller; they MUST be part of the cache key or an
-        # override-free record would serve (and poison) overridden values
+        # override-free record would serve (and poison) overridden values.
+        # Continuous per-record override values would otherwise grow the
+        # cache without bound over a genome-scale run — clear it when it
+        # gets large (within-variant grid-point reuse, the hot case, only
+        # needs the current override's entries).
         key = (key, self.variant_heterozygosity, self.variant_somatic_rate)
         if key not in self._cache:
+            if len(self._cache) > 200_000:
+                self._cache.clear()
             self._cache[key] = self._calc_prob(list(key[0]), [])
         return self._cache[key]
 

@@ -79,6 +79,11 @@ def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
         np.asarray(n_artifact_active, dtype=np.float32),
     )
     out = engine._run(*arrays[:-1], None, arrays[-1])
+    # NOTE: this path fetches per-output (several round trips) rather than
+    # the single packed f32+i16 protocol engine.run() uses — the packed
+    # flat-buffer layout does not shard cleanly along the locus axis.
+    # `joint` is derived host-side instead of fetched.
+    out = {k: v for k, v in out.items() if k != "joint"}
     L = np.asarray(feats).shape[0]
     if jax.process_count() > 1:
         # outputs are loci-sharded; each process materializes only ITS
@@ -97,6 +102,7 @@ def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
     out["densities_dphred"] = engine.expand_afd(
         out["densities_dphred"], out.pop("afd_idx")
     )
+    out["joint"] = out["posteriors"] + out["marginal"][:, None]
     out["n_obs"] = np.asarray(mask).sum(axis=-1)
     return out
 
@@ -149,7 +155,6 @@ def all_gather_rows(local_rows: np.ndarray, mesh, axis: str = "loci"):
     n_local = mesh.devices.size // n_proc if n_proc > 1 else mesh.devices.size
     n_dev = mesh.devices.size
     blocks = np.array_split(np.asarray(local_rows, dtype=np.float64), n_local)
-    local_max = max((b.shape[0] for b in blocks), default=0)
     if n_proc > 1:
         # agree on the global max row count (+ per-device row counts) with
         # a first all_gather of the counts
@@ -176,7 +181,7 @@ def all_gather_rows(local_rows: np.ndarray, mesh, axis: str = "loci"):
         max_rows = int(all_counts.max()) if n_dev else 0
     else:
         all_counts = np.array([b.shape[0] for b in blocks], dtype=np.int32)
-        max_rows = local_max
+        max_rows = max((b.shape[0] for b in blocks), default=0)
     C = local_rows.shape[1] if local_rows.ndim == 2 else 1
     stacked = np.zeros((n_local, max(max_rows, 1), C), dtype=np.float64)
     for i, b in enumerate(blocks):
