@@ -64,3 +64,42 @@ def test_v15_roundtrip_and_call_parity(tmp_path):
                 assert va == vb, k
             else:
                 assert abs(va - vb) <= 0.5 + 0.01 * abs(va), (k, va, vb)
+
+
+def test_open_observations_gzipped_jsonl(tmp_path):
+    """Gzipped native observation files must be sniffed as JSON-lines, not
+    misrouted to the VCF parser (regression: gzip magic implied 'variant
+    file')."""
+    import math
+
+    from varlociraptor_tpu.calling.observations import ObservationWriter
+    from varlociraptor_tpu.calling.ref_obs import open_observations
+    from varlociraptor_tpu.calling.variants import VariantInfo
+    from varlociraptor_tpu.evidence.observation import (
+        Pileup,
+        ReadObservation,
+        set_prob_mapping,
+        set_prob_overlap,
+    )
+
+    o = ReadObservation()
+    set_prob_mapping(o, -1e-9)
+    o.prob_alt = -1e-9
+    o.prob_ref = math.log(1e-6)
+    o.prob_missed_allele = math.log(0.5)
+    o.prob_sample_alt = 0.0
+    set_prob_overlap(o, -math.inf)
+    p = tmp_path / "obs.jsonl.gz"
+    with ObservationWriter(p, sample_name="s") as w:
+        w.write_record(
+            VariantInfo(
+                kind="snv", chrom="chr1", pos=10,
+                ref_allele="A", alt_allele="T", alt_base="T",
+            ),
+            Pileup(read_observations=[o]),
+        )
+    reader = open_observations(p, "s")
+    recs = list(reader)
+    assert len(recs) == 1
+    variant, pileup = recs[0]
+    assert variant.chrom == "chr1" and len(pileup.read_observations) == 1
