@@ -19,9 +19,12 @@ classification, read-derived ("third") allele patching
 from __future__ import annotations
 
 import math
+import os as _os
 from dataclasses import dataclass, field
 
 import numpy as np
+
+_PARITY_DEL = _os.environ.get("VLT_PRESELECT", "0") == "1"
 
 EDIT_BAND = 4  # pairhmm.rs:21
 
@@ -277,7 +280,11 @@ def derive_patched_allele(emission, read: np.ndarray, hit: EditHit) -> bytes | N
             pos_ref += 1
             pos_read += 1
         elif op == D:
-            if not in_range:
+            # reference parity (edit_distance.rs:416-424): the reference
+            # drops the allele base for Del ops REGARDLESS of the variant
+            # range (the not-in-range branch calls ref_base() but discards
+            # the value) — all read deletions are applied to the patch.
+            if not _PARITY_DEL and not in_range:
                 out.append(allele[pos_ref])
             pos_ref += 1
         elif op == I:

@@ -26,6 +26,13 @@ from .variants import AlleleSupport, strand_from_record
 
 MAX_PATTERN_LEN = 128  # edit_distance.rs:138
 
+# Experimental reference-parity switches (see allele_support):
+#   VLT_PRESELECT=1   -> prob_allele min-edit-dist preselection + strict
+#                        third-allele rescue (realignment/mod.rs:426-479,317)
+import os as _os
+
+_PARITY_PRESELECT = _os.environ.get("VLT_PRESELECT", "0") == "1"
+
 
 def read_pos_full(record: BamRecord, ref_pos: int, include_softclips=True, include_dels=True):
     """htslib cigar read_pos(pos, true, true): query index for a reference
@@ -372,8 +379,27 @@ class Realigner:
                     [qual_window] * len(shrunk),
                     bands,
                 )
-            ref_idx = int(np.argmax(probs[:n_ref]))
-            alt_rel = int(np.argmax(probs[n_ref:]))
+            if _PARITY_PRESELECT:
+                # reference prob_allele (mod.rs:426-479): only alleles whose
+                # Myers edit distance is minimal within their set are eligible;
+                # the HMM prob breaks ties. (The batched forward still runs on
+                # every allele to keep the record/replay call sequence stable;
+                # preselection only gates which result is used.)
+                def _select(sub_hits, sub_probs):
+                    dists = [h.dist if h is not None else None for h in sub_hits]
+                    valid = [i for i, d in enumerate(dists) if d is not None]
+                    if valid:
+                        mind = min(dists[i] for i in valid)
+                        elig = [i for i in valid if dists[i] == mind]
+                    else:
+                        elig = list(range(len(sub_hits)))
+                    return max(elig, key=lambda i: sub_probs[i])
+
+                ref_idx = _select(hits[:n_ref], probs[:n_ref])
+                alt_rel = _select(hits[n_ref:], probs[n_ref:])
+            else:
+                ref_idx = int(np.argmax(probs[:n_ref]))
+                alt_rel = int(np.argmax(probs[n_ref:]))
             prob_ref = float(probs[ref_idx])
             prob_alt = float(probs[n_ref + alt_rel])
             alt_emission = alt_alleles[alt_rel]
@@ -403,7 +429,8 @@ class Realigner:
                     else None
                 )
                 if (
-                    patched is not None
+                    not _PARITY_PRESELECT
+                    and patched is not None
                     and a_em.alt_vs_ref_len_diff != 0
                     and len(patched) == len(a_em.seq)
                 ):
@@ -444,7 +471,8 @@ class Realigner:
                 p_inferred_by_alt.append(p_inf)
             p_inferred = p_inferred_by_alt[alt_rel]
             if p_inferred is not None:
-                if prob_alt > prob_ref - 1.0 and p_inferred > prob_ref:
+                eps = 0.0 if _PARITY_PRESELECT else 1.0
+                if prob_alt > prob_ref - eps and p_inferred > prob_ref:
                     prob_ref = p_inferred
                     is_third_allele = True
 
