@@ -401,7 +401,7 @@ extern "C" int32_t vlt_pairhmm_forward_batch(
           max_edit ? max_edit[b] : -1);
     }
   };
-  if (n_threads <= 1 || n_items < 64) {
+  if (n_threads <= 1 || n_items < 8) {
     work(0, n_items);
   } else {
     std::vector<std::thread> ts;
@@ -466,4 +466,132 @@ extern "C" int32_t vlt_myers_semiglobal(
   *out_first_end = first_end;
   *out_last_end = last_end;
   return best;
+}
+
+// ---------------------------------------------------------------------------
+// Batched hybrid edit-distance hits (one library call per allele set instead
+// of one ctypes crossing per allele): per item runs the Myers bit-parallel
+// end-column scan on long windows + the windowed O(nm) traceback DP (exact
+// mirror of io/native.py::semiglobal_edit_hybrid), plus — when the last
+// co-optimal placement differs from the first — the suffix alignment that
+// calc_hit (edit_distance.py) evaluates for co-optimal edit-op counting.
+// ---------------------------------------------------------------------------
+
+struct HybridHit {
+  int32_t dist, start, last_start, n_ops;
+  int32_t dist2, start2, n_ops2;  // suffix placement; dist2 = -1 when absent
+};
+
+static void vlt_hybrid_one(const uint8_t* allele, int32_t a_len,
+                           const uint8_t* read, int32_t r_len,
+                           uint8_t* ops, uint8_t* ops2, HybridHit* h) {
+  h->dist2 = -1;
+  h->start2 = 0;
+  h->n_ops2 = 0;
+  int32_t ls = 0;
+  if (a_len >= 256 && r_len <= 128) {
+    int32_t fe = 0, le = 0;
+    const int32_t d = vlt_myers_semiglobal(read, r_len, allele, a_len, &fe, &le);
+    if (d >= 0) {
+      const int32_t lo1 = std::max(0, fe - r_len - d);
+      int32_t s1 = 0, n1 = 0, ls1 = 0;
+      const int32_t d1 = vlt_semiglobal_edit(allele + lo1, fe - lo1, read, r_len,
+                                             &s1, ops, &n1, &ls1);
+      if (d1 >= 0) {
+        h->dist = d;
+        h->start = lo1 + s1;
+        h->n_ops = n1;
+        if (le > fe) {
+          const int32_t lo2 = std::max(0, le - r_len - d);
+          int32_t s2 = 0, n2 = 0, ls2 = 0;
+          std::vector<uint8_t> scratch(le - lo2 + r_len + 2);
+          const int32_t dd = vlt_semiglobal_edit(allele + lo2, le - lo2, read,
+                                                 r_len, &s2, scratch.data(),
+                                                 &n2, &ls2);
+          h->last_start = dd >= 0 ? lo2 + ls2 : h->start;
+        } else {
+          h->last_start = lo1 + s1;
+        }
+        goto suffix;
+      }
+    }
+  }
+  h->dist = vlt_semiglobal_edit(allele, a_len, read, r_len, &h->start, ops,
+                                &h->n_ops, &ls);
+  h->last_start = ls;
+suffix:
+  if (h->last_start != h->start && h->last_start < a_len) {
+    // co-optimal-placement alignment at the LAST start (calc_hit's second
+    // placement, edit_distance.py); hybrid again on the suffix
+    HybridHit tail;
+    // recursion depth is 1: the suffix call always has start == last_start
+    // == 0 for its own suffix check only if co-optimal ends differ again,
+    // but we only need its first placement -> call the plain parts inline.
+    const uint8_t* suf = allele + h->last_start;
+    const int32_t s_len = a_len - h->last_start;
+    int32_t fe = 0, le = 0, done = 0;
+    if (s_len >= 256 && r_len <= 128) {
+      const int32_t d = vlt_myers_semiglobal(read, r_len, suf, s_len, &fe, &le);
+      if (d >= 0) {
+        const int32_t lo1 = std::max(0, fe - r_len - d);
+        int32_t s1 = 0, n1 = 0, ls1 = 0;
+        const int32_t d1 = vlt_semiglobal_edit(suf + lo1, fe - lo1, read, r_len,
+                                               &s1, ops2, &n1, &ls1);
+        if (d1 >= 0) {
+          tail.dist = d;
+          tail.start = lo1 + s1;
+          tail.n_ops = n1;
+          done = 1;
+        }
+      }
+    }
+    if (!done) {
+      int32_t ls2 = 0;
+      tail.dist = vlt_semiglobal_edit(suf, s_len, read, r_len, &tail.start,
+                                      ops2, &tail.n_ops, &ls2);
+    }
+    if (tail.dist >= 0) {
+      h->dist2 = tail.dist;
+      h->start2 = tail.start;
+      h->n_ops2 = tail.n_ops;
+    }
+  }
+}
+
+extern "C" int32_t vlt_hybrid_hits_batch(
+    const uint8_t* alleles, const int64_t* a_off, const int32_t* a_len,
+    const uint8_t* reads, const int64_t* r_off, const int32_t* r_len,
+    int32_t n_items, int32_t n_threads,
+    int32_t* out_dist, int32_t* out_start, int32_t* out_last_start,
+    int32_t* out_n_ops, uint8_t* out_ops, const int64_t* ops_off,
+    int32_t* out_dist2, int32_t* out_start2, int32_t* out_n_ops2,
+    uint8_t* out_ops2) {
+  auto work = [&](int32_t lo, int32_t hi) {
+    for (int32_t b = lo; b < hi; b++) {
+      HybridHit h;
+      vlt_hybrid_one(alleles + a_off[b], a_len[b], reads + r_off[b], r_len[b],
+                     out_ops + ops_off[b], out_ops2 + ops_off[b], &h);
+      out_dist[b] = h.dist;
+      out_start[b] = h.start;
+      out_last_start[b] = h.last_start;
+      out_n_ops[b] = h.n_ops;
+      out_dist2[b] = h.dist2;
+      out_start2[b] = h.start2;
+      out_n_ops2[b] = h.n_ops2;
+    }
+  };
+  if (n_threads <= 1 || n_items < 8) {
+    work(0, n_items);
+  } else {
+    std::vector<std::thread> ts;
+    const int32_t chunk = (n_items + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+      const int32_t lo = t * chunk;
+      const int32_t hi = lo + chunk < n_items ? lo + chunk : n_items;
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return 0;
 }

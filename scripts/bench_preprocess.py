@@ -68,6 +68,9 @@ def main():
     mode = "exact"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
+    workers = 1
+    if "--workers" in sys.argv:
+        workers = int(sys.argv[sys.argv.index("--workers") + 1])
 
     from varlociraptor_tpu.calling.preprocess import PreprocessOptions, preprocess
 
@@ -76,7 +79,7 @@ def main():
     n_written = make_candidates(n, cand)
     out = tmp / "obs.jsonl"
 
-    opts = PreprocessOptions(pairhmm_mode=mode)
+    opts = PreprocessOptions(pairhmm_mode=mode, n_workers=workers)
     t0 = time.perf_counter()
     if profile:
         pr = cProfile.Profile()

@@ -43,6 +43,24 @@ class PreprocessOptions:
     # "default": progress every 100 records; "each-record": per-record
     # logging (cli.rs:348-357 --log-mode)
     log_mode: str = "default"
+    # host data parallelism: number of worker processes. Equivalent to the
+    # reference ecosystem's per-region CLI sharding (SURVEY §2.9): the
+    # candidate list is split at locus/haplotype-group boundaries, each
+    # worker preprocesses its shard, shards are concatenated in order.
+    # Like region sharding, each worker's alignment-property maxima ratchet
+    # (max_del/ins_cigar_len, frac_max_softclip) restarts from the estimate.
+    n_workers: int = 1
+    # internal: [lo, hi) slice of the (region-filtered) candidate records
+    # this invocation handles (used by the parallel driver)
+    record_range: tuple | None = None
+    # cross-locus device batching: pair-HMM forwards of this many loci are
+    # concatenated into ONE device call (essential on the TPU backend where
+    # per-dispatch latency dominates small per-pileup batches). 1 = execute
+    # per locus (bit-identical to the reference's sequential semantics —
+    # the alignment-property maxima ratchet advances between loci; with
+    # chunking it advances per chunk, the same divergence class as
+    # region sharding / n_workers).
+    device_chunk: int = 1
 
 
 def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
@@ -163,6 +181,28 @@ def preprocess(
         records = [
             r for r in records if r.chrom == chrom and lo <= r.pos < hi
         ]
+    if options.record_range is not None:
+        lo, hi = options.record_range
+        records = records[lo:hi]
+
+    if (
+        options.n_workers > 1
+        and options.record_range is None
+        and not options.report_fragment_ids
+        and not str(output_path).endswith((".bcf", ".vcf"))
+        and len(records) >= 4 * options.n_workers
+    ):
+        return _preprocess_parallel(
+            records,
+            candidates_path,
+            bam_path,
+            reference_path,
+            output_path,
+            sample_name,
+            alignment_properties,
+            options,
+        )
+
     last_of_haplotype = {}
     locus_groups: dict[tuple, list] = {}
     _REALIGNABLE = {
@@ -189,7 +229,12 @@ def preprocess(
     n = 0
     skipped = {}
     pending_groups: dict[str, list] = {}
-    from ..evidence.extraction import FragmentIdFactory
+    from ..evidence.extraction import (
+        FragmentIdFactory,
+        extract_observations_begin,
+        extract_observations_finish,
+    )
+    import numpy as _np
 
     fragment_ids = FragmentIdFactory() if options.report_fragment_ids else None
     current_contig = None
@@ -213,9 +258,63 @@ def preprocess(
             "candidates": str(candidates_path),
         },
     ) as writer:
+        chunk: list = []  # [(info, pending, aux)] awaiting the device flush
+
+        def _log_progress(info):
+            nonlocal n
+            n += 1
+            if options.log_mode != "silent" and (
+                options.log_mode == "each-record" or n % 100 == 0
+            ):
+                import sys as _sys
+
+                print(
+                    f"preprocess: {n} records processed "
+                    f"(at {info.chrom}:{info.pos + 1})",
+                    file=_sys.stderr,
+                )
+
+        def _flush_chunk():
+            """Execute the pair-HMM forwards of all chunked loci as ONE
+            padded device call, then finish + write them in record order."""
+            if not chunk:
+                return
+            realigners = [
+                r for _i, p, _a in chunk for r in p.realigners
+            ]
+            seqs, reads, quals, dists, counts = [], [], [], [], []
+            for r in realigners:
+                s, rd, q, d = r.collect_requests()
+                counts.append(len(s))
+                seqs.extend(s)
+                reads.extend(rd)
+                quals.extend(q)
+                dists.extend(d)
+            if seqs:
+                results = _np.asarray(
+                    realigners[0].hmm.forward(seqs, reads, quals, dists),
+                    dtype=_np.float64,
+                )
+            else:
+                results = _np.zeros(0)
+            off = 0
+            for r, c in zip(realigners, counts):
+                r.set_results(results[off : off + c])
+                off += c
+            for info, pending, aux in chunk:
+                pileup = extract_observations_finish(pending)
+                writer.write_record(info, pileup, aux=aux)
+                if options.output_raw_observations:
+                    _dump_raw_observations(
+                        options.output_raw_observations, info, pileup
+                    )
+                _log_progress(info)
+            chunk.clear()
+
         for i, rec in enumerate(records):
             for info in record_variants[i]:
                 if info.kind == "breakend" and info.haplotype is not None:
+                    _flush_chunk()
                     from ..evidence.breakends import Breakend
 
                     ci = (0, 0)
@@ -260,6 +359,7 @@ def preprocess(
                         )
                     continue
                 if info.haplotype is not None and info.kind in _REALIGNABLE:
+                    _flush_chunk()
                     # non-BND haplotype block member (haplotype_block.rs)
                     key = "hb:" + info.haplotype
                     pending_groups.setdefault(key, []).append((info, None))
@@ -297,38 +397,40 @@ def preprocess(
                 if fragment_ids is not None and info.chrom != current_contig:
                     fragment_ids.reset()
                     current_contig = info.chrom
-                pileup = extract_observations(
-                    variant,
-                    bam,
-                    alignment_properties,
-                    max_depth=options.max_depth,
-                    alt_variants=alt_variants,
-                    do_adjust_prob_mapping=options.adjust_prob_mapping,
-                    fragment_id_factory=fragment_ids,
-                )
-                writer.write_record(
-                    info,
-                    pileup,
-                    aux={
-                        f: rec.info_get(f)
-                        for f in options.propagate_info_fields
-                        if rec.info_get(f) is not None
-                    }
-                    or None,
-                )
-                if options.output_raw_observations:
-                    _dump_raw_observations(
-                        options.output_raw_observations, info, pileup
+                aux = {
+                    f: rec.info_get(f)
+                    for f in options.propagate_info_fields
+                    if rec.info_get(f) is not None
+                } or None
+                if options.device_chunk > 1:
+                    pending = extract_observations_begin(
+                        variant,
+                        bam,
+                        alignment_properties,
+                        max_depth=options.max_depth,
+                        alt_variants=alt_variants,
+                        do_adjust_prob_mapping=options.adjust_prob_mapping,
+                        fragment_id_factory=fragment_ids,
                     )
-                n += 1
-                if options.log_mode == "each-record" or n % 100 == 0:
-                    import sys as _sys
-
-                    print(
-                        f"preprocess: {n} records processed "
-                        f"(at {info.chrom}:{info.pos + 1})",
-                        file=_sys.stderr,
+                    chunk.append((info, pending, aux))
+                    if len(chunk) >= options.device_chunk:
+                        _flush_chunk()
+                else:
+                    pileup = extract_observations(
+                        variant,
+                        bam,
+                        alignment_properties,
+                        max_depth=options.max_depth,
+                        alt_variants=alt_variants,
+                        do_adjust_prob_mapping=options.adjust_prob_mapping,
+                        fragment_id_factory=fragment_ids,
                     )
+                    writer.write_record(info, pileup, aux=aux)
+                    if options.output_raw_observations:
+                        _dump_raw_observations(
+                            options.output_raw_observations, info, pileup
+                        )
+                    _log_progress(info)
                 # skip-reason counters every 100 skips
                 # (variant_buffer.rs:59-60,189-195)
                 n_skipped = sum(skipped.values())
@@ -342,11 +444,168 @@ def preprocess(
                         file=_sys.stderr,
                     )
                     preprocess._last_reported_skips = dict(skipped)
+        _flush_chunk()
     if skipped:
         import sys
 
         print(f"preprocess: skipped unsupported variants: {skipped}", file=sys.stderr)
     return n
+
+
+def _parallel_worker(args):
+    """Worker: preprocess one [lo, hi) shard of the candidate list into a
+    temporary observation file (spawned process; forces the CPU backend so
+    workers never contend for the single TPU client)."""
+    (
+        lo,
+        hi,
+        candidates_path,
+        bam_path,
+        reference_path,
+        tmp_path,
+        sample_name,
+        props_json,
+        opts_dict,
+    ) = args
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # route the pair-HMM through the native C++ kernel so the worker never
+    # initializes a jax backend at all (the axon TPU tunnel is single-client;
+    # a worker dialing it would deadlock the fleet)
+    os.environ.setdefault("VLT_NATIVE_PAIRHMM", "1")
+    # each worker is one of n_workers processes on the same cores: keep the
+    # native kernels single-threaded to avoid oversubscription
+    os.environ.setdefault("VLT_NATIVE_THREADS", "1")
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # noqa: BLE001 - already initialized with cpu
+        pass
+    from ..estimation.alignment_properties import AlignmentProperties
+
+    opts = PreprocessOptions(**opts_dict)
+    opts.n_workers = 1
+    opts.record_range = (lo, hi)
+    opts.log_mode = "silent"
+    n = preprocess(
+        candidates_path,
+        bam_path,
+        reference_path,
+        tmp_path,
+        sample_name=sample_name,
+        alignment_properties=AlignmentProperties.from_json(props_json),
+        options=opts,
+    )
+    return n
+
+
+def _preprocess_parallel(
+    records,
+    candidates_path,
+    bam_path,
+    reference_path,
+    output_path,
+    sample_name,
+    props,
+    options,
+):
+    """Shard the candidate list at safe boundaries and preprocess shards in
+    parallel processes; concatenate the shard observation files in order.
+
+    Safe boundaries: never split records at the same (chrom, pos) — they
+    are each other's alt variants during realignment — and never split a
+    haplotype/breakend group (EVENT/MATEID members must accumulate within
+    one shard; preprocessing/mod.rs:344-462 semantics).
+    """
+    import multiprocessing as mp
+    import tempfile
+    from pathlib import Path
+
+    n_rec = len(records)
+    # open-group spans from the haplotype ids
+    first_of_hap: dict[str, int] = {}
+    last_of_hap: dict[str, int] = {}
+    record_variants = [collect_variants(rec) for rec in records]
+    for i, infos in enumerate(record_variants):
+        for info in infos:
+            if info.haplotype is not None:
+                first_of_hap.setdefault(info.haplotype, i)
+                last_of_hap[info.haplotype] = i
+    blocked = [False] * (n_rec + 1)  # True: cannot cut between i-1 and i
+    for hap, fi in first_of_hap.items():
+        for i in range(fi + 1, last_of_hap[hap] + 1):
+            blocked[i] = True
+    for i in range(1, n_rec):
+        if (
+            records[i].chrom == records[i - 1].chrom
+            and records[i].pos == records[i - 1].pos
+        ):
+            blocked[i] = True
+
+    w = min(options.n_workers, n_rec)
+    targets = [round(k * n_rec / w) for k in range(1, w)]
+    cuts = [0]
+    for t in targets:
+        i = t
+        while i < n_rec and blocked[i]:
+            i += 1
+        if i > cuts[-1] and i < n_rec:
+            cuts.append(i)
+    cuts.append(n_rec)
+
+    opts_dict = {
+        f.name: getattr(options, f.name)
+        for f in options.__dataclass_fields__.values()
+    }
+    tmpdir = tempfile.mkdtemp(prefix="vlt-preproc-")
+    jobs = []
+    for k in range(len(cuts) - 1):
+        lo, hi = cuts[k], cuts[k + 1]
+        if lo >= hi:
+            continue
+        jobs.append(
+            (
+                lo,
+                hi,
+                str(candidates_path),
+                str(bam_path),
+                str(reference_path),
+                str(Path(tmpdir) / f"shard{k:03d}.jsonl"),
+                sample_name,
+                props.to_json(),
+                opts_dict,
+            )
+        )
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(processes=len(jobs)) as pool:
+        counts = pool.map(_parallel_worker, jobs)
+
+    # concatenate shards in order under one header
+    with ObservationWriter(
+        output_path,
+        sample_name=sample_name,
+        options={
+            "max_depth": options.max_depth,
+            "indel_window": options.indel_window,
+            "pairhmm_mode": options.pairhmm_mode,
+            "alignment_properties": props.to_json(),
+            "reference": str(reference_path),
+            "bam": str(bam_path),
+            "candidates": str(candidates_path),
+            "n_workers": options.n_workers,
+        },
+    ) as writer:
+        for job in jobs:
+            with open(job[5]) as f:
+                next(f, None)  # shard header
+                for line in f:
+                    writer._fh.write(line)
+    import shutil
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return sum(counts)
 
 
 def _process_haplotype_block(

@@ -43,6 +43,9 @@ def build_parser():
     pv.add_argument("--realignment-window", type=int, default=64)
     pv.add_argument("--pairhmm-mode", default="exact", choices=["exact", "fast", "homopolymer"])
     pv.add_argument("--omit-insert-size", action="store_true")
+    pv.add_argument("--threads", type=int, default=1,
+                    help="worker processes (host data parallelism; equivalent "
+                         "to per-region sharding)")
     pv.add_argument("--report-fragment-ids", action="store_true")
     pv.add_argument("--region", default=None,
                     help="restrict to CHROM or CHROM:START-END (region sharding)")
@@ -228,6 +231,7 @@ def run(argv=None):
                 report_fragment_ids=args.report_fragment_ids,
                 region=args.region,
                 log_mode=args.log_mode,
+                n_workers=args.threads,
             ),
         )
         print(f"preprocessed {n} candidate records", file=sys.stderr)

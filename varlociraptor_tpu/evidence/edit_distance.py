@@ -161,6 +161,34 @@ def calc_hit(
     if len(allele) == 0 or len(read) == 0:
         return None
     dist, start, ops, last_start = semiglobal_edit(allele, read, with_last=True)
+    second = None
+    if last_start != start:
+        second = semiglobal_edit(allele[last_start:], read)
+        if second is not None:
+            second = second[:3]
+    return finish_hit(
+        emission, read, props, read_error_rate,
+        dist, start, ops, last_start, second, is_patched,
+    )
+
+
+def finish_hit(
+    emission,
+    read: np.ndarray,
+    props,
+    read_error_rate: float,
+    dist: int,
+    start: int,
+    ops: list,
+    last_start: int,
+    second,  # (dist2, start2_rel, ops2) alignment at last_start, or None
+    is_patched: bool = False,
+) -> EditHit:
+    """Post-process raw alignment parts into an EditHit (the part of
+    calc_best_hit after the DP: hit window, co-optimal edit-op counts,
+    explainability, homopolymer op). Split out so the DP parts can come
+    from the batched native path (io/native.py hybrid_hits_batch)."""
+    allele = emission.seq
     # the hit window spans from the FIRST co-optimal placement's start to
     # the LAST one's putative end, so the banded HMM sums the probability
     # mass of every co-optimal placement (edit_distance.rs:225-240) — in
@@ -174,9 +202,8 @@ def calc_hit(
     # middle placements of >2-way repeat ties are not enumerated
     placements = [(start, ops)]
     if last_start != start:
-        r2 = semiglobal_edit(allele[last_start:], read)
-        if r2 is not None and r2[0] == dist:
-            placements.append((last_start + r2[1], r2[2]))
+        if second is not None and second[0] == dist:
+            placements.append((last_start + second[1], second[2]))
 
     vrange = getattr(emission, "variant_ref_range", None)
     if not is_patched and vrange is not None:

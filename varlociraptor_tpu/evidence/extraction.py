@@ -78,7 +78,18 @@ def locus_overlap(
 
 def read_pair_orientation(record: BamRecord) -> int:
     """SequenceReadPairOrientation from flags/positions (bio_types semantics,
-    used via ``record.read_pair_orientation()`` in read_observation.rs:157)."""
+    used via ``record.read_pair_orientation()`` in read_observation.rs:157).
+    Cached on the record: the same record is evaluated by every overlapping
+    locus."""
+    cached = getattr(record, "_vlt_rpo", None)
+    if cached is not None:
+        return cached
+    out = _read_pair_orientation(record)
+    object.__setattr__(record, "_vlt_rpo", out)
+    return out
+
+
+def _read_pair_orientation(record: BamRecord) -> int:
     ro = record.tags.get("RO")
     if isinstance(ro, str):
         parts = ro.split(",")
@@ -108,7 +119,17 @@ def read_pair_orientation(record: BamRecord) -> int:
 
 
 def parse_alt_loci(record: BamRecord) -> list:
-    """XA-tag alternative mapping loci (read_observation.rs:167-210)."""
+    """XA-tag alternative mapping loci (read_observation.rs:167-210).
+    Cached on the record (treated as immutable by all callers)."""
+    cached = getattr(record, "_vlt_xa", None)
+    if cached is not None:
+        return cached
+    out = _parse_alt_loci(record)
+    object.__setattr__(record, "_vlt_xa", out)
+    return out
+
+
+def _parse_alt_loci(record: BamRecord) -> list:
     xa = record.tags.get("XA")
     loci = []
     if isinstance(xa, str):
@@ -148,9 +169,14 @@ class Evidence:
         return self.left.is_paired
 
     def softclipped(self) -> bool:
-        return any(
-            any(op == OP_S for op, _ in r.cigar) for r in self.records()
-        )
+        out = False
+        for r in self.records():
+            sc = getattr(r, "_vlt_sc", None)
+            if sc is None:
+                sc = any(op == OP_S for op, _ in r.cigar)
+                object.__setattr__(r, "_vlt_sc", sc)
+            out = out or sc
+        return out
 
     def total_len(self) -> int:
         return sum(r.read_len for r in self.records())
@@ -272,6 +298,23 @@ class FragmentIdFactory:
         self._ids.clear()
 
 
+class PendingPileup:
+    """Phase-1 state of a locus whose pair-HMM forwards have been queued
+    but not yet executed (cross-locus chunked device execution)."""
+
+    __slots__ = (
+        "variant",
+        "candidates",
+        "keep",
+        "hpem",
+        "alt_variants",
+        "props",
+        "do_adjust",
+        "fragment_id_factory",
+        "realigners",
+    )
+
+
 def extract_observations(
     variant,
     bam,
@@ -289,6 +332,33 @@ def extract_observations(
     ``prob_sample_alt(evidence, alignment_properties)``,
     ``is_imprecise``, ``homopolymer_error_model``.
     """
+    pending = extract_observations_begin(
+        variant,
+        bam,
+        alignment_properties,
+        max_depth=max_depth,
+        alt_variants=alt_variants,
+        do_adjust_prob_mapping=do_adjust_prob_mapping,
+        fragment_id_factory=fragment_id_factory,
+    )
+    for r in pending.realigners:
+        r.run_batch()
+    return extract_observations_finish(pending)
+
+
+def extract_observations_begin(
+    variant,
+    bam,
+    alignment_properties,
+    max_depth: int = 200,
+    alt_variants=(),
+    do_adjust_prob_mapping: bool = True,
+    fragment_id_factory: FragmentIdFactory | None = None,
+) -> PendingPileup:
+    """Phase 1: fetch + pair + subsample + scout + record.  Leaves every
+    realigner with its pending forward requests; the caller either runs
+    them per locus (extract_observations) or concatenates requests across
+    a chunk of loci into one device call (calling/preprocess.py)."""
     props = alignment_properties
     # The reference fetches every variant type in read-pair mode
     # (types/mod.rs:298-304 passes true unconditionally), so mates far from
@@ -342,30 +412,71 @@ def extract_observations(
 
     _add_realigner(variant)
 
-    observations = []
     try:
         if realigners:
+            # scout pass: enumerate every (allele, read-window) pair and
+            # compute ALL edit hits of the pileup in one native batch
             for r in realigners:
-                r.begin_record()
+                r.begin_scout()
             for ev, k in zip(candidates, keep):
                 if k:
-                    evidence_to_observation(variant, ev, props, hpem, alt_variants)
+                    variant.allele_support(ev, props, alt_variants)
+            any_forwards = any(r._scout_forwards for r in realigners)
             for r in realigners:
-                r.run_batch()
-        for ev, k in zip(candidates, keep):
+                r.flush_scout()
+            if any_forwards:
+                # record pass: hits come from the memo; queue pair-HMM
+                # forwards. Only needed when the scout saw any forward
+                # call at all (pure fast-path pileups skip it and the
+                # replay below computes nothing inline either).
+                for ev, k in zip(candidates, keep):
+                    if k:
+                        # the record pass only needs the forward-call
+                        # sequence, which allele_support alone produces;
+                        # the observation fields built by
+                        # evidence_to_observation queue nothing
+                        variant.allele_support(ev, props, alt_variants)
+    except BaseException:
+        for r in realigners:
+            r.end_batch()
+        raise
+
+    pending = PendingPileup()
+    pending.variant = variant
+    pending.candidates = candidates
+    pending.keep = keep
+    pending.hpem = hpem
+    pending.alt_variants = alt_variants
+    pending.props = props
+    pending.do_adjust = do_adjust_prob_mapping
+    pending.fragment_id_factory = fragment_id_factory
+    pending.realigners = realigners
+    return pending
+
+
+def extract_observations_finish(pending: PendingPileup) -> Pileup:
+    """Phase 2: replay (consume the executed forward results in identical
+    call order), then observation post-processing."""
+    variant = pending.variant
+    props = pending.props
+    observations = []
+    try:
+        for ev, k in zip(pending.candidates, pending.keep):
             if not k:
                 continue
-            obs = evidence_to_observation(variant, ev, props, hpem, alt_variants)
+            obs = evidence_to_observation(
+                variant, ev, props, pending.hpem, pending.alt_variants
+            )
             if obs is not None:
-                if fragment_id_factory is not None:
-                    obs.fragment_id = fragment_id_factory.get(ev.qname())
+                if pending.fragment_id_factory is not None:
+                    obs.fragment_id = pending.fragment_id_factory.get(ev.qname())
                 observations.append(obs)
     finally:
-        for r in realigners:
+        for r in pending.realigners:
             r.end_batch()
 
     process_observations(observations, props.max_read_len)
-    if do_adjust_prob_mapping:
+    if pending.do_adjust:
         adjust_prob_mapping(observations, props.max_mapq)
     return Pileup(read_observations=observations)
 

@@ -23,6 +23,12 @@ from ..ops.pairhmm import BatchedPairHMM
 from ..utils.logprob import LOG_ZERO, np_ln_add_exp
 from .observation import STRAND_NONE
 from .variants import AlleleSupport, strand_from_record
+from .edit_distance import (  # noqa: E402
+    EDIT_BAND,
+    calc_hit,
+    derive_patched_allele,
+    finish_hit,
+)
 
 MAX_PATTERN_LEN = 128  # edit_distance.rs:138
 
@@ -32,6 +38,17 @@ MAX_PATTERN_LEN = 128  # edit_distance.rs:138
 import os as _os
 
 _PARITY_PRESELECT = _os.environ.get("VLT_PRESELECT", "0") == "1"
+
+_MEMO_MISS = object()
+
+
+def _make_scout_hit():
+    from .edit_distance import EditHit
+
+    return EditHit(dist=0, start=0, end=0, ops=[])
+
+
+_SCOUT_HIT = None  # created lazily (EditHit import cycle at module load)
 
 
 def read_pos_full(record: BamRecord, ref_pos: int, include_softclips=True, include_dels=True):
@@ -168,15 +185,26 @@ class Realigner:
         # consumes the results in the identical call order. Requires all
         # forward calls to be host-deterministic (they are: the patched-
         # allele forward is gated only on edit-distance state).
-        self._batch_mode = None  # None | "record" | "replay"
+        self._batch_mode = None  # None | "scout" | "record" | "replay"
         self._requests = None
         self._results = None
         self._cursor = 0
+        self._scout = None
+        self._scout_forwards = 0
+        # host-side memos alive for one record/replay cycle: the two passes
+        # (and reads sharing identical windows) recompute identical edit
+        # hits and allele emissions; EditHit/AlleleEmission objects are
+        # immutable after construction so sharing is safe
+        self._hit_memo = None
+        self._em_memo = None
 
     # -- batched dispatch ----------------------------------------------
     def _forward(self, seqs, reads, quals, max_dists=None):
         if max_dists is None:
             max_dists = [None] * len(seqs)
+        if self._batch_mode == "scout":
+            self._scout_forwards += 1
+            return np.zeros(len(seqs), dtype=np.float64)
         if self._batch_mode == "record":
             self._requests.append((seqs, reads, quals, max_dists))
             return np.zeros(len(seqs), dtype=np.float64)
@@ -186,33 +214,176 @@ class Realigner:
             return out
         return self.hmm.forward(seqs, reads, quals, max_dists)
 
-    def begin_record(self):
+    def begin_scout(self):
+        """Hit-prefetch pass: allele_support runs with dummy edit hits and
+        no forward queueing, only to ENUMERATE the (allele, read-window)
+        pairs of the whole pileup; flush_scout then computes every edit hit
+        in one native batch and primes the memo for the record pass."""
+        global _SCOUT_HIT
+        if _SCOUT_HIT is None:
+            _SCOUT_HIT = _make_scout_hit()
+        self._batch_mode = "scout"
+        self._requests = []
+        self._hit_memo = {}
+        self._em_memo = {}
+        self._scout = {}
+        self._scout_forwards = 0
+
+    def flush_scout(self):
+        from ..io.native import hybrid_hits_batch
+
+        scout = self._scout
+        self._scout = None
+        if scout:
+            items = list(scout.items())
+            parts = hybrid_hits_batch(
+                [bytes(em.seq) for _, (em, _rb, _er, _pr) in items],
+                [rb for _, (_em, rb, _er, _pr) in items],
+            )
+            if parts is not None:
+                for (key, (em, rb, er, pr)), (dist, start, ops, last, second) in zip(
+                    items, parts
+                ):
+                    self._hit_memo[key] = finish_hit(
+                        em,
+                        np.frombuffer(rb, dtype=np.uint8),
+                        pr,
+                        er,
+                        dist,
+                        start,
+                        ops,
+                        last,
+                        second,
+                    )
         self._batch_mode = "record"
         self._requests = []
 
-    def run_batch(self):
-        """Execute all recorded forwards in one padded device call."""
+    def begin_record(self):
+        self._batch_mode = "record"
+        self._requests = []
+        self._hit_memo = {}
+        self._em_memo = {}
+
+    def collect_requests(self):
+        """Flatten the recorded forward requests: (seqs, reads, quals,
+        dists).  Used by cross-locus chunked execution (the preprocess
+        driver concatenates requests of MANY loci into one device call)."""
         seqs, reads, quals, dists = [], [], [], []
         for s, r, q, d in self._requests:
             seqs.extend(s)
             reads.extend(r)
             quals.extend(q)
             dists.extend(d)
-        self._results = (
-            np.asarray(
-                self.hmm.forward(seqs, reads, quals, dists), dtype=np.float64
-            )
+        return seqs, reads, quals, dists
+
+    def set_results(self, results):
+        """Install externally computed forward results and switch to
+        replay mode."""
+        self._results = np.asarray(results, dtype=np.float64)
+        self._batch_mode = "replay"
+        self._cursor = 0
+
+    def run_batch(self):
+        """Execute all recorded forwards in one padded device call."""
+        seqs, reads, quals, dists = self.collect_requests()
+        self.set_results(
+            self.hmm.forward(seqs, reads, quals, dists)
             if seqs
             else np.zeros(0)
         )
-        self._batch_mode = "replay"
-        self._cursor = 0
 
     def end_batch(self):
         self._batch_mode = None
         self._requests = None
         self._results = None
         self._cursor = 0
+        self._hit_memo = None
+        self._em_memo = None
+        self._scout = None
+
+    def _calc_hit(self, em, read_window, props, error_rate, is_patched=False):
+        """calc_hit with a per-batch-cycle memo (record and replay passes
+        compute identical hits; nearby reads often share windows)."""
+        if self._hit_memo is None:
+            return calc_hit(em, read_window, props, error_rate, is_patched)
+        key = (
+            em.seq,
+            em.ref_offset,
+            em.variant_ref_range,
+            em.homopolymer_ref_range,
+            read_window.tobytes(),
+            error_rate,
+            is_patched,
+        )
+        hit = self._hit_memo.get(key, _MEMO_MISS)
+        if hit is _MEMO_MISS:
+            hit = calc_hit(em, read_window, props, error_rate, is_patched)
+            self._hit_memo[key] = hit
+        return hit
+
+    def _calc_hits(self, emissions, read_window, props, error_rate):
+        """Batched _calc_hit over one allele set: memo lookups first, then
+        ONE native library call for all misses (hybrid_hits_batch) instead
+        of a ctypes crossing per allele."""
+        memo = self._hit_memo
+        if memo is None:
+            return [
+                self._calc_hit(em, read_window, props, error_rate)
+                for em in emissions
+            ]
+        rb = read_window.tobytes()
+        out = [None] * len(emissions)
+        keys = [None] * len(emissions)
+        misses = []
+        scouting = self._batch_mode == "scout"
+        for i, em in enumerate(emissions):
+            key = (
+                em.seq,
+                em.ref_offset,
+                em.variant_ref_range,
+                em.homopolymer_ref_range,
+                rb,
+                error_rate,
+                False,
+            )
+            keys[i] = key
+            got = memo.get(key, _MEMO_MISS)
+            if got is _MEMO_MISS:
+                if len(em.seq) == 0 or len(read_window) == 0:
+                    memo[key] = None
+                elif scouting:
+                    # enumerate for the pileup-wide batch; dummy hit back
+                    if key not in self._scout:
+                        self._scout[key] = (em, rb, error_rate, props)
+                    out[i] = _SCOUT_HIT
+                else:
+                    misses.append(i)
+            else:
+                out[i] = got
+        if scouting:
+            return out
+        if misses:
+            from ..io.native import hybrid_hits_batch
+
+            parts = hybrid_hits_batch(
+                [bytes(emissions[i].seq) for i in misses], [rb] * len(misses)
+            )
+            if parts is None:
+                for i in misses:
+                    hit = calc_hit(emissions[i], read_window, props, error_rate)
+                    memo[keys[i]] = hit
+                    out[i] = hit
+            else:
+                for i, (dist, start, ops, last_start, second) in zip(
+                    misses, parts
+                ):
+                    hit = finish_hit(
+                        emissions[i], read_window, props, error_rate,
+                        dist, start, ops, last_start, second,
+                    )
+                    memo[keys[i]] = hit
+                    out[i] = hit
+        return out
 
     @property
     def ref_window(self):
@@ -286,12 +457,6 @@ class Realigner:
             else:
                 merged.append(r)
 
-        from .edit_distance import (
-            EDIT_BAND,
-            calc_hit,
-            derive_patched_allele,
-        )
-
         ref_seq = self.reference.seq(variant.contig)
         prob_ref_all = 0.0
         prob_alt_all = 0.0
@@ -315,27 +480,36 @@ class Realigner:
                     else LOG_ZERO
                 )
 
-            ref_alleles = [
-                AlleleEmission(
-                    seq=bytes(ref_seq[region.ref_start : region.ref_end]),
-                    ref_offset=region.ref_start,
-                )
-            ]
-            for av in alt_variants:
-                ref_alleles.extend(
-                    av.alt_emission_params(
-                        ref_seq, region.ref_start, region.ref_end, self.ref_window
-                    )
-                )
-            alt_alleles = variant.alt_emission_params(
-                ref_seq, region.ref_start, region.ref_end, self.ref_window
+            em_memo = self._em_memo
+            em_key = (
+                (id(variant), tuple(id(v) for v in alt_variants), region.ref_start, region.ref_end)
+                if em_memo is not None
+                else None
             )
+            cached_em = em_memo.get(em_key) if em_memo is not None else None
+            if cached_em is not None:
+                ref_alleles, alt_alleles = cached_em
+            else:
+                ref_alleles = [
+                    AlleleEmission(
+                        seq=bytes(ref_seq[region.ref_start : region.ref_end]),
+                        ref_offset=region.ref_start,
+                    )
+                ]
+                for av in alt_variants:
+                    ref_alleles.extend(
+                        av.alt_emission_params(
+                            ref_seq, region.ref_start, region.ref_end, self.ref_window
+                        )
+                    )
+                alt_alleles = variant.alt_emission_params(
+                    ref_seq, region.ref_start, region.ref_end, self.ref_window
+                )
+                if em_memo is not None:
+                    em_memo[em_key] = (ref_alleles, alt_alleles)
 
             all_emissions = ref_alleles + alt_alleles
-            hits = [
-                calc_hit(em, read_window, props, error_rate)
-                for em in all_emissions
-            ]
+            hits = self._calc_hits(all_emissions, read_window, props, error_rate)
             n_ref = len(ref_alleles)
 
             # DELIBERATE DIVERGENCE from prob_allele
@@ -423,11 +597,16 @@ class Realigner:
             p_inferred_by_alt: list[float | None] = []
             for a_em, a_hit in zip(alt_alleles, hits[n_ref:]):
                 p_inf = None
-                patched = (
-                    derive_patched_allele(a_em, read_window, a_hit)
-                    if a_hit is not None
-                    else None
-                )
+                if a_hit is None:
+                    patched = None
+                elif em_memo is not None:
+                    pkey = ("patch", id(a_em), id(a_hit), read_window.tobytes())
+                    patched = em_memo.get(pkey, _MEMO_MISS)
+                    if patched is _MEMO_MISS:
+                        patched = derive_patched_allele(a_em, read_window, a_hit)
+                        em_memo[pkey] = patched
+                else:
+                    patched = derive_patched_allele(a_em, read_window, a_hit)
                 if (
                     not _PARITY_PRESELECT
                     and patched is not None
@@ -446,7 +625,7 @@ class Realigner:
                     # genuinely different allele, e.g. a longer insertion).
                     patched = None
                 if patched is not None:
-                    phit = calc_hit(
+                    phit = self._calc_hit(
                         AlleleEmission(seq=patched, ref_offset=a_em.ref_offset),
                         read_window,
                         props,

@@ -23,6 +23,16 @@ _lib = None
 _tried = False
 
 
+def _default_threads(cap: int) -> int:
+    env = os.environ.get("VLT_NATIVE_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return min(cap, os.cpu_count() or 1)
+
+
 def _load():
     global _lib, _tried
     if _tried:
@@ -53,6 +63,7 @@ def _load():
         lib.vlt_semiglobal_edit.restype = ctypes.c_int32
         lib.vlt_pairhmm_forward_batch.restype = ctypes.c_int32
         lib.vlt_myers_semiglobal.restype = ctypes.c_int32
+        lib.vlt_hybrid_hits_batch.restype = ctypes.c_int32
         _lib = lib
     except Exception:  # noqa: BLE001 - fall back to pure python
         _lib = None
@@ -181,9 +192,10 @@ def pairhmm_forward_batch(
     r_off = np.zeros(n, dtype=np.int64)
     np.cumsum(r_len[:-1], out=r_off[1:])
     a_buf = np.frombuffer(b"".join(bytes(a) for a in alleles), dtype=np.uint8)
-    r_buf = np.frombuffer(
-        b"".join(bytes(bytearray(np.asarray(r, dtype=np.uint8))) for r in reads),
-        dtype=np.uint8,
+    r_buf = (
+        np.concatenate([np.asarray(r, dtype=np.uint8) for r in reads])
+        if reads
+        else np.zeros(0, np.uint8)
     )
     m_buf = np.concatenate(
         [np.asarray(m, dtype=np.float32) for m in miscalls]
@@ -213,7 +225,7 @@ def pairhmm_forward_batch(
             else ctypes.c_void_p(None)
         )
 
-    nthreads = n_threads or min(8, os.cpu_count() or 1)
+    nthreads = n_threads or _default_threads(8)
     rc = lib.vlt_pairhmm_forward_batch(
         a_buf.ctypes.data_as(ctypes.c_void_p),
         a_off.ctypes.data_as(ctypes.c_void_p),
@@ -312,3 +324,80 @@ def semiglobal_edit(allele: bytes, read: bytes):
         list(ops_buf[: out_n.value]),
         int(out_last_start.value),
     )
+
+
+def hybrid_hits_batch(alleles, reads, n_threads=None):
+    """Batched semiglobal_edit_hybrid + co-optimal suffix alignment: ONE
+    library call for a whole allele set (the per-call ctypes overhead of
+    semiglobal_edit dominates the edit-distance pre-pass otherwise).
+
+    alleles/reads: list[bytes].  Returns a list of
+    ``(dist, start, ops, last_start, second)`` with ``second`` either None
+    or ``(dist2, start2_rel_to_last_start, ops2)`` — exactly the parts
+    consumed by evidence.edit_distance.finish_hit — or None when the native
+    library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(alleles)
+    if n == 0:
+        return []
+    a_len = np.array([len(a) for a in alleles], dtype=np.int32)
+    r_len = np.array([len(r) for r in reads], dtype=np.int32)
+    a_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(a_len[:-1], out=a_off[1:])
+    r_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(r_len[:-1], out=r_off[1:])
+    a_buf = b"".join(alleles)
+    r_buf = b"".join(reads)
+    strides = (a_len + r_len + 2).astype(np.int64)
+    ops_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(strides[:-1], out=ops_off[1:])
+    total_ops = int(ops_off[-1] + strides[-1])
+    out_dist = np.zeros(n, dtype=np.int32)
+    out_start = np.zeros(n, dtype=np.int32)
+    out_last = np.zeros(n, dtype=np.int32)
+    out_nops = np.zeros(n, dtype=np.int32)
+    out_ops = np.zeros(total_ops, dtype=np.uint8)
+    out_dist2 = np.zeros(n, dtype=np.int32)
+    out_start2 = np.zeros(n, dtype=np.int32)
+    out_nops2 = np.zeros(n, dtype=np.int32)
+    out_ops2 = np.zeros(total_ops, dtype=np.uint8)
+    rc = lib.vlt_hybrid_hits_batch(
+        ctypes.c_char_p(a_buf),
+        a_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        a_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_char_p(r_buf),
+        r_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        r_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(n),
+        ctypes.c_int32(n_threads or _default_threads(4)),
+        out_dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_last.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_nops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ops_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_dist2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_start2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_nops2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_ops2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    out = []
+    for b in range(n):
+        o = int(ops_off[b])
+        ops = list(out_ops[o : o + int(out_nops[b])])
+        second = None
+        if int(out_dist2[b]) >= 0:
+            second = (
+                int(out_dist2[b]),
+                int(out_start2[b]),
+                list(out_ops2[o : o + int(out_nops2[b])]),
+            )
+        out.append(
+            (int(out_dist[b]), int(out_start[b]), ops, int(out_last[b]), second)
+        )
+    return out
