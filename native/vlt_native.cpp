@@ -595,3 +595,198 @@ extern "C" int32_t vlt_hybrid_hits_batch(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Hop-state homopolymer pair-HMM forward (bio::stats::pairhmm::HomopolyPairHMM
+// reconstruction; reference call site realignment/mod.rs:679-731, params
+// pairhmm.rs:208-294).  States: M, D (allele gap), I (read gap) as in the
+// plain kernel, plus HX (read homopolymer hop: extra read copies of the
+// last matched allele base) and HY (allele homopolymer hop: skipped allele
+// copies of a homopolymer run).  Hop entry/extension probabilities are
+// per-base (A,C,G,T) from the alignment-properties MLE (the 15-state
+// transition model of estimation/alignment_properties.rs:535-560 — Match(b)
+// -> Hop(b) open, Hop(b) -> Hop(b) extend).  Hop states carry no emission
+// term: the per-base hop rates are MLE frequencies of observed hops per
+// aligned base, so they already contain the event probability (a miscall
+// factor would double-count).  rust-bio's exact emission convention is
+// unverifiable in this image (source absent); divergence is documented in
+// docs/calibration_failures.md and gated by the homopolymer testcase sweep.
+// ---------------------------------------------------------------------------
+
+static inline int hop_base_idx(uint8_t b) {
+  switch (b) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    default: return -1;
+  }
+}
+
+static double vlt_pairhmm_hop_one(
+    const uint8_t* a, int32_t x_len,
+    const uint8_t* r, int32_t y_len,
+    const float* miscall,           // [y_len] LOG miscall per read base
+    const float gaps[4],            // log t_mi, t_md, t_ii, t_dd
+    const float hop[16],            // log: seq open[4], seq ext[4],
+                                    //      ref open[4], ref ext[4]
+    int32_t hop_emit,               // 1: HX pays the read-base miscall
+                                    //    emission like the I lane
+    int32_t max_edit) {
+  const int32_t H = x_len + 1;
+  std::vector<double> M0(H, 0.0), D0(H, 0.0), I0(H, 0.0), HX0(H, 0.0), HY0(H, 0.0);
+  std::vector<double> M1(H, 0.0), D1(H, 0.0), I1(H, 0.0), HX1(H, 0.0), HY1(H, 0.0);
+  std::vector<uint8_t> au(H);
+  const int32_t EINF = 1 << 29;
+  std::vector<int32_t> E0, E1;
+  const bool banded = max_edit >= 0;
+  if (banded) { E0.assign(H, 0); E1.assign(H, EINF); }
+  const double g_mi = std::exp((double)gaps[0]);
+  const double g_md = std::exp((double)gaps[1]);
+  const double g_ii = std::exp((double)gaps[2]);
+  const double g_dd = std::exp((double)gaps[3]);
+  double hox[4], hex_[4], hoy[4], hey[4];
+  for (int b = 0; b < 4; b++) {
+    hox[b] = std::exp((double)hop[b]);
+    hex_[b] = std::exp((double)hop[4 + b]);
+    hoy[b] = std::exp((double)hop[8 + b]);
+    hey[b] = std::exp((double)hop[12 + b]);
+  }
+  const double t_dm = std::max(1.0 - g_dd, 1e-12);
+  const double t_im = std::max(1.0 - g_ii, 1e-12);
+  // per-allele-base: no-gap-no-hop continuation and HY gates
+  std::vector<double> tmm(H), hoyv(H, 0.0), heyv(H, 0.0), hyclose(H, 1.0);
+  std::vector<uint8_t> hygate(H, 0);
+  for (int32_t i = 1; i <= x_len; i++) {
+    au[i] = a[i - 1] & ~0x20;
+    const int b = hop_base_idx(au[i]);
+    const double hy = b >= 0 ? hoy[b] : 0.0;
+    // Match->Match continuation: hops are ADDITIVE channels (subtracting
+    // the per-base hop mass would penalize longer homopolymer alleles one
+    // continuation factor per extra base, systematically tilting ref/alt
+    // ratios toward the shorter allele; calibrated against the reference's
+    // nanopore/pcr/giab homopolymer testcases)
+    tmm[i] = std::max(1.0 - g_mi - g_md, 1e-12);
+    hoyv[i] = hy;
+    heyv[i] = b >= 0 ? hey[b] : 0.0;
+    // closing prob out of an HY run whose last skipped base is au[i]
+    hyclose[i] = std::max(1.0 - (b >= 0 ? hey[b] : 0.0), 1e-12);
+    hygate[i] = (i >= 2 && au[i] == au[i - 1]) ? 1 : 0;
+  }
+  double log_scale = 0.0;
+  uint8_t rj_prev = 0;
+  for (int32_t j = 1; j <= y_len; j++) {
+    const uint8_t rj = r[j - 1] & ~0x20;
+    const int rb = hop_base_idx(rj);
+    const double m = std::exp((double)miscall[j - 1]);
+    const double noc = 1.0 - m;
+    const double hex_rj = rb >= 0 ? hex_[rb] : 0.0;
+    // closing prob out of an HX run whose last hopped base was y_{j-2}
+    const int rbp = hop_base_idx(rj_prev);
+    const double hxclose_prev = std::max(1.0 - (rbp >= 0 ? hex_[rbp] : 0.0), 1e-12);
+    const double start_w = (j == 1) ? std::exp(-log_scale) : 0.0;
+    M1[0] = 0.0; D1[0] = 0.0; HX1[0] = 0.0; HY1[0] = 0.0;
+    if (banded && E0[0] > max_edit) {
+      I1[0] = 0.0;
+      E1[0] = EINF;
+    } else {
+      I1[0] = m * (g_ii * I0[0] + start_w * g_mi);
+      if (banded) E1[0] = E0[0] >= EINF ? EINF : E0[0] + 1;
+    }
+    double colmax = I1[0];
+    for (int32_t i = 1; i <= x_len; i++) {
+      if (banded) {
+        const int32_t tl = E0[i - 1], tp = E0[i], lf = E1[i - 1];
+        int32_t mn = tl < tp ? tl : tp;
+        if (lf < mn) mn = lf;
+        if (mn > max_edit) {
+          M1[i] = 0.0; D1[i] = 0.0; I1[i] = 0.0; HX1[i] = 0.0; HY1[i] = 0.0;
+          E1[i] = EINF;
+          continue;
+        }
+        const int32_t sub = (au[i] == rj) ? tl : (tl >= EINF ? EINF : tl + 1);
+        int32_t e = sub;
+        if (tp < EINF && tp + 1 < e) e = tp + 1;
+        if (lf < EINF && lf + 1 < e) e = lf + 1;
+        E1[i] = e;
+      }
+      double e_m;
+      if (au[i] == rj) e_m = noc;
+      else if (rj == 'N') e_m = 0.25;
+      else e_m = m * (1.0 / 3.0);
+      const double tmm_src = tmm[i];
+      const double Mv = e_m * (tmm_src * M0[i - 1] + t_dm * D0[i - 1] +
+                               t_im * I0[i - 1] + hxclose_prev * HX0[i - 1] +
+                               hyclose[i - 1] * HY0[i - 1] + start_w);
+      const double Iv = m * (g_mi * M0[i] + g_ii * I0[i] + start_w * g_mi);
+      // HX: consume read base rj without advancing the allele; entry
+      // requires rj to repeat the LAST MATCHED allele base (au[i]),
+      // extension requires rj to repeat the previously hopped read base
+      double HXv = 0.0;
+      if (rj == au[i]) HXv += (rb >= 0 ? hox[rb] : 0.0) * M0[i];
+      if (rj == rj_prev) HXv += hex_rj * HX0[i];
+      if (hop_emit) HXv *= noc;
+      M1[i] = Mv; I1[i] = Iv; HX1[i] = HXv;
+      // D / HY depend on the current column at i-1 (consume allele only)
+      const double Dv = g_md * M1[i - 1] + g_dd * D1[i - 1];
+      // HY: skip allele base au[i]; entry from M requires au[i] to repeat
+      // au[i-1] (a homopolymer run continuation), extension likewise
+      double HYv = 0.0;
+      if (hygate[i]) HYv = hoyv[i] * M1[i - 1] + heyv[i] * HY1[i - 1];
+      D1[i] = Dv; HY1[i] = HYv;
+      double mx = Mv > Dv ? Mv : Dv;
+      if (Iv > mx) mx = Iv;
+      if (HXv > mx) mx = HXv;
+      if (HYv > mx) mx = HYv;
+      if (mx > colmax) colmax = mx;
+    }
+    if (colmax > 0.0 && colmax < 1e-120) {
+      const double s = 1e120;
+      for (int32_t i = 0; i <= x_len; i++) {
+        M1[i] *= s; D1[i] *= s; I1[i] *= s; HX1[i] *= s; HY1[i] *= s;
+      }
+      log_scale -= std::log(s);
+    }
+    M0.swap(M1); D0.swap(D1); I0.swap(I1); HX0.swap(HX1); HY0.swap(HY1);
+    if (banded) E0.swap(E1);
+    rj_prev = rj;
+  }
+  double total = 0.0;
+  for (int32_t i = 0; i <= x_len; i++) total += M0[i] + I0[i] + HX0[i];
+  if (total <= 0.0 || y_len == 0) return -1e30;
+  return std::log(total) + log_scale;
+}
+
+extern "C" int32_t vlt_pairhmm_hop_batch(
+    const uint8_t* alleles, const int64_t* allele_off, const int32_t* allele_len,
+    const uint8_t* reads, const int64_t* read_off, const int32_t* read_len,
+    const float* miscalls,          // concatenated, read offsets
+    const float* gaps,              // [4] log
+    const float* hop,               // [16] log (see vlt_pairhmm_hop_one)
+    const int32_t* max_edit,        // [n_items] band per item, or nullptr
+    int32_t hop_emit,
+    int32_t n_items, int32_t n_threads, double* out) {
+  auto work = [&](int32_t lo, int32_t hi) {
+    for (int32_t b = lo; b < hi; b++) {
+      out[b] = vlt_pairhmm_hop_one(
+          alleles + allele_off[b], allele_len[b],
+          reads + read_off[b], read_len[b],
+          miscalls + read_off[b], gaps, hop, hop_emit,
+          max_edit ? max_edit[b] : -1);
+    }
+  };
+  if (n_threads <= 1 || n_items < 8) {
+    work(0, n_items);
+  } else {
+    std::vector<std::thread> ts;
+    const int32_t chunk = (n_items + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+      const int32_t lo = t * chunk;
+      const int32_t hi = lo + chunk < n_items ? lo + chunk : n_items;
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return 0;
+}

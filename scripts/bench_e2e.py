@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""End-to-end pipeline benchmark: BAM -> preprocess (2 samples) -> tumor-normal
+call -> FDR-filtered VCF, reporting loci/s per stage and end-to-end.
+
+Runs on the DEFAULT jax platform (axon TPU on the bench box) for the calling
+stage; preprocessing runs in CPU worker processes (the host pipeline feeding
+the device, SURVEY §2.9). Usage:
+
+    python scripts/bench_e2e.py [N_CANDIDATES] [--workers W] [--json]
+
+Standalone runs print a human-readable breakdown; ``run(...)`` is imported by
+bench.py for the one-line JSON report.
+"""
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+RES = Path("/root/reference/tests/resources")
+
+
+def run(n_candidates: int = 2500, workers: int = 4):
+    """Returns a dict with per-stage seconds and end-to-end loci/s."""
+    from bench_preprocess import make_candidates
+    from varlociraptor_tpu.calling.preprocess import PreprocessOptions, preprocess
+    from varlociraptor_tpu.calling.call import CallOptions, call_generic
+    from varlociraptor_tpu.filtration.fdr import control_fdr
+    from varlociraptor_tpu.grammar.scenario import tumor_normal_scenario
+
+    tmp = Path(tempfile.mkdtemp(prefix="vlt-e2e-"))
+    cand = tmp / "candidates.vcf"
+    n = make_candidates(n_candidates, cand)
+
+    t0 = time.perf_counter()
+    obs = {}
+    for sample in ("tumor", "normal"):
+        out = tmp / f"{sample}.obs.jsonl"
+        preprocess(
+            cand,
+            RES / "tumor-first30000.bam",
+            RES / "chr10.fa",
+            out,
+            sample_name=sample,
+            options=PreprocessOptions(n_workers=workers, log_mode="silent"),
+        )
+        obs[sample] = out
+    t1 = time.perf_counter()
+
+    calls = tmp / "calls.vcf"
+    call_generic(tumor_normal_scenario(0.75), obs, calls, CallOptions())
+    t2 = time.perf_counter()
+
+    filtered = tmp / "filtered.vcf"
+    kept = control_fdr(calls, filtered, events=["SOMATIC_TUMOR"], alpha=0.05)
+    t3 = time.perf_counter()
+
+    return {
+        "n_loci": n,
+        "preprocess_s": round(t1 - t0, 2),
+        "preprocess_ms_per_locus_per_sample": round((t1 - t0) / (2 * n) * 1000, 2),
+        "call_s": round(t2 - t1, 2),
+        "fdr_s": round(t3 - t2, 2),
+        "e2e_s": round(t3 - t0, 2),
+        "e2e_loci_per_sec": round(n / (t3 - t0), 1),
+        "fdr_kept": kept,
+        "workers": workers,
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 2500
+    workers = 4
+    if "--workers" in sys.argv:
+        workers = int(sys.argv[sys.argv.index("--workers") + 1])
+    res = run(n, workers)
+    if "--json" in sys.argv:
+        import json
+
+        print(json.dumps(res))
+    else:
+        for k, v in res.items():
+            print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

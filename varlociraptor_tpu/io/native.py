@@ -64,6 +64,7 @@ def _load():
         lib.vlt_pairhmm_forward_batch.restype = ctypes.c_int32
         lib.vlt_myers_semiglobal.restype = ctypes.c_int32
         lib.vlt_hybrid_hits_batch.restype = ctypes.c_int32
+        lib.vlt_pairhmm_hop_batch.restype = ctypes.c_int32
         _lib = lib
     except Exception:  # noqa: BLE001 - fall back to pure python
         _lib = None
@@ -400,4 +401,64 @@ def hybrid_hits_batch(alleles, reads, n_threads=None):
         out.append(
             (int(out_dist[b]), int(out_start[b]), ops, int(out_last[b]), second)
         )
+    return out
+
+
+def pairhmm_hop_batch(alleles, reads, miscalls, gaps, hop16, max_edit=None,
+                      n_threads=None):
+    """Native hop-state homopolymer pair-HMM forward (HomopolyPairHMM
+    reconstruction; see native/vlt_native.cpp::vlt_pairhmm_hop_one).
+
+    hop16: [16] log probs — seq hop open[ACGT], seq hop extend[ACGT],
+    ref hop open[ACGT], ref hop extend[ACGT]. Returns np.float64 [n] or
+    None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(alleles)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    a_len = np.array([len(a) for a in alleles], dtype=np.int32)
+    r_len = np.array([len(r) for r in reads], dtype=np.int32)
+    a_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(a_len[:-1], out=a_off[1:])
+    r_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(r_len[:-1], out=r_off[1:])
+    a_buf = np.frombuffer(b"".join(bytes(a) for a in alleles), dtype=np.uint8)
+    r_buf = (
+        np.concatenate([np.asarray(r, dtype=np.uint8) for r in reads])
+        if reads
+        else np.zeros(0, np.uint8)
+    )
+    m_buf = np.concatenate([np.asarray(m, dtype=np.float32) for m in miscalls])
+    gaps32 = np.asarray(gaps, dtype=np.float32)
+    hop32 = np.asarray(hop16, dtype=np.float32)
+    assert hop32.shape == (16,)
+    me_buf = None
+    if max_edit is not None:
+        me_buf = np.array(
+            [-1 if d is None else int(d) for d in max_edit], dtype=np.int32
+        )
+    out = np.zeros(n, dtype=np.float64)
+    rc = lib.vlt_pairhmm_hop_batch(
+        a_buf.ctypes.data_as(ctypes.c_void_p),
+        a_off.ctypes.data_as(ctypes.c_void_p),
+        a_len.ctypes.data_as(ctypes.c_void_p),
+        r_buf.ctypes.data_as(ctypes.c_void_p),
+        r_off.ctypes.data_as(ctypes.c_void_p),
+        r_len.ctypes.data_as(ctypes.c_void_p),
+        m_buf.ctypes.data_as(ctypes.c_void_p),
+        gaps32.ctypes.data_as(ctypes.c_void_p),
+        hop32.ctypes.data_as(ctypes.c_void_p),
+        me_buf.ctypes.data_as(ctypes.c_void_p)
+        if me_buf is not None
+        else ctypes.c_void_p(None),
+        ctypes.c_int32(1 if os.environ.get("VLT_HOP_EMIT") == "1" else 0),
+        ctypes.c_int32(n),
+        ctypes.c_int32(n_threads or _default_threads(4)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
     return out

@@ -336,6 +336,172 @@ def _forward_hp_impl(
     return acc[:, 0]
 
 
+@partial(jax.jit, static_argnames=("x_len", "y_len"))
+def _forward_hop_impl(
+    allele, allele_len, read, miscall, read_len, gaps, hop16, max_edit,
+    x_len, y_len,
+):
+    """Hop-state homopolymer forward on anti-diagonals (device analog of
+    native vlt_pairhmm_hop_one): M/D/I lanes plus HX (read homopolymer
+    hop: extra read copies of the last matched allele base, gated on base
+    equality) and HY (allele homopolymer hop: skipped run continuation).
+    hop16: [16] log probs (seq open[ACGT], seq ext, ref open, ref ext).
+    Hop states carry no emission factor (the MLE hop rates are per-base
+    event frequencies)."""
+    B = allele.shape[0]
+    X, Y = x_len, y_len
+    W = Y + 1
+
+    t_mi, t_md, t_ii, t_dd = gaps[0], gaps[1], gaps[2], gaps[3]
+    t_im = jnp.log(jnp.maximum(1.0 - jnp.exp(t_ii), 1e-12))
+    t_dm = jnp.log(jnp.maximum(1.0 - jnp.exp(t_dd), 1e-12))
+
+    # 256-entry per-base lookup tables for the hop params
+    def _table(vals4):
+        t = jnp.full(256, NEG_INF, dtype=jnp.float32)
+        for bi, ch in enumerate(b"ACGT"):
+            t = t.at[ch].set(vals4[bi])
+        return t
+
+    hox_t = _table(hop16[0:4])    # seq (read) hop open
+    hex_t = _table(hop16[4:8])    # seq hop extend
+    hoy_t = _table(hop16[8:12])   # ref (allele) hop open
+    hey_t = _table(hop16[12:16])  # ref hop extend
+
+    j_idx = jnp.arange(W)
+    no_call = jnp.log1p(-jnp.exp(miscall))
+    mis_j = jnp.concatenate([jnp.full((B, 1), NEG_INF), miscall], axis=1)
+    noc_j = jnp.concatenate([jnp.full((B, 1), NEG_INF), no_call], axis=1)
+    read_j = jnp.concatenate([jnp.zeros((B, 1), jnp.uint8), read], axis=1)
+    # previous read base per j (read[j-2]); 0 at j<=1
+    read_jp = jnp.concatenate([jnp.zeros((B, 2), jnp.uint8), read[:, :-1]], axis=1)[:, :W]
+    hox_r = hox_t[read_j]          # entry prob of hopping read base y_j
+    hex_r = hex_t[read_j]
+    same_read = (read_j == read_jp) & (read_j != 0)
+    # closing prob out of an HX run whose last base was read[j-2]
+    hxclose = jnp.log(jnp.maximum(1.0 - jnp.exp(hex_t[read_jp]), 1e-12))
+
+    PAD = W
+    rev = allele[:, ::-1]
+    rev_pad = jnp.concatenate(
+        [jnp.zeros((B, PAD), jnp.uint8), rev, jnp.zeros((B, PAD), jnp.uint8)],
+        axis=1,
+    )
+
+    neg = jnp.full((B, W), NEG_INF)
+    EINF = jnp.int32(1 << 29)
+    me = jnp.where(max_edit < 0, EINF, max_edit)[:, None]
+    einf = jnp.full((B, W), EINF, dtype=jnp.int32)
+
+    def body(carry, k):
+        (M2, D2, I2, HX2, HY2, M1, D1, I1, HX1, HY1, E2, E1, acc) = carry
+        i = k - j_idx[None, :]
+        valid = (
+            (j_idx[None, :] >= 1)
+            & (j_idx[None, :] <= read_len[:, None])
+            & (i >= 1)
+            & (i <= allele_len[:, None])
+        )
+        valid_i0 = (
+            (j_idx[None, :] >= 1)
+            & (j_idx[None, :] <= read_len[:, None])
+            & (i == 0)
+        )
+
+        offset = X - k + PAD
+        ab = jax.lax.dynamic_slice(rev_pad, (0, offset), (B, W))   # allele[i-1]
+        abp = jax.lax.dynamic_slice(rev_pad, (0, offset + 1), (B, W))  # allele[i-2]
+        match = ab == read_j
+        is_n = read_j == ord("N")
+        e_m = jnp.where(
+            match, noc_j, jnp.where(is_n, math.log(0.25), mis_j + LN_CONFUSION)
+        )
+
+        # Match->Match continuation: hops are ADDITIVE channels (subtracting
+        # per-base hop mass would penalize longer homopolymer alleles one
+        # factor per extra base; see native vlt_pairhmm_hop_one)
+        t_mm = jnp.log(
+            jnp.maximum(1.0 - jnp.exp(t_mi) - jnp.exp(t_md), 1e-12)
+        )
+        # closing prob out of an HY run whose last skipped base is allele[i-2]
+        hyclose_p = jnp.log(jnp.maximum(1.0 - jnp.exp(hey_t[abp]), 1e-12))
+
+        M2s = jnp.concatenate([neg[:, :1], M2[:, :-1]], axis=1)
+        D2s = jnp.concatenate([neg[:, :1], D2[:, :-1]], axis=1)
+        I2s = jnp.concatenate([neg[:, :1], I2[:, :-1]], axis=1)
+        HX2s = jnp.concatenate([neg[:, :1], HX2[:, :-1]], axis=1)
+        HY2s = jnp.concatenate([neg[:, :1], HY2[:, :-1]], axis=1)
+        # HX(i-1, j-1)'s last consumed read base is y[j-2] -> hxclose[:, j]
+        start_m = jnp.where(j_idx[None, :] == 1, 0.0, NEG_INF)
+        Mk = e_m + _lse2(
+            _lse2(
+                _lse3(t_mm + M2s, t_dm + D2s, t_im + I2s),
+                _lse2(hxclose + HX2s, hyclose_p + HY2s),
+            ),
+            start_m,
+        )
+        Mk = jnp.where(valid, Mk, NEG_INF)
+
+        Dk = _lse2(t_md + M1, t_dd + D1)
+        Dk = jnp.where(valid, Dk, NEG_INF)
+
+        M1s = jnp.concatenate([neg[:, :1], M1[:, :-1]], axis=1)
+        I1s = jnp.concatenate([neg[:, :1], I1[:, :-1]], axis=1)
+        HX1s = jnp.concatenate([neg[:, :1], HX1[:, :-1]], axis=1)
+        start_i = jnp.where(j_idx[None, :] == 1, t_mi, NEG_INF)
+        Ik = mis_j + _lse2(_lse2(t_mi + M1s, t_ii + I1s), start_i)
+        Ik = jnp.where(valid | valid_i0, Ik, NEG_INF)
+
+        # HX: consume read base y_j without advancing the allele
+        hx_entry = jnp.where(match, hox_r + M1s, NEG_INF)
+        hx_ext = jnp.where(same_read, hex_r + HX1s, NEG_INF)
+        HXk = _lse2(hx_entry, hx_ext)
+        HXk = jnp.where(valid, HXk, NEG_INF)
+
+        # HY: skip allele base x_i within a homopolymer run
+        same_allele = (ab == abp) & (ab != 0)
+        hoy_a = hoy_t[ab]
+        hey_a = hey_t[ab]
+        hy_in = jnp.where(same_allele, _lse2(hoy_a + M1, hey_a + HY1), NEG_INF)
+        HYk = jnp.where(valid, hy_in, NEG_INF)
+
+        # banded pruning (same edit DP as the exact kernel)
+        E2s = jnp.concatenate([einf[:, :1], E2[:, :-1]], axis=1)
+        E1s = jnp.concatenate([einf[:, :1], E1[:, :-1]], axis=1)
+        lf = E1
+        pred_min = jnp.minimum(jnp.minimum(E2s, E1s), lf)
+        skip = pred_min > me
+        sub = jnp.where(match, E2s, jnp.minimum(E2s + 1, EINF))
+        Ek = jnp.minimum(sub, jnp.minimum(jnp.minimum(E1s, lf) + 1, EINF))
+        cell_ok = (valid | valid_i0) & ~skip
+        Ek = jnp.where(cell_ok, Ek, EINF)
+        Ek = Ek.at[:, 0].set(jnp.where(k <= allele_len, 0, EINF))
+        Mk = jnp.where(skip, NEG_INF, Mk)
+        Dk = jnp.where(skip, NEG_INF, Dk)
+        Ik = jnp.where(skip, NEG_INF, Ik)
+        HXk = jnp.where(skip, NEG_INF, HXk)
+        HYk = jnp.where(skip, NEG_INF, HYk)
+
+        at_end = j_idx[None, :] == read_len[:, None]
+        fin = jnp.where(at_end, _lse2(_lse2(Mk, Ik), HXk), NEG_INF)
+        m = jnp.max(fin, axis=1)
+        dl = m + jnp.log(jnp.sum(jnp.exp(fin - m[:, None]), axis=1))
+        dl = jnp.where(m <= NEG_INF / 2, NEG_INF, dl)[:, None]
+        acc = _lse2(acc, dl)
+        return (
+            M1, D1, I1, HX1, HY1, Mk, Dk, Ik, HXk, HYk, E1, Ek, acc,
+        ), None
+
+    e1_init = einf.at[:, 0].set(0)
+    init = (
+        neg, neg, neg, neg, neg, neg, neg, neg, neg, neg, einf, e1_init,
+        jnp.full((B, 1), NEG_INF),
+    )
+    ks = jnp.arange(1, X + Y + 1)
+    (*_, acc), _ = jax.lax.scan(body, init, ks)
+    return acc[:, 0]
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -397,6 +563,41 @@ class BatchedPairHMM:
             dtype=np.float32,
         )
 
+    def _hop16(self):
+        """[16] log hop probs: seq open[ACGT], seq ext, ref open, ref ext."""
+        def _f(vals):
+            return [
+                v if (v is not None and math.isfinite(v)) else NEG_INF
+                for v in vals
+            ]
+
+        return np.array(
+            _f(self.hop.prob_seq_homopolymer)
+            + _f(self.hop.prob_seq_extend_homopolymer)
+            + _f(self.hop.prob_ref_homopolymer)
+            + _f(self.hop.prob_ref_extend_homopolymer),
+            dtype=np.float32,
+        )
+
+    def _use_hop_states(self):
+        """Opt-in (VLT_HOP_STATES=1) hop-state homopolymer HMM: a
+        reconstruction of bio::stats::pairhmm::HomopolyPairHMM with
+        dedicated per-base hop lanes (native vlt_pairhmm_hop_one and the
+        _forward_hop_impl wavefront kernel).  rust-bio's source is not in
+        this image, so the reconstruction's topology details (hop-state
+        emissions, transition normalization) are unverifiable; calibrated
+        against the reference's own nanopore/pcr/giab homopolymer
+        testcases, the positional-gap approximation matches the reference's
+        expected outputs better (the reconstruction flips test_nanopore_03),
+        so the approximation remains the default."""
+        import os
+
+        return (
+            self.mode == "homopolymer"
+            and self.hop is not None
+            and os.environ.get("VLT_HOP_STATES", "0") == "1"
+        )
+
     def forward(self, alleles, reads, quals, max_dists=None):
         """alleles: list[bytes-like]; reads: list[bytes-like];
         quals: list[uint8 array]; max_dists: optional list[int|None] band
@@ -407,6 +608,8 @@ class BatchedPairHMM:
         assert n_req == len(reads) == len(quals)
         if max_dists is not None:
             assert len(max_dists) == n_req
+        if self._use_hop_states():
+            return self._forward_hop(alleles, reads, quals, max_dists)
         if self._native_ok():
             return self._forward_native(alleles, reads, quals, max_dists)
         # pad the batch axis to a pow2 bucket so jit programs are reused
@@ -467,6 +670,71 @@ class BatchedPairHMM:
             jnp.asarray(mis),
             jnp.asarray(rlen),
             jnp.asarray(self.gap),
+            jnp.asarray(medge),
+            X,
+            Y,
+        )
+        return np.asarray(out, dtype=np.float64)[:n_req]
+
+    def _forward_hop(self, alleles, reads, quals, max_dists=None):
+        """True hop-state homopolymer forward (HomopolyPairHMM
+        reconstruction, reference realignment/mod.rs:679-731): adds read-
+        and allele-side hop lanes with per-base entry/extension probs from
+        the alignment-properties MLE.  Native C++ on the CPU backend; the
+        JAX wavefront kernel (_forward_hop_impl) on devices."""
+        n_req = len(alleles)
+        hop16 = self._hop16()
+        if self._native_ok():
+            from ..io.native import pairhmm_hop_batch
+
+            miscalls = [
+                -np.asarray(q, dtype=np.float32)
+                * np.float32(math.log(10.0) / 10.0)
+                for q in quals
+            ]
+            out = pairhmm_hop_batch(
+                [bytes(a) for a in alleles],
+                reads,
+                miscalls,
+                self.gap,
+                hop16,
+                max_edit=max_dists,
+            )
+            if out is not None:
+                return out
+            self._use_native = False
+        B = max(8, 1 << (max(n_req, 1) - 1).bit_length())
+        X = _round_up(max((len(a) for a in alleles), default=1), 32)
+        Y = _round_up(max((len(r) for r in reads), default=1), 32)
+        allele = np.zeros((B, X), dtype=np.uint8)
+        alen = np.zeros(B, dtype=np.int32)
+        read = np.zeros((B, Y), dtype=np.uint8)
+        rlen = np.zeros(B, dtype=np.int32)
+        mis = np.full((B, Y), NEG_INF, dtype=np.float32)
+        medge = np.full(B, -1, dtype=np.int32)
+        if max_dists is not None:
+            for b, d in enumerate(max_dists):
+                if d is not None:
+                    medge[b] = int(d)
+        alen[n_req:] = 1
+        rlen[n_req:] = 1
+        for b in range(n_req):
+            a = np.frombuffer(bytes(alleles[b]), dtype=np.uint8)
+            r = np.asarray(reads[b], dtype=np.uint8)
+            q = np.asarray(quals[b], dtype=np.float64)
+            allele[b, : len(a)] = a & ~np.uint8(0x20)
+            alen[b] = len(a)
+            read[b, : len(r)] = r & ~np.uint8(0x20)
+            rlen[b] = len(r)
+            mis[b, : len(q)] = -q * math.log(10.0) / 10.0
+        out = _forward_hop_impl(
+            jnp.asarray(allele),
+            jnp.asarray(alen),
+            jnp.asarray(read),
+            jnp.asarray(mis),
+            jnp.asarray(rlen),
+            jnp.asarray(self.gap),
+            jnp.asarray(hop16),
             jnp.asarray(medge),
             X,
             Y,
