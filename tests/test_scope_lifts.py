@@ -120,3 +120,94 @@ def test_strict_scenario_yaml_rejects_unknown_fields():
                 "extra_top": 1,
             }
         )
+
+
+CONTAM_TRIO_SCENARIO = {
+    "samples": {
+        "normal": {"universe": "[0.0,1.0]", "ploidy": 2, "resolution": 0.1},
+        "tumor": {
+            "universe": "[0.0,1.0]",
+            "resolution": 0.1,
+            "contamination": {"by": "normal", "fraction": 0.25},
+        },
+        "relapse": {
+            "universe": "[0.0,1.0]",
+            "resolution": 0.1,
+            "contamination": {"by": "normal", "fraction": 0.4},
+        },
+    },
+    "species": {"heterozygosity": 0.001},
+    "events": {
+        "somatic": "tumor:]0.0,1.0] & normal:0.0 & relapse:]0.0,1.0]",
+        "germline": "tumor:]0.0,1.0] & normal:0.5 & relapse:]0.0,1.0]",
+    },
+}
+
+
+def _write_trio_obs(tmp_path, piles, tag):
+    obs_paths = {}
+    for name, pile in piles.items():
+        p = tmp_path / f"{tag}-{name}.obs.jsonl"
+        with ObservationWriter(p, sample_name=name) as w:
+            w.write_record(
+                VariantInfo(
+                    kind="snv", chrom="chr1", pos=100,
+                    ref_allele="A", alt_allele="T", alt_base="T",
+                ),
+                pile,
+            )
+        obs_paths[name] = p
+    return obs_paths
+
+
+def _probs(out):
+    rec = VcfReader(out).records()[0]
+    return {
+        k: float(v)
+        for k, v in rec.info.items()
+        if k.startswith("PROB_") and v != "inf"
+    }
+
+
+def test_full_prior_contaminated_three_samples(tmp_path):
+    """--full-prior with S=3 AND contamination (the round-2
+    NotImplementedError at ops/posterior.py): the generic joint contraction
+    must (a) reduce exactly to the pure-pedigree path at fraction 0.0 and
+    (b) produce finite, correctly-ordered posteriors at real fractions
+    (prior.rs:298-438 composed with likelihood.rs:63-158 has no sample
+    limit in the reference)."""
+    import copy
+
+    piles = {
+        "normal": _pileup(0, 20),
+        "tumor": _pileup(10, 10),
+        "relapse": _pileup(8, 12),
+    }
+    obs_paths = _write_trio_obs(tmp_path, piles, "c")
+    opts = CallOptions(full_prior=True, resolution=0.1, batch_size=4)
+
+    # (a) fraction 0.0 == no contamination entry at all
+    zero = copy.deepcopy(CONTAM_TRIO_SCENARIO)
+    zero["samples"]["tumor"]["contamination"]["fraction"] = 0.0
+    zero["samples"]["relapse"]["contamination"]["fraction"] = 0.0
+    out_zero = tmp_path / "zero.vcf"
+    call_generic(Scenario(zero), obs_paths, out_zero, opts)
+
+    clean = copy.deepcopy(CONTAM_TRIO_SCENARIO)
+    del clean["samples"]["tumor"]["contamination"]
+    del clean["samples"]["relapse"]["contamination"]
+    out_clean = tmp_path / "clean.vcf"
+    call_generic(Scenario(clean), obs_paths, out_clean, opts)
+
+    pz, pc = _probs(out_zero), _probs(out_clean)
+    assert set(pz) == set(pc)
+    for k in pz:
+        assert abs(pz[k] - pc[k]) < 1e-2, (k, pz[k], pc[k])
+
+    # (b) real contamination fractions: finite + somatic wins this pileup
+    out = tmp_path / "contam.vcf"
+    call_generic(Scenario(CONTAM_TRIO_SCENARIO), obs_paths, out, opts)
+    p = _probs(out)
+    assert np.isfinite(p["PROB_SOMATIC"])
+    assert p["PROB_SOMATIC"] < p.get("PROB_GERMLINE", np.inf)
+    assert p["PROB_SOMATIC"] < p.get("PROB_ABSENT", np.inf)

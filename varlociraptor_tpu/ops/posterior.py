@@ -1351,33 +1351,79 @@ class PosteriorEngine:
                     jnp.arange(d0.shape[-1]),
                 )
                 T, _ = jax.lax.scan(_g0_step, init, xs)
-            elif not self.pairs:
-                # generic pedigree full-prior (any S without contamination,
-                # prior.rs:718-761 with is_absent_only=false): enumerate
-                # the joint subgrid product with a scan over the flattened
-                # leading S-2 axes; per-step memory is one
-                # [L,B,NB,G_{S-2},G_{S-1}] slab.  Feasibility is governed
-                # by the scenario's per-sample `resolution:` (the caller
-                # guards the joint size).
-                d = [
-                    loglik[s][:, :, None, :] + w_list[s][:, None]
-                    for s in range(S)
-                ]  # each [L,B,NB,Gs]
+            else:
+                # generic full-prior for any S and any contamination digraph
+                # (incl. cycles), prior.rs:298-438 composed with the
+                # contaminated likelihood likelihood.rs:63-158 without the
+                # reference's 2-sample limit: enumerate the joint subgrid
+                # product with a scan over the flattened leading S-2 axes;
+                # per-step memory is one [L,B,NB,G_{S-2},G_{S-1}] slab.
+                # Feasibility is governed by the scenario's per-sample
+                # `resolution:` (the caller guards the joint size).
+                x_s, y_s = S - 2, S - 1
                 lead_sizes = tuple(
                     len(self.values_s[s]) for s in range(S - 2)
                 )
-                x_s, y_s = S - 2, S - 1
+                contaminated = {si for si, _by, _f in self.pairs}
+                # single-axis factors: branch weight per sample, plus the
+                # own likelihood for samples without a contaminant factor
+                singles = []  # (axis, arr [L,{1|B},NB,Gs])
+                for s in range(S):
+                    w = w_list[s][:, None]  # [L,1,NB,Gs]
+                    if s in contaminated:
+                        singles.append((s, w))
+                    else:
+                        singles.append((s, loglik[s][:, :, None, :] + w))
+                # two-axis contaminant factors: one per contaminated sample
+                # (a mutual 2-cycle simply contributes both orientations)
+                pair_fs = [
+                    (si, by, pair_logliks[si][:, :, None])  # [L,B,1,Gsi,Gby]
+                    for si, by, _f in self.pairs
+                ]
 
                 def _lead_step(carry, t2):
                     coords = jnp.unravel_index(t2, lead_sizes)
-                    slab = d[x_s][..., :, None] + d[y_s][..., None, :]
                     Pt = ln_prior_joint
                     for s in range(S - 2):
                         Pt = jnp.take(Pt, coords[s], axis=1)
-                        slab = slab + jnp.take(d[s], coords[s], axis=-1)[
-                            ..., None, None
-                        ]
-                    slab = slab + Pt[:, None, None]
+                    slab = Pt[:, None, None]  # [L,1,1,Gx,Gy]
+                    for s, arr in singles:
+                        if s < x_s:
+                            slab = slab + jnp.take(arr, coords[s], axis=-1)[
+                                ..., None, None
+                            ]
+                        elif s == x_s:
+                            slab = slab + arr[..., :, None]
+                        else:
+                            slab = slab + arr[..., None, :]
+                    for si, by, arr in pair_fs:
+                        if si < x_s and by < x_s:
+                            v = jnp.take(
+                                jnp.take(arr, coords[si], axis=3),
+                                coords[by],
+                                axis=3,
+                            )  # [L,B,1]
+                            slab = slab + v[..., None, None]
+                        elif si < x_s:  # by on a tail axis
+                            row = jnp.take(arr, coords[si], axis=3)  # [L,B,1,Gby]
+                            slab = slab + (
+                                row[..., :, None]
+                                if by == x_s
+                                else row[..., None, :]
+                            )
+                        elif by < x_s:  # si on a tail axis
+                            col = jnp.take(arr, coords[by], axis=4)  # [L,B,1,Gsi]
+                            slab = slab + (
+                                col[..., :, None]
+                                if si == x_s
+                                else col[..., None, :]
+                            )
+                        else:  # both tail axes
+                            slab = slab + (
+                                arr
+                                if (si, by) == (x_s, y_s)
+                                else jnp.swapaxes(arr, -1, -2)
+                            )
                     for (a3, b3), M in lfc_by_pair.items():
                         if (a3, b3) == (x_s, y_s):
                             slab = slab + M[None, None]
@@ -1403,12 +1449,6 @@ class PosteriorEngine:
                     _lead_step,
                     init,
                     jnp.arange(int(np.prod(lead_sizes))),
-                )
-            else:
-                raise NotImplementedError(
-                    "full prior with contamination is supported for <= 2 "
-                    "samples; larger contaminated designs use the "
-                    "absent-only prior split"
                 )
             T = jnp.where(branch_gates[:, None, :], T, NEG_INF)
             branch_val = jnp.where(combo_active[:, :, None], T, NEG_INF)
