@@ -1,0 +1,145 @@
+"""BAM robustness envelope (VERDICT round-2 item 8): CG-tag long CIGARs,
+malformed-input fuzzing (clean MalformedBamError, never interpreter
+internals), and SAM text input. CRAM is documented out of scope."""
+
+import gzip
+import random
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from varlociraptor_tpu.errors import MalformedBamError
+from varlociraptor_tpu.io.bam import BamReader
+
+RES = Path("/root/reference/tests/resources")
+SMALL_BAM = RES / "testcases" / "test01" / "tumor.bam"
+
+pytestmark = pytest.mark.skipif(not SMALL_BAM.exists(), reason="test.bam missing")
+
+
+def test_fuzz_truncation_and_corruption():
+    """Random truncations and byte flips must either parse or raise
+    MalformedBamError — no struct.error/IndexError/zlib.error leaks."""
+    raw = SMALL_BAM.read_bytes()
+    rng = random.Random(1234)
+    ok, clean_fail = 0, 0
+    for trial in range(60):
+        buf = bytearray(raw)
+        if trial % 2 == 0:
+            buf = buf[: rng.randrange(1, len(buf))]
+        else:
+            for _ in range(rng.randrange(1, 8)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            reader = BamReader.__new__(BamReader)
+            # bypass the ctor's Path.stat by writing a temp file
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".bam", delete=False) as f:
+                f.write(bytes(buf))
+                tmp = f.name
+            reader = BamReader(tmp)
+            for rec in reader:
+                _ = rec.end_pos
+            ok += 1
+        except MalformedBamError:
+            clean_fail += 1
+        # anything else (struct.error, IndexError, zlib.error, ...) fails
+        # the test by propagating
+    assert ok + clean_fail == 60
+    assert clean_fail > 0  # the fuzz actually hit failure paths
+
+
+def _write_bgzf(payload: bytes) -> bytes:
+    """Minimal single-block BGZF wrapper + EOF block."""
+    import zlib
+
+    def block(data):
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = comp.compress(data) + comp.flush()
+        bsize = len(cdata) + 25 + 1
+        head = (
+            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+            + struct.pack("<H", 6)
+            + b"BC"
+            + struct.pack("<H", 2)
+            + struct.pack("<H", bsize - 1)
+        )
+        return head + cdata + struct.pack("<I", zlib.crc32(data)) + struct.pack(
+            "<I", len(data)
+        )
+
+    eof = bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"
+    )
+    return block(payload) + eof
+
+
+def test_cg_tag_long_cigar(tmp_path):
+    """htslib SAMv1 §4.2.2: a kSmN placeholder CIGAR with the real ops in
+    CG:B,I must be transparently expanded."""
+    seq_len = 8
+    real_cigar = [(0, 3), (1, 2), (0, 3)]  # 3M2I3M
+    name = b"r1\x00"
+    fake_cigar = [(4, seq_len), (3, 6)]  # 8S6N placeholder
+    cig_bytes = b"".join(
+        struct.pack("<I", (l << 4) | op) for op, l in fake_cigar
+    )
+    seq_codes = [1, 2, 4, 8, 1, 2, 4, 8]  # ACGTACGT
+    packed = bytearray()
+    for i in range(0, seq_len, 2):
+        packed.append((seq_codes[i] << 4) | seq_codes[i + 1])
+    quals = bytes([30] * seq_len)
+    cg_vals = b"".join(
+        struct.pack("<I", (l << 4) | op) for op, l in real_cigar
+    )
+    tags = b"CGBI" + struct.pack("<i", len(real_cigar)) + cg_vals
+    body = (
+        struct.pack(
+            "<iiBBHHHiiii",
+            0, 100, len(name), 60, 0, len(fake_cigar), 0, seq_len, -1, -1, 0,
+        )
+        + name
+        + cig_bytes
+        + bytes(packed)
+        + quals
+        + tags
+    )
+    rec_block = struct.pack("<i", len(body)) + body
+    header = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 1)
+    header += struct.pack("<i", 5) + b"chr1\x00" + struct.pack("<i", 10000)
+    bam = tmp_path / "cg.bam"
+    bam.write_bytes(_write_bgzf(header + rec_block))
+    reader = BamReader(bam)
+    recs = list(reader)
+    assert len(recs) == 1
+    assert recs[0].cigar == real_cigar
+    assert "CG" not in recs[0].tags
+    assert recs[0].end_pos == 100 + 6  # 3M + 3M consume 6 ref bases
+
+
+def test_sam_text_input(tmp_path):
+    sam = tmp_path / "mini.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        "@SQ\tSN:chr1\tLN:10000\n"
+        "r1\t99\tchr1\t101\t60\t5M1I4M\t=\t301\t300\tACGTACGTAC\tIIIIIIIIII\tNM:i:1\tXA:Z:chr2,+500,10M,0;\n"
+        "r2\t147\tchr1\t301\t60\t10M\t=\t101\t-300\tACGTACGTAC\tIIIIIIIIII\n"
+    )
+    reader = BamReader(sam)
+    assert reader.ref_names == ["chr1"]
+    recs = list(reader)
+    assert len(recs) == 2
+    r1 = recs[0]
+    assert r1.qname == "r1" and r1.pos == 100 and r1.mapq == 60
+    assert r1.cigar == [(0, 5), (1, 1), (0, 4)]
+    assert r1.tags["NM"] == 1
+    assert r1.tags["XA"].startswith("chr2,")
+    assert bytes(r1.seq) == b"ACGTACGTAC"
+    assert int(r1.qual[0]) == ord("I") - 33
+    assert r1.end_pos == 100 + 9
+    # fetch through the columnar index works
+    hits = reader.fetch("chr1", 100, 120)
+    assert [r.qname for r in hits] == ["r1"]

@@ -181,3 +181,13 @@ class InvalidVariantPriorError(VarlociraptorError):
 
 class InvalidPriorConfigurationError(VarlociraptorError, ValueError):
     """prior configuration fails CheckablePrior::check (prior.rs:788-825)."""
+
+
+class MalformedBamError(VarlociraptorError):
+    """BAM/BGZF byte stream violates the spec (truncated block, impossible
+    record length, corrupt field). htslib fails these reads with its own
+    hts_log errors; our from-scratch reader raises this instead of leaking
+    struct/numpy internals."""
+
+    def __init__(self, detail: str):
+        super().__init__(f"malformed BAM input: {detail}")

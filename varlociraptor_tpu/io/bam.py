@@ -201,6 +201,15 @@ class BamRecord:
 
 
 def _parse_tags(buf: bytes) -> dict:
+    try:
+        return _parse_tags_inner(buf)
+    except Exception as e:  # noqa: BLE001 - struct/index internals
+        from ..errors import MalformedBamError
+
+        raise MalformedBamError(f"aux tag block: {e}") from e
+
+
+def _parse_tags_inner(buf: bytes) -> dict:
     tags = {}
     pos = 0
     n = len(buf)
@@ -269,29 +278,45 @@ class BamReader:
                 raise ValueError(f"lazy BAM access requires a .bai/.csi index for {path}")
             self._init_lazy()
             return
+        from ..errors import MalformedBamError
+
         raw = self.path.read_bytes()
         # native parallel BGZF inflate when available (io/native.py)
         from . import native
 
-        data = native.bgzf_decompress(raw) if raw[:2] == b"\x1f\x8b" else None
-        if data is None:
-            data = _decode_bgzf(raw)
+        if str(self.path).endswith(".sam") or (
+            raw[:1] == b"@" and raw[:2] != b"\x1f\x8b"
+        ):
+            # SAM text input (the reference reads SAM transparently through
+            # htslib; preprocess accepts it the same way here)
+            self._init_sam(raw.decode("latin1", errors="replace"))
+            self._finish_columnar_index()
+            return
+        try:
+            data = native.bgzf_decompress(raw) if raw[:2] == b"\x1f\x8b" else None
+            if data is None:
+                data = _decode_bgzf(raw)
+        except Exception as e:  # noqa: BLE001 - zlib/struct internals
+            raise MalformedBamError(f"BGZF stream of {path}: {e}") from e
         if data[:4] != b"BAM\x01":
-            raise ValueError(f"{path} is not BAM")
-        l_text = struct.unpack_from("<i", data, 4)[0]
-        self.header_text = data[8 : 8 + l_text].rstrip(b"\x00").decode("latin1")
-        pos = 8 + l_text
-        n_ref = struct.unpack_from("<i", data, pos)[0]
-        pos += 4
-        self.ref_names: list[str] = []
-        self.ref_lengths: list[int] = []
-        for _ in range(n_ref):
-            l_name = struct.unpack_from("<i", data, pos)[0]
-            name = data[pos + 4 : pos + 4 + l_name - 1].decode("latin1")
-            l_ref = struct.unpack_from("<i", data, pos + 4 + l_name)[0]
-            self.ref_names.append(name)
-            self.ref_lengths.append(l_ref)
-            pos += 8 + l_name
+            raise MalformedBamError(f"{path} lacks the BAM\\1 magic")
+        try:
+            l_text = struct.unpack_from("<i", data, 4)[0]
+            self.header_text = data[8 : 8 + l_text].rstrip(b"\x00").decode("latin1")
+            pos = 8 + l_text
+            n_ref = struct.unpack_from("<i", data, pos)[0]
+            pos += 4
+            self.ref_names: list[str] = []
+            self.ref_lengths: list[int] = []
+            for _ in range(n_ref):
+                l_name = struct.unpack_from("<i", data, pos)[0]
+                name = data[pos + 4 : pos + 4 + l_name - 1].decode("latin1")
+                l_ref = struct.unpack_from("<i", data, pos + 4 + l_name)[0]
+                self.ref_names.append(name)
+                self.ref_lengths.append(l_ref)
+                pos += 8 + l_name
+        except (struct.error, IndexError, UnicodeDecodeError) as e:
+            raise MalformedBamError(f"header of {path}: {e}") from e
         self._tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
         self._data = data
         self._rec_cache: dict[int, BamRecord] = {}
@@ -314,6 +339,10 @@ class BamReader:
             p = pos
             while p + 4 <= n:
                 block_size = struct.unpack_from("<i", data, p)[0]
+                if block_size < 32 or p + 4 + block_size > n:
+                    raise MalformedBamError(
+                        f"record block_size {block_size} at offset {p} in {path}"
+                    )
                 rec = self._parse_record(data, p + 4, block_size)
                 self._rec_cache[p] = rec
                 offsets.append(p)
@@ -326,6 +355,9 @@ class BamReader:
             self._positions = np.array(positions, dtype=np.int32)
             self._ends = np.array(ends, dtype=np.int32)
 
+        self._finish_columnar_index()
+
+    def _finish_columnar_index(self):
         # per-tid sorted-by-start views
         self._tid_order: dict[int, np.ndarray] = {}
         self._tid_starts: dict[int, np.ndarray] = {}
@@ -337,6 +369,111 @@ class BamReader:
             self._tid_starts[int(tid)] = self._positions[order].astype(np.int64)
             spans = self._ends[order] - self._positions[order]
             self._max_span[int(tid)] = int(spans.max()) if len(spans) else 0
+
+    # -- SAM text input -------------------------------------------------
+    def _init_sam(self, text: str):
+        """Plain-text SAM (SAMv1): parsed eagerly into the same columnar
+        index the BAM path builds. CRAM is explicitly out of scope (its
+        reference-based codec stack is htslib-sized; convert with
+        `samtools view -b` — documented in the README)."""
+        import re as _re
+
+        from ..errors import MalformedBamError
+
+        self.header_text = ""
+        self.ref_names = []
+        self.ref_lengths = []
+        self._rec_cache = {}
+        self._data = b""
+        header_lines = []
+        offsets, tids, positions, ends = [], [], [], []
+        cig_re = _re.compile(r"(\d+)([MIDNSHP=X])")
+        op_of = {c: i for i, c in enumerate("MIDNSHP=X")}
+        tid_by_name: dict[str, int] = {}
+        for ln, line in enumerate(text.splitlines()):
+            if not line:
+                continue
+            if line.startswith("@"):
+                header_lines.append(line)
+                if line.startswith("@SQ"):
+                    fields = dict(
+                        f.split(":", 1) for f in line.split("\t")[1:] if ":" in f
+                    )
+                    if "SN" in fields:
+                        tid_by_name[fields["SN"]] = len(self.ref_names)
+                        self.ref_names.append(fields["SN"])
+                        self.ref_lengths.append(int(fields.get("LN", 0)))
+                continue
+            cols = line.split("\t")
+            if len(cols) < 11:
+                raise MalformedBamError(f"SAM line {ln + 1}: <11 columns")
+            try:
+                flag = int(cols[1])
+                tid = tid_by_name.get(cols[2], -1)
+                pos0 = int(cols[3]) - 1
+                mapq = int(cols[4])
+                cigar = [
+                    (op_of[m.group(2)], int(m.group(1)))
+                    for m in cig_re.finditer(cols[5])
+                ] if cols[5] != "*" else []
+                mtid = (
+                    tid
+                    if cols[6] == "="
+                    else tid_by_name.get(cols[6], -1)
+                )
+                mpos = int(cols[7]) - 1
+                tlen = int(cols[8])
+                seq = (
+                    np.frombuffer(cols[9].encode("latin1"), dtype=np.uint8)
+                    if cols[9] != "*"
+                    else np.zeros(0, np.uint8)
+                )
+                qual = (
+                    np.frombuffer(cols[10].encode("latin1"), dtype=np.uint8) - 33
+                    if cols[10] != "*"
+                    else np.full(len(seq), 255, np.uint8)
+                )
+                tags = {}
+                for t in cols[11:]:
+                    name, typ, val = t.split(":", 2)
+                    if typ in "iI":
+                        tags[name] = int(val)
+                    elif typ == "f":
+                        tags[name] = float(val)
+                    elif typ == "B":
+                        sub, *vals = val.split(",")
+                        conv = float if sub == "f" else int
+                        tags[name] = np.array([conv(v) for v in vals])
+                    else:
+                        tags[name] = val
+            except (ValueError, KeyError) as e:
+                raise MalformedBamError(f"SAM line {ln + 1}: {e}") from e
+            rec = BamRecord(
+                qname=cols[0],
+                flag=flag,
+                tid=tid,
+                pos=pos0,
+                mapq=mapq,
+                cigar=cigar,
+                mtid=mtid,
+                mpos=mpos,
+                tlen=tlen,
+                seq=np.ascontiguousarray(seq),
+                qual=qual.astype(np.uint8),
+                tags=tags,
+            )
+            off = len(offsets)
+            self._rec_cache[off] = rec
+            offsets.append(off)
+            tids.append(tid)
+            positions.append(pos0)
+            ends.append(rec.end_pos)
+        self.header_text = "\n".join(header_lines)
+        self._tid_by_name = tid_by_name
+        self._offsets = np.array(offsets, dtype=np.int64)
+        self._tids = np.array(tids, dtype=np.int32)
+        self._positions = np.array(positions, dtype=np.int32)
+        self._ends = np.array(ends, dtype=np.int32)
 
     # -- lazy (indexed, streaming) mode --------------------------------
     def _init_lazy(self):
@@ -488,6 +625,13 @@ class BamReader:
 
     @staticmethod
     def _parse_record(data: bytes, pos: int, block_size: int) -> BamRecord:
+        from ..errors import MalformedBamError
+
+        if block_size < 32 or pos + block_size > len(data):
+            raise MalformedBamError(
+                f"record block_size {block_size} at offset {pos} exceeds "
+                "the decompressed stream"
+            )
         (
             tid,
             p,
@@ -501,6 +645,11 @@ class BamReader:
             mpos,
             tlen,
         ) = struct.unpack_from("<iiBBHHHiiii", data, pos)
+        if l_seq < 0 or 32 + l_read_name + 4 * n_cigar_op + (l_seq + 1) // 2 + l_seq > block_size:
+            raise MalformedBamError(
+                f"record at offset {pos}: field lengths (name {l_read_name}, "
+                f"cigar {n_cigar_op}, seq {l_seq}) exceed block size {block_size}"
+            )
         off = pos + 32
         qname = data[off : off + l_read_name - 1].decode("latin1")
         off += l_read_name
@@ -524,6 +673,18 @@ class BamReader:
         qual = np.frombuffer(data[off : off + l_seq], dtype=np.uint8).copy()
         off += l_seq
         tags = _parse_tags(data[off : pos + block_size])
+        # CG-tag long CIGAR (htslib SAMv1 §4.2.2: reads with >65535 ops are
+        # stored with a kSmN placeholder CIGAR and the real one in CG:B,I)
+        if (
+            n_cigar_op == 2
+            and cigar[0][0] == OP_S
+            and cigar[0][1] == l_seq
+            and cigar[1][0] == OP_N
+        ):
+            cg = tags.pop("CG", None)
+            if cg is not None and not isinstance(cg, (int, float, str)):
+                cg = np.asarray(cg).astype(np.uint32)
+                cigar = list(zip((cg & 0xF).tolist(), (cg >> 4).tolist()))
         return BamRecord(
             qname=qname,
             flag=flag,
