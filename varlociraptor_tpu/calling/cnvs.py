@@ -233,6 +233,21 @@ def _prob_no_cnv(obs_group: np.ndarray, states: CnvStates) -> float:
     return min(p, 0.0)
 
 
+def _depth_map(obs_path):
+    """(chrom, pos) -> raw depth observation from a preprocess observation
+    file (the depth-observation channel; the reference's unfilled
+    placeholder depth_observation.rs / sample.rs:330 TODO)."""
+    from .ref_obs import open_observations
+
+    out = {}
+    reader = open_observations(obs_path)
+    for variant, pileup in reader:
+        if pileup.raw_depth is not None:
+            out[(variant.chrom, variant.pos)] = int(pileup.raw_depth)
+    reader.close()
+    return out
+
+
 def call_cnvs(
     calls_path,
     output_path,
@@ -241,10 +256,20 @@ def call_cnvs(
     purity: float = 1.0,
     min_bayes_factor: float = 1.01,
     max_dist: int = 10**9,
+    tumor_obs=None,
+    normal_obs=None,
 ) -> int:
-    """Segment tumor/normal calls into CNVs; returns segment count."""
+    """Segment tumor/normal calls into CNVs; returns segment count.
+
+    ``tumor_obs``/``normal_obs``: optional preprocess observation files;
+    when given, per-locus depths come from their depth observations (raw
+    pre-subsampling fragment coverage) instead of the calls' FORMAT DP
+    (which is capped by --max-depth subsampling and weighted by mapping
+    uncertainty — both undesirable for a coverage-driven CNV model)."""
     if min_bayes_factor <= 1.0:
         raise ValueError("--min-bayes-factor must be > 1")
+    tumor_depths = _depth_map(tumor_obs) if tumor_obs else None
+    normal_depths = _depth_map(normal_obs) if normal_obs else None
     reader = open_variant_file(calls_path)
     records = reader.records()  # also populates sample_names from #CHROM
     # ##contig lengths for the trailing CIEND bound (cnvs.rs CNVCall write)
@@ -284,6 +309,10 @@ def call_cnvs(
             af_n = float(rec.samples[ni].get("AF", "0"))
         except (ValueError, IndexError):
             continue
+        if tumor_depths is not None:
+            d_t = tumor_depths.get((rec.chrom, rec.pos), d_t)
+        if normal_depths is not None:
+            d_n = normal_depths.get((rec.chrom, rec.pos), d_n)
         if d_n < MIN_DEPTH:
             continue
         loci.append(

@@ -121,6 +121,9 @@ class ObservationWriter:
             "som": variant.somatic_effective_mutation_rate,
             "obs": [obs_to_dict(o) for o in pileup.read_observations],
         }
+        if pileup.raw_depth is not None:
+            # depth observation (reference placeholder depth_observation.rs)
+            rec["dp"] = pileup.raw_depth
         if aux:
             # --propagate-info-fields passthrough (utils/aux_info.rs:52-135)
             rec["aux"] = aux
@@ -168,7 +171,10 @@ class ObservationReader:
                 heterozygosity=d.get("het"),
                 somatic_effective_mutation_rate=d.get("som"),
             )
-            pileup = Pileup(read_observations=[dict_to_obs(o) for o in d["obs"]])
+            pileup = Pileup(
+                read_observations=[dict_to_obs(o) for o in d["obs"]],
+                raw_depth=d.get("dp"),
+            )
             variant.aux_info = d.get("aux") or {}
             yield variant, pileup
 

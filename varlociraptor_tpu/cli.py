@@ -104,6 +104,11 @@ def build_parser():
     cn.add_argument("--purity", type=float, required=True)
     cn.add_argument("--min-bayes-factor", type=float, default=1.01)
     cn.add_argument("--max-dist", type=int, default=10**9)
+    cn.add_argument("--tumor-obs", default=None,
+                    help="tumor observation file: per-locus depth comes from "
+                         "its depth observations (raw pre-subsampling "
+                         "coverage) instead of the calls' FORMAT DP")
+    cn.add_argument("--normal-obs", default=None)
 
     # ---- filter-calls ----
     fc = sub.add_parser("filter-calls", help="filter calls")
@@ -248,6 +253,8 @@ def run(argv=None):
             purity=args.purity,
             min_bayes_factor=args.min_bayes_factor,
             max_dist=args.max_dist,
+            tumor_obs=args.tumor_obs,
+            normal_obs=args.normal_obs,
         )
         print(f"called {n} CNV segments (EXPERIMENTAL)", file=sys.stderr)
         return 0

@@ -305,6 +305,7 @@ class PendingPileup:
     __slots__ = (
         "variant",
         "candidates",
+        "raw_depth",
         "keep",
         "hpem",
         "alt_variants",
@@ -444,6 +445,7 @@ def extract_observations_begin(
     pending = PendingPileup()
     pending.variant = variant
     pending.candidates = candidates
+    pending.raw_depth = len(candidates)
     pending.keep = keep
     pending.hpem = hpem
     pending.alt_variants = alt_variants
@@ -478,7 +480,7 @@ def extract_observations_finish(pending: PendingPileup) -> Pileup:
     process_observations(observations, props.max_read_len)
     if pending.do_adjust:
         adjust_prob_mapping(observations, props.max_mapq)
-    return Pileup(read_observations=observations)
+    return Pileup(read_observations=observations, raw_depth=pending.raw_depth)
 
 
 def evidence_to_observation(

@@ -186,7 +186,13 @@ class Pileup:
     """All observations of one sample at one locus."""
 
     read_observations: list[ReadObservation] = field(default_factory=list)
-    depth_observations: list = field(default_factory=list)  # CNV placeholder
+    depth_observations: list = field(default_factory=list)
+    # the depth observation (the reference's unfilled placeholder,
+    # depth_observation.rs / sample.rs:330 TODO): raw fragment coverage
+    # overlapping the variant's loci BEFORE subsampling and allele-support
+    # filtering — the coverage signal the CNV caller consumes (immune to
+    # --max-depth capping)
+    raw_depth: int | None = None
     n_filtered_out: int = 0
 
     def remove_nonstandard_alignments(self, omit_read_orientation_bias: bool):
