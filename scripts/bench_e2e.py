@@ -36,6 +36,17 @@ def run(n_candidates: int = 2500, workers: int = 4):
     n = make_candidates(n_candidates, cand)
 
     t0 = time.perf_counter()
+    # alignment properties estimated once per BAM (both synthetic samples
+    # read the same file; the CLI supports the same reuse via
+    # --alignment-properties)
+    from varlociraptor_tpu.estimation.alignment_properties import estimate
+    from varlociraptor_tpu.io.bam import BamReader
+    from varlociraptor_tpu.io.fasta import FastaBuffer
+
+    props = estimate(
+        BamReader(RES / "tumor-first30000.bam"),
+        reference=FastaBuffer(RES / "chr10.fa"),
+    )
     obs = {}
     for sample in ("tumor", "normal"):
         out = tmp / f"{sample}.obs.jsonl"
@@ -45,6 +56,7 @@ def run(n_candidates: int = 2500, workers: int = 4):
             RES / "chr10.fa",
             out,
             sample_name=sample,
+            alignment_properties=props,
             options=PreprocessOptions(n_workers=workers, log_mode="silent"),
         )
         obs[sample] = out
