@@ -171,7 +171,10 @@ def test_record_replay_batching_matches_direct(ref_resources):
         r = Realigner(reference=ref, props=props, indel_window=64, max_window=64)
         v = Insertion("1", 1078, b"CCT", r)
         if not batched:
-            # disable batching by making begin_record a no-op
+            # disable batching (and the scout hit-prefetch pass) so every
+            # forward computes directly at the call site
+            r.begin_scout = lambda: None
+            r.flush_scout = lambda: None
             r.begin_record = lambda: None
             r.run_batch = lambda: None
             r.end_batch = lambda: None

@@ -228,14 +228,17 @@ def collect_fragments(bam, contig: str, fetch_intervals, window: int, props=None
                 continue
         seen_windows.append((fs, fe))
         for rec in bam.fetch(contig, fs, fe):
-            if (
-                rec.is_secondary
-                or rec.is_duplicate
-                or rec.is_unmapped
-                or rec.is_qc_fail
-            ):
+            skip = getattr(rec, "_vlt_skip", None)
+            if skip is None:
+                skip = bool(
+                    rec.flag & 0x704  # secondary|duplicate|unmapped|qcfail
+                )
+                object.__setattr__(rec, "_vlt_skip", skip)
+            if skip:
                 continue
-            if props is not None:
+            # cigar-maxima ratchet: idempotent per record; inline the
+            # seen-marker check (this loop runs ~depth x loci x samples)
+            if props is not None and getattr(rec, "_cig_maxes", None) is None:
                 props.update_max_cigar_ops_len(rec)
             slot = candidates.get(rec.qname)
             if slot is None:

@@ -432,30 +432,67 @@ class Realigner:
         return CandidateRegion(read_enclosed, read_offset, read_end, rs, re)
 
     # ------------------------------------------------------------------
-    def allele_support(self, record, loci, variant, alt_variants, props):
-        """realignment/mod.rs:161-423.  loci: [(start, end)] on variant contig."""
+    def _region_preamble(self, record, loci, contig_len):
+        """Region computation + window slicing + error rate for one
+        (record, loci) pair — identical across the scout/record/replay
+        passes, so memoized for the batch cycle.  Returns None when no
+        region overlaps (the log-0.5 early exit), else
+        [(region, read_window, qual_window, error_rate)]."""
+        memo = self._em_memo
+        key = (id(record), tuple(loci)) if memo is not None else None
+        if key is not None:
+            hit = memo.get(key, _MEMO_MISS)
+            if hit is not _MEMO_MISS:
+                return hit
         regions = [
-            self.candidate_region(
-                record, start, end, self.reference.contig_length(variant.contig)
-            )
+            self.candidate_region(record, start, end, contig_len)
             for start, end in loci
         ]
-        if not any(r.overlap for r in regions):
+        out = None
+        if any(r.overlap for r in regions):
+            # merge overlapping ref regions (mod.rs:200-222)
+            merged = []
+            for r in regions:
+                if not r.overlap:
+                    continue
+                if merged and r.ref_start <= merged[-1].ref_end:
+                    last = merged[-1]
+                    last.ref_end = r.ref_end
+                    last.read_start = min(last.read_start, r.read_start)
+                    last.read_end = max(last.read_end, r.read_end)
+                else:
+                    merged.append(r)
+            out = []
+            for region in merged:
+                read_window = record.seq[region.read_start : region.read_end]
+                qual_window = record.qual[region.read_start : region.read_end]
+                # ReadEmission::error_rate: window miscall mass over the
+                # full read length
+                miscalls = (
+                    -qual_window.astype(np.float64) * math.log(10.0) / 10.0
+                )
+                with np.errstate(divide="ignore"):
+                    error_rate = (
+                        float(
+                            np.log(np.sum(np.exp(miscalls)))
+                            - math.log(max(record.read_len, 1))
+                        )
+                        if len(miscalls)
+                        else LOG_ZERO
+                    )
+                out.append((region, read_window, qual_window, error_rate))
+        if key is not None:
+            memo[key] = out
+        return out
+
+    def allele_support(self, record, loci, variant, alt_variants, props):
+        """realignment/mod.rs:161-423.  loci: [(start, end)] on variant contig."""
+        preamble = self._region_preamble(
+            record, loci, self.reference.contig_length(variant.contig)
+        )
+        if preamble is None:
             p = math.log(0.5)
             return AlleleSupport(prob_ref=p, prob_alt=p, strand=STRAND_NONE)
-
-        # merge overlapping ref regions (mod.rs:200-222)
-        merged = []
-        for r in regions:
-            if not r.overlap:
-                continue
-            if merged and r.ref_start <= merged[-1].ref_end:
-                last = merged[-1]
-                last.ref_end = r.ref_end
-                last.read_start = min(last.read_start, r.read_start)
-                last.read_end = max(last.read_end, r.read_end)
-            else:
-                merged.append(r)
 
         ref_seq = self.reference.seq(variant.contig)
         prob_ref_all = 0.0
@@ -465,20 +502,7 @@ class Realigner:
         is_third_allele = False
         alt_edit_dist = None
 
-        for region in merged:
-            read_window = record.seq[region.read_start : region.read_end]
-            qual_window = record.qual[region.read_start : region.read_end]
-            # ReadEmission::error_rate: window miscall mass over full read len
-            miscalls = -qual_window.astype(np.float64) * math.log(10.0) / 10.0
-            with np.errstate(divide="ignore"):
-                error_rate = (
-                    float(
-                        np.log(np.sum(np.exp(miscalls)))
-                        - math.log(max(record.read_len, 1))
-                    )
-                    if len(miscalls)
-                    else LOG_ZERO
-                )
+        for region, read_window, qual_window, error_rate in preamble:
 
             em_memo = self._em_memo
             em_key = (

@@ -320,6 +320,7 @@ class BamReader:
         self._tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
         self._data = data
         self._rec_cache: dict[int, BamRecord] = {}
+        self._rec_list = None
 
         # columnar record index: native single-pass scan when available,
         # python fallback otherwise; records parse lazily on access
@@ -384,6 +385,7 @@ class BamReader:
         self.ref_names = []
         self.ref_lengths = []
         self._rec_cache = {}
+        self._rec_list = None
         self._data = b""
         header_lines = []
         offsets, tids, positions, ends = [], [], [], []
@@ -729,7 +731,19 @@ class BamReader:
         hi = int(np.searchsorted(starts, end, side="left"))
         cand = order[lo:hi]
         cand = cand[(self._ends[cand] > start) & (self._positions[cand] < end)]
-        return [self._record_at(int(i)) for i in cand]
+        # flat record list (parse-once): overlapping locus fetches touch the
+        # same records thousands of times; a list index beats the
+        # offset-dict + method call per record
+        rl = self._rec_list
+        if rl is None:
+            rl = self._rec_list = [None] * len(self._offsets)
+        out = []
+        for i in cand.tolist():
+            rec = rl[i]
+            if rec is None:
+                rec = rl[i] = self._record_at(i)
+            out.append(rec)
+        return out
 
     def __iter__(self):
         if self._lazy:
