@@ -1,0 +1,83 @@
+"""Pallas column-recurrence pair-HMM kernel (ops/pallas_pairhmm.py) vs the
+general anti-diagonal wavefront kernel, in interpreter mode (no TPU in CI).
+
+The zero-extension model (reference GapParams defaults) collapses the
+three-state semiglobal DP to a single-state column recurrence; this asserts
+the collapse is exact (up to f32) against the independent log-space kernel.
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from varlociraptor_tpu.ops.pairhmm import NEG_INF, _forward_impl
+from varlociraptor_tpu.ops.pallas_pairhmm import pallas_exact_forward
+
+GAP = np.array(
+    [math.log(2.8e-6), math.log(5.1e-6), NEG_INF, NEG_INF], dtype=np.float32
+)
+
+
+def _synth(n=21, seed=3):
+    random.seed(seed)
+    bases = b"ACGT"
+    alleles, reads, quals = [], [], []
+    for _t in range(n):
+        alen = random.choice([40, 100, 192, 300])
+        a = bytes(random.choice(bases) for _ in range(alen))
+        rlen = random.choice([1, 30, 64, 100])
+        p = random.randrange(max(1, alen - rlen)) if alen > rlen else 0
+        r = bytearray(a[p : p + min(rlen, alen)])
+        for _ in range(random.randrange(4)):
+            if not r:
+                break
+            q = random.randrange(len(r))
+            op = random.random()
+            if op < 0.4:
+                r[q] = random.choice(bases)
+            elif op < 0.7:
+                r.insert(q, random.choice(bases))
+            else:
+                del r[q]
+        if not r:
+            r = bytearray(b"A")
+        alleles.append(a)
+        reads.append(np.frombuffer(bytes(r), dtype=np.uint8))
+        quals.append(np.full(len(r), random.choice([20, 30, 40]), dtype=np.uint8))
+    return alleles, reads, quals
+
+
+def test_pallas_matches_wavefront_interpret():
+    import jax.numpy as jnp
+
+    alleles, reads, quals = _synth()
+    out_pl = pallas_exact_forward(alleles, reads, quals, GAP, interpret=True)
+
+    B = 32
+    X = ((max(len(a) for a in alleles) + 31) // 32) * 32
+    Y = ((max(len(r) for r in reads) + 31) // 32) * 32
+    al = np.zeros((B, X), np.uint8)
+    alen = np.ones(B, np.int32)
+    rd = np.zeros((B, Y), np.uint8)
+    rlen = np.ones(B, np.int32)
+    mis = np.full((B, Y), NEG_INF, np.float32)
+    for b in range(len(alleles)):
+        a = np.frombuffer(alleles[b], np.uint8)
+        al[b, : len(a)] = a
+        alen[b] = len(a)
+        r = reads[b]
+        rd[b, : len(r)] = r
+        rlen[b] = len(r)
+        mis[b, : len(r)] = -quals[b].astype(np.float64) * math.log(10) / 10
+    me = np.full(B, -1, np.int32)
+    out_ref = np.asarray(
+        _forward_impl(
+            jnp.asarray(al), jnp.asarray(alen), jnp.asarray(rd),
+            jnp.asarray(mis), jnp.asarray(rlen), jnp.asarray(GAP),
+            jnp.asarray(me), X, Y,
+        )
+    )[: len(alleles)]
+    rel = np.abs(out_pl - out_ref) / np.maximum(np.abs(out_ref), 1.0)
+    assert float(rel.max()) < 5e-4, rel.max()

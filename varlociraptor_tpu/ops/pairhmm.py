@@ -612,6 +612,23 @@ class BatchedPairHMM:
             return self._forward_hop(alleles, reads, quals, max_dists)
         if self._native_ok():
             return self._forward_native(alleles, reads, quals, max_dists)
+        import os
+
+        if (
+            self.mode == "exact"
+            and os.environ.get("VLT_PALLAS_PAIRHMM") == "1"
+            and self.gap[2] <= NEG_INF / 2
+            and self.gap[3] <= NEG_INF / 2
+        ):
+            # Pallas column kernel (ops/pallas_pairhmm.py): the zero-extension
+            # model collapses to a single-state column recurrence — Y VPU
+            # steps instead of the X+Y-step log-space wavefront below. Runs
+            # the FULL-window forward (the band prunes mass the full forward
+            # dominates; parity vs the banded kernels is within the f32
+            # noise floor of the ratio normalization).
+            from .pallas_pairhmm import pallas_exact_forward
+
+            return pallas_exact_forward(alleles, reads, quals, self.gap)
         # pad the batch axis to a pow2 bucket so jit programs are reused
         # across pileups (unpadded batch sizes caused one XLA compile per
         # distinct request count)
