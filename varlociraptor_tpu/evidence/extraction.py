@@ -228,6 +228,13 @@ def collect_fragments(bam, contig: str, fetch_intervals, window: int, props=None
                 continue
         seen_windows.append((fs, fe))
         for rec in bam.fetch(contig, fs, fe):
+            if rec.pos < fs:
+                # rust-htslib bam::RecordBuffer retention is START-based:
+                # the buffer holds records with pos in [start, end), so a
+                # read that merely overlaps the window start from the left
+                # is NOT part of the reference's candidate set (this decides
+                # single- vs pair-evidence classification at window edges)
+                continue
             skip = getattr(rec, "_vlt_skip", None)
             if skip is None:
                 skip = bool(
