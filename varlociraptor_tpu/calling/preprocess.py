@@ -11,7 +11,7 @@ ops.pairhmm via evidence.realignment).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 
 from ..estimation.alignment_properties import AlignmentProperties
 from ..evidence.extraction import extract_observations
@@ -59,8 +59,9 @@ class PreprocessOptions:
     # per locus (bit-identical to the reference's sequential semantics —
     # the alignment-property maxima ratchet advances between loci; with
     # chunking it advances per chunk, the same divergence class as
-    # region sharding / n_workers).
-    device_chunk: int = 1
+    # region sharding / n_workers). 0 = auto: 1 on the CPU backend (native
+    # kernels, exact semantics), 64 on accelerators.
+    device_chunk: int = 0
 
 
 def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
@@ -225,6 +226,17 @@ def preprocess(
                 # same-locus candidates act as competing alt alleles during
                 # realignment (utils/variant_buffer.rs:14-138)
                 locus_groups.setdefault((info.chrom, info.pos), []).append(info)
+
+    if options.device_chunk == 0:
+        # auto: chunk on accelerators (per-locus dispatch latency dominates
+        # there), per-locus on CPU (native kernels; reference-exact ratchet)
+        try:
+            import jax as _jax
+
+            auto_chunk = 1 if _jax.default_backend() == "cpu" else 64
+        except Exception:  # noqa: BLE001
+            auto_chunk = 1
+        options = _dc_replace(options, device_chunk=auto_chunk)
 
     n = 0
     skipped = {}
