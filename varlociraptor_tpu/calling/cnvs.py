@@ -240,11 +240,23 @@ def _depth_map(obs_path):
     from .ref_obs import open_observations
 
     out = {}
+    n_records = 0
     reader = open_observations(obs_path)
     for variant, pileup in reader:
+        n_records += 1
         if pileup.raw_depth is not None:
             out[(variant.chrom, variant.pos)] = int(pileup.raw_depth)
     reader.close()
+    if n_records and not out:
+        import sys
+
+        print(
+            f"warning: {obs_path} carries no depth observations (reference "
+            "v15 BCF observation files have no depth channel; use the "
+            "native .jsonl format from preprocess) — falling back to the "
+            "calls' FORMAT DP",
+            file=sys.stderr,
+        )
     return out
 
 

@@ -407,6 +407,9 @@ def preprocess(
                     except NotImplementedError:
                         pass
                 if fragment_ids is not None and info.chrom != current_contig:
+                    # pending chunk loci belong to the previous contig and
+                    # must take their ids from the map BEFORE it resets
+                    _flush_chunk()
                     fragment_ids.reset()
                     current_contig = info.chrom
                 aux = {
@@ -481,7 +484,7 @@ def _parallel_worker(args):
     ) = args
     import os
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"  # container presets axon; must override
     # route the pair-HMM through the native C++ kernel so the worker never
     # initializes a jax backend at all (the axon TPU tunnel is single-client;
     # a worker dialing it would deadlock the fleet)

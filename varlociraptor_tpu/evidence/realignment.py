@@ -25,6 +25,7 @@ from .observation import STRAND_NONE
 from .variants import AlleleSupport, strand_from_record
 from .edit_distance import (  # noqa: E402
     EDIT_BAND,
+    EditHit,
     calc_hit,
     derive_patched_allele,
     finish_hit,
@@ -42,13 +43,9 @@ _PARITY_PRESELECT = _os.environ.get("VLT_PRESELECT", "0") == "1"
 _MEMO_MISS = object()
 
 
-def _make_scout_hit():
-    from .edit_distance import EditHit
-
-    return EditHit(dist=0, start=0, end=0, ops=[])
-
-
-_SCOUT_HIT = None  # created lazily (EditHit import cycle at module load)
+# placeholder hit returned during the scout pass (explainable=None, so no
+# patched-allele forwards are queued from scout)
+_SCOUT_HIT = EditHit(dist=0, start=0, end=0, ops=[])
 
 
 def read_pos_full(record: BamRecord, ref_pos: int, include_softclips=True, include_dels=True):
@@ -219,9 +216,6 @@ class Realigner:
         no forward queueing, only to ENUMERATE the (allele, read-window)
         pairs of the whole pileup; flush_scout then computes every edit hit
         in one native batch and primes the memo for the record pass."""
-        global _SCOUT_HIT
-        if _SCOUT_HIT is None:
-            _SCOUT_HIT = _make_scout_hit()
         self._batch_mode = "scout"
         self._requests = []
         self._hit_memo = {}

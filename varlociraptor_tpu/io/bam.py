@@ -430,6 +430,12 @@ class BamReader:
                     if cols[9] != "*"
                     else np.zeros(0, np.uint8)
                 )
+                # soft-masked lowercase bases: the BAM 4-bit decoder can only
+                # produce uppercase; normalize letters (htslib seq_nt16
+                # behavior), leaving '=' and friends untouched
+                low = (seq >= 97) & (seq <= 122)
+                if low.any():
+                    seq = np.where(low, seq & ~np.uint8(0x20), seq)
                 qual = (
                     np.frombuffer(cols[10].encode("latin1"), dtype=np.uint8) - 33
                     if cols[10] != "*"

@@ -157,6 +157,41 @@ def bam_scan(data: bytes, start: int):
     )
 
 
+
+def _pack_batch(alleles, reads, miscalls, max_edit):
+    """Shared buffer packing for the pair-HMM batch entry points: offsets,
+    concatenated sequence/miscall buffers, and the band sentinel array."""
+    n = len(alleles)
+    a_len = np.array([len(a) for a in alleles], dtype=np.int32)
+    r_len = np.array([len(r) for r in reads], dtype=np.int32)
+    a_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(a_len[:-1], out=a_off[1:])
+    r_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(r_len[:-1], out=r_off[1:])
+    def _as_u8(x):
+        if isinstance(x, (bytes, bytearray, memoryview)):
+            return np.frombuffer(bytes(x), dtype=np.uint8)
+        return np.asarray(x, dtype=np.uint8)
+
+    a_buf = np.frombuffer(b"".join(bytes(a) for a in alleles), dtype=np.uint8)
+    r_buf = (
+        np.concatenate([_as_u8(r) for r in reads])
+        if reads
+        else np.zeros(0, np.uint8)
+    )
+    m_buf = (
+        np.concatenate([np.asarray(m, dtype=np.float32) for m in miscalls])
+        if miscalls is not None
+        else None
+    )
+    me_buf = None
+    if max_edit is not None:
+        me_buf = np.array(
+            [-1 if d is None else int(d) for d in max_edit], dtype=np.int32
+        )
+    return a_len, r_len, a_off, r_off, a_buf, r_buf, m_buf, me_buf
+
+
 def pairhmm_forward_batch(
     alleles,
     reads,
@@ -186,21 +221,9 @@ def pairhmm_forward_batch(
     n = len(alleles)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
-    a_len = np.array([len(a) for a in alleles], dtype=np.int32)
-    r_len = np.array([len(r) for r in reads], dtype=np.int32)
-    a_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(a_len[:-1], out=a_off[1:])
-    r_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(r_len[:-1], out=r_off[1:])
-    a_buf = np.frombuffer(b"".join(bytes(a) for a in alleles), dtype=np.uint8)
-    r_buf = (
-        np.concatenate([np.asarray(r, dtype=np.uint8) for r in reads])
-        if reads
-        else np.zeros(0, np.uint8)
+    a_len, r_len, a_off, r_off, a_buf, r_buf, m_buf, me_buf = _pack_batch(
+        alleles, reads, miscalls, max_edit
     )
-    m_buf = np.concatenate(
-        [np.asarray(m, dtype=np.float32) for m in miscalls]
-    ) if n else np.zeros(0, np.float32)
     gaps32 = np.asarray(gaps, dtype=np.float32)
     out = np.zeros(n, dtype=np.float64)
 
@@ -213,11 +236,6 @@ def pairhmm_forward_batch(
     ie_buf = _cat(ins_ext)
     do_buf = _cat(del_open)
     de_buf = _cat(del_ext)
-    me_buf = None
-    if max_edit is not None:
-        me_buf = np.array(
-            [-1 if d is None else int(d) for d in max_edit], dtype=np.int32
-        )
 
     def _ptr(arr):
         return (
@@ -344,14 +362,9 @@ def hybrid_hits_batch(alleles, reads, n_threads=None):
     n = len(alleles)
     if n == 0:
         return []
-    a_len = np.array([len(a) for a in alleles], dtype=np.int32)
-    r_len = np.array([len(r) for r in reads], dtype=np.int32)
-    a_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(a_len[:-1], out=a_off[1:])
-    r_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(r_len[:-1], out=r_off[1:])
-    a_buf = b"".join(alleles)
-    r_buf = b"".join(reads)
+    a_len, r_len, a_off, r_off, a_buf, r_buf, _m, _me = _pack_batch(
+        alleles, reads, None, None
+    )
     strides = (a_len + r_len + 2).astype(np.int64)
     ops_off = np.zeros(n, dtype=np.int64)
     np.cumsum(strides[:-1], out=ops_off[1:])
@@ -366,10 +379,10 @@ def hybrid_hits_batch(alleles, reads, n_threads=None):
     out_nops2 = np.zeros(n, dtype=np.int32)
     out_ops2 = np.zeros(total_ops, dtype=np.uint8)
     rc = lib.vlt_hybrid_hits_batch(
-        ctypes.c_char_p(a_buf),
+        a_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         a_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         a_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.c_char_p(r_buf),
+        r_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         r_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         r_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int32(n),
@@ -419,27 +432,12 @@ def pairhmm_hop_batch(alleles, reads, miscalls, gaps, hop16, max_edit=None,
     n = len(alleles)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
-    a_len = np.array([len(a) for a in alleles], dtype=np.int32)
-    r_len = np.array([len(r) for r in reads], dtype=np.int32)
-    a_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(a_len[:-1], out=a_off[1:])
-    r_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(r_len[:-1], out=r_off[1:])
-    a_buf = np.frombuffer(b"".join(bytes(a) for a in alleles), dtype=np.uint8)
-    r_buf = (
-        np.concatenate([np.asarray(r, dtype=np.uint8) for r in reads])
-        if reads
-        else np.zeros(0, np.uint8)
+    a_len, r_len, a_off, r_off, a_buf, r_buf, m_buf, me_buf = _pack_batch(
+        alleles, reads, miscalls, max_edit
     )
-    m_buf = np.concatenate([np.asarray(m, dtype=np.float32) for m in miscalls])
     gaps32 = np.asarray(gaps, dtype=np.float32)
     hop32 = np.asarray(hop16, dtype=np.float32)
     assert hop32.shape == (16,)
-    me_buf = None
-    if max_edit is not None:
-        me_buf = np.array(
-            [-1 if d is None else int(d) for d in max_edit], dtype=np.int32
-        )
     out = np.zeros(n, dtype=np.float64)
     rc = lib.vlt_pairhmm_hop_batch(
         a_buf.ctypes.data_as(ctypes.c_void_p),
