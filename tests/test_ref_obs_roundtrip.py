@@ -103,3 +103,30 @@ def test_open_observations_gzipped_jsonl(tmp_path):
     assert len(recs) == 1
     variant, pileup = recs[0]
     assert variant.chrom == "chr1" and len(pileup.read_observations) == 1
+
+
+def test_v15_posteriors_match_native_format():
+    """The v15 interop path must yield the SAME posteriors as the native
+    JSONL path (within f16 encoding granularity). Regression for the
+    round-3 fix: the v15 writer exported the RAW prob_mapping while the
+    reference serializes the MAPQ-ADJUSTED accessor value
+    (read_observation.rs:401) — calling never re-adjusts, so raw values
+    shifted GERMLINE_HOM by ~470 PHRED on test01."""
+    from pathlib import Path
+
+    import pytest
+
+    from varlociraptor_tpu.testcase import Testcase
+
+    td = Path("/root/reference/tests/resources/testcases/test01")
+    if not td.exists():
+        pytest.skip("testcases missing")
+    t = Testcase(td)
+    r_v15, _ = t.run(obs_suffix="vcf")
+    r_jsonl, _ = t.run(obs_suffix="jsonl")
+    for k, v in r_jsonl[0].info.items():
+        if not k.startswith("PROB_") or v in ("inf", True):
+            continue
+        a = float(str(r_v15[0].info[k]).split(",")[0])
+        b = float(str(v).split(",")[0])
+        assert abs(a - b) < 1.0, (k, a, b)

@@ -477,7 +477,10 @@ def encode_reference_observations(pileup) -> dict:
         )
     )
     for tag, get in (
-        ("PROB_MAPPING", lambda o: o.prob_mapping),
+        # the reference serializes via the prob_mapping() ACCESSOR
+        # (read_observation.rs:401 = prob_mapping_adj.unwrap_or(raw)), i.e.
+        # the MAPQ-ADJUSTED value — calling never re-adjusts
+        ("PROB_MAPPING", lambda o: o.eff_prob_mapping()),
         ("PROB_REF", lambda o: o.prob_ref),
         ("PROB_ALT", lambda o: o.prob_alt),
         ("PROB_MISSED_ALLELE", lambda o: o.prob_missed_allele),
