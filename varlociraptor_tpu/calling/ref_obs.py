@@ -559,7 +559,11 @@ def encode_reference_observations(pileup) -> dict:
 _OBS_INFO_HEADER_TAGS = (
     "FRAGMENT_ID", "PROB_MAPPING", "PROB_REF", "PROB_ALT",
     "PROB_MISSED_ALLELE", "PROB_SAMPLE_ALT", "PROB_DOUBLE_OVERLAP",
-    "STRAND", "READ_ORIENTATION", "SOFTCLIPPED", "PAIRED", "READ_POSITION",
+    "STRAND", "READ_ORIENTATION", "SOFTCLIPPED",
+    # vestigial in the reference (header-declared at preprocessing/mod.rs:147
+    # but never written or read); declared for header byte-compat
+    "ALT_INDEL_OPERATIONS",
+    "PAIRED", "READ_POSITION",
     "PROB_HIT_BASE", "IS_MAX_MAPQ", "ALT_LOCUS", "THIRD_ALLELE_EVIDENCE",
     "PROB_HOMOPOLYMER_ARTIFACT_OBSERVABLE",
     "PROB_HOMOPOLYMER_VARIANT_OBSERVABLE", "HOMOPOLYMER_INDEL_LEN",
