@@ -148,24 +148,36 @@ def main():
                 "axon TPU tunnel unresponsive (tiny-op probe timed out); "
                 "measured on the XLA CPU backend instead"
             )
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__] + sys.argv[1:],
-                capture_output=True,
-                timeout=2400,
-                text=True,
-                env=env,
+        def _run_child(child_env, timeout):
+            try:
+                out = subprocess.run(
+                    [sys.executable, __file__] + sys.argv[1:],
+                    capture_output=True,
+                    timeout=timeout,
+                    text=True,
+                    env=child_env,
+                )
+                return next(
+                    (
+                        ln
+                        for ln in reversed(out.stdout.strip().splitlines())
+                        if ln.startswith("{")
+                    ),
+                    None,
+                )
+            except subprocess.TimeoutExpired:
+                return None
+
+        line = _run_child(env, 2400)
+        if line is None and "VLT_BENCH_FORCE_CPU" not in env:
+            # the tunnel answered the probe but died mid-run: degrade to CPU
+            env["JAX_PLATFORMS"] = "cpu"
+            env["VLT_BENCH_FORCE_CPU"] = "1"
+            note = (
+                "axon TPU tunnel died mid-benchmark; re-measured on the XLA "
+                "CPU backend"
             )
-            line = next(
-                (
-                    ln
-                    for ln in reversed(out.stdout.strip().splitlines())
-                    if ln.startswith("{")
-                ),
-                None,
-            )
-        except subprocess.TimeoutExpired:
-            line = None
+            line = _run_child(env, 2400)
         if line is None:
             print(
                 json.dumps(
