@@ -143,3 +143,61 @@ def test_sam_text_input(tmp_path):
     # fetch through the columnar index works
     hits = reader.fetch("chr1", 100, 120)
     assert [r.qname for r in hits] == ["r1"]
+
+
+def test_bcf_fuzz_truncation_and_corruption(tmp_path):
+    """BCF reader: random truncations/corruptions raise MalformedBcfError
+    (or parse), never interpreter internals. The fixture BCF is produced by
+    our own v15 observation writer."""
+    from varlociraptor_tpu.calling.observations import ObservationWriter  # noqa: F401
+    from varlociraptor_tpu.calling.ref_obs import ReferenceObservationWriter
+    from varlociraptor_tpu.calling.variants import VariantInfo
+    from varlociraptor_tpu.errors import MalformedBcfError
+    from varlociraptor_tpu.evidence.observation import (
+        Pileup,
+        ReadObservation,
+        set_prob_mapping,
+        set_prob_overlap,
+    )
+    from varlociraptor_tpu.io.bcf import BcfReader
+
+    src = tmp_path / "obs.bcf"
+    with ReferenceObservationWriter(src, sample_name="s") as w:
+        for pos in (100, 200, 300):
+            obs = []
+            for k in range(10):
+                o = ReadObservation(name=f"r{k}")
+                set_prob_mapping(o, -1e-6)
+                o.prob_alt = -0.1
+                o.prob_ref = -2.0
+                o.prob_missed_allele = -0.7
+                o.prob_sample_alt = 0.0
+                set_prob_overlap(o, float("-inf"))
+                obs.append(o)
+            w.write_record(
+                VariantInfo(
+                    kind="snv", chrom="chr1", pos=pos,
+                    ref_allele="A", alt_allele="T", alt_base="T",
+                ),
+                Pileup(read_observations=obs),
+            )
+    raw = src.read_bytes()
+    rng = random.Random(99)
+    ok = clean = 0
+    for trial in range(40):
+        buf = bytearray(raw)
+        if trial % 2 == 0:
+            buf = buf[: rng.randrange(1, len(buf))]
+        else:
+            for _ in range(rng.randrange(1, 6)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+        p = tmp_path / f"fuzz{trial}.bcf"
+        p.write_bytes(bytes(buf))
+        try:
+            for _rec in BcfReader(p):
+                pass
+            ok += 1
+        except MalformedBcfError:
+            clean += 1
+    assert ok + clean == 40
+    assert clean > 0

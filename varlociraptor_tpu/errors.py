@@ -191,3 +191,11 @@ class MalformedBamError(VarlociraptorError):
 
     def __init__(self, detail: str):
         super().__init__(f"malformed BAM input: {detail}")
+
+
+class MalformedBcfError(VarlociraptorError):
+    """BCF byte stream violates the spec (truncated/corrupt block or typed
+    value). Raised instead of leaking struct/zlib internals."""
+
+    def __init__(self, detail: str):
+        super().__init__(f"malformed BCF input: {detail}")

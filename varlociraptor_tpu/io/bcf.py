@@ -23,18 +23,28 @@ _MISSING_INT32 = -2147483648
 
 class BcfReader:
     def __init__(self, path):
+        from ..errors import MalformedBcfError
+
         self.path = Path(path)
         raw = self.path.read_bytes()
-        if raw[:2] == b"\x1f\x8b":
-            raw = _decode_bgzf(raw)
+        try:
+            if raw[:2] == b"\x1f\x8b":
+                raw = _decode_bgzf(raw)
+        except Exception as e:  # noqa: BLE001 - zlib/struct internals
+            raise MalformedBcfError(f"BGZF stream of {path}: {e}") from e
         if raw[:3] != b"BCF":
-            raise ValueError(f"{path} is not BCF")
-        # magic BCF\major\minor
-        l_text = struct.unpack_from("<I", raw, 5)[0]
-        self.header_text = raw[9 : 9 + l_text].rstrip(b"\x00").decode("latin1")
-        self._pos = 9 + l_text
-        self._raw = raw
-        self._parse_header()
+            raise MalformedBcfError(f"{path} lacks the BCF magic")
+        try:
+            # magic BCF\major\minor
+            l_text = struct.unpack_from("<I", raw, 5)[0]
+            self.header_text = raw[9 : 9 + l_text].rstrip(b"\x00").decode("latin1")
+            self._pos = 9 + l_text
+            self._raw = raw
+            self._parse_header()
+        except MalformedBcfError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            raise MalformedBcfError(f"header of {path}: {e}") from e
 
     def _parse_header(self):
         self.header_lines = [
@@ -121,11 +131,28 @@ class BcfReader:
         raise ValueError(f"bad BCF type {typ}")
 
     def __iter__(self):
+        from ..errors import MalformedBcfError
+
+        try:
+            yield from self._iter_records()
+        except MalformedBcfError:
+            raise
+        except Exception as e:  # noqa: BLE001 - struct/index internals
+            raise MalformedBcfError(f"record block in {self.path}: {e}") from e
+
+    def _iter_records(self):
         pos = self._pos
         raw = self._raw
         n = len(raw)
         while pos + 8 <= n:
             l_shared, l_indiv = struct.unpack_from("<II", raw, pos)
+            if l_shared < 24 or pos + 8 + l_shared + l_indiv > n:
+                from ..errors import MalformedBcfError
+
+                raise MalformedBcfError(
+                    f"record lengths ({l_shared}, {l_indiv}) at offset {pos} "
+                    "exceed the decompressed stream"
+                )
             rec_start = pos + 8
             p = rec_start
             chrom_id, rpos, _rlen = struct.unpack_from("<iii", raw, p)
