@@ -201,3 +201,71 @@ def test_bcf_fuzz_truncation_and_corruption(tmp_path):
             clean += 1
     assert ok + clean == 40
     assert clean > 0
+
+
+def test_sam_input_through_preprocess(tmp_path):
+    """SAM text input drives the full preprocess pipeline and produces the
+    same observations as the BAM original (reader-level transparency,
+    mirroring htslib)."""
+    import json
+
+    import yaml
+
+    from varlociraptor_tpu.calling.preprocess import PreprocessOptions, preprocess
+    from varlociraptor_tpu.estimation.alignment_properties import (
+        AlignmentProperties,
+    )
+    from varlociraptor_tpu.io.bam import CIGAR_OPS, BamReader
+
+    td = RES / "testcases" / "test01"
+    doc = yaml.safe_load((td / "testcase.yaml").read_text())
+    fa = tmp_path / "ref.fa"
+    fa.write_text(f">{doc['reference']['name']}\n{doc['reference']['seq']}\n")
+    props = AlignmentProperties.from_json(doc["samples"]["tumor"]["properties"])
+    bam_path = td / "tumor.bam"
+    reader = BamReader(bam_path)
+    props.max_read_len = max(r.read_len for r in reader)
+
+    # convert to SAM text with our own reader
+    sam = tmp_path / "tumor.sam"
+    lines = ["@HD\tVN:1.6\tSO:coordinate"]
+    for n, l in zip(reader.ref_names, reader.ref_lengths):
+        lines.append(f"@SQ\tSN:{n}\tLN:{l}")
+    for r in sorted(reader, key=lambda r: (r.tid, r.pos)):
+        cig = "".join(f"{l}{CIGAR_OPS[op]}" for op, l in r.cigar) or "*"
+        rname = reader.ref_names[r.tid] if r.tid >= 0 else "*"
+        mrname = (
+            "=" if r.mtid == r.tid and r.mtid >= 0
+            else (reader.ref_names[r.mtid] if r.mtid >= 0 else "*")
+        )
+        seq = bytes(r.seq).decode("latin1") or "*"
+        qual = "".join(chr(q + 33) for q in r.qual) or "*"
+        tags = []
+        for k, v in r.tags.items():
+            if isinstance(v, int):
+                tags.append(f"{k}:i:{v}")
+            elif isinstance(v, float):
+                tags.append(f"{k}:f:{v}")
+            elif isinstance(v, str):
+                tags.append(f"{k}:Z:{v}")
+        lines.append(
+            "\t".join(
+                [r.qname, str(r.flag), rname, str(r.pos + 1), str(r.mapq),
+                 cig, mrname, str(r.mpos + 1), str(r.tlen), seq, qual] + tags
+            )
+        )
+    sam.write_text("\n".join(lines) + "\n")
+
+    outs = {}
+    for tag, src in (("bam", bam_path), ("sam", sam)):
+        out = tmp_path / f"{tag}.obs.jsonl"
+        preprocess(
+            td / "candidates.vcf", src, fa, out, sample_name="t",
+            alignment_properties=AlignmentProperties.from_json(
+                doc["samples"]["tumor"]["properties"]
+            ),
+            options=PreprocessOptions(log_mode="silent"),
+        )
+        outs[tag] = [json.loads(x) for x in out.read_text().splitlines()[1:]]
+    assert outs["bam"] == outs["sam"]
+    assert outs["bam"] and outs["bam"][0]["obs"]
