@@ -211,3 +211,62 @@ def test_full_prior_contaminated_three_samples(tmp_path):
     assert np.isfinite(p["PROB_SOMATIC"])
     assert p["PROB_SOMATIC"] < p.get("PROB_GERMLINE", np.inf)
     assert p["PROB_SOMATIC"] < p.get("PROB_ABSENT", np.inf)
+
+
+def test_full_prior_contaminated_four_samples_axis_placement(tmp_path):
+    """S=4 exercises the remaining pair-factor placements of the generic
+    contraction: a (sample1 by sample0) pair lands entirely on the LEAD
+    axes and a (sample2 by sample3) pair entirely on the TAIL axes."""
+    import copy
+
+    scenario = {
+        "samples": {
+            "s0": {"universe": "[0.0,1.0]", "ploidy": 2, "resolution": 0.25},
+            "s1": {
+                "universe": "[0.0,1.0]",
+                "resolution": 0.25,
+                "contamination": {"by": "s0", "fraction": 0.3},
+            },
+            "s2": {
+                "universe": "[0.0,1.0]",
+                "resolution": 0.25,
+                "contamination": {"by": "s3", "fraction": 0.2},
+            },
+            "s3": {"universe": "[0.0,1.0]", "ploidy": 2, "resolution": 0.25},
+        },
+        "species": {"heterozygosity": 0.001},
+        "events": {
+            "present": "s0:]0.0,1.0] | s1:]0.0,1.0] | s2:]0.0,1.0] | s3:]0.0,1.0]",
+        },
+    }
+    piles = {
+        "s0": _pileup(0, 16),
+        "s1": _pileup(8, 8),
+        "s2": _pileup(8, 8),
+        "s3": _pileup(0, 16),
+    }
+    obs_paths = _write_trio_obs(tmp_path, piles, "q")
+    opts = CallOptions(full_prior=True, resolution=0.25, batch_size=4)
+
+    zero = copy.deepcopy(scenario)
+    zero["samples"]["s1"]["contamination"]["fraction"] = 0.0
+    zero["samples"]["s2"]["contamination"]["fraction"] = 0.0
+    out_zero = tmp_path / "q-zero.vcf"
+    call_generic(Scenario(zero), obs_paths, out_zero, opts)
+
+    clean = copy.deepcopy(scenario)
+    del clean["samples"]["s1"]["contamination"]
+    del clean["samples"]["s2"]["contamination"]
+    out_clean = tmp_path / "q-clean.vcf"
+    call_generic(Scenario(clean), obs_paths, out_clean, opts)
+
+    pz, pc = _probs(out_zero), _probs(out_clean)
+    assert set(pz) == set(pc)
+    for k in pz:
+        assert abs(pz[k] - pc[k]) < 1e-2, (k, pz[k], pc[k])
+
+    out = tmp_path / "q-contam.vcf"
+    call_generic(Scenario(scenario), obs_paths, out, opts)
+    p = _probs(out)
+    assert np.isfinite(p["PROB_PRESENT"])
+    assert p["PROB_PRESENT"] < p.get("PROB_ABSENT", np.inf)
