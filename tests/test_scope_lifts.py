@@ -270,3 +270,50 @@ def test_full_prior_contaminated_four_samples_axis_placement(tmp_path):
     p = _probs(out)
     assert np.isfinite(p["PROB_PRESENT"])
     assert p["PROB_PRESENT"] < p.get("PROB_ABSENT", np.inf)
+
+
+def test_full_prior_contaminated_lead_by_tail_placement(tmp_path):
+    """S=4 with s1 contaminated BY s3: the pair factor spans a LEAD axis
+    (si=1) and a TAIL axis (by=3) — the row-placement branch."""
+    import copy
+
+    scenario = {
+        "samples": {
+            "s0": {"universe": "[0.0,1.0]", "ploidy": 2, "resolution": 0.25},
+            "s1": {
+                "universe": "[0.0,1.0]",
+                "resolution": 0.25,
+                "contamination": {"by": "s3", "fraction": 0.35},
+            },
+            "s2": {"universe": "[0.0,1.0]", "ploidy": 2, "resolution": 0.25},
+            "s3": {"universe": "[0.0,1.0]", "ploidy": 2, "resolution": 0.25},
+        },
+        "species": {"heterozygosity": 0.001},
+        "events": {
+            "present": "s0:]0.0,1.0] | s1:]0.0,1.0] | s2:]0.0,1.0] | s3:]0.0,1.0]",
+        },
+    }
+    piles = {
+        "s0": _pileup(0, 16),
+        "s1": _pileup(8, 8),
+        "s2": _pileup(0, 16),
+        "s3": _pileup(4, 12),
+    }
+    obs_paths = _write_trio_obs(tmp_path, piles, "r")
+    opts = CallOptions(full_prior=True, resolution=0.25, batch_size=4)
+
+    zero = copy.deepcopy(scenario)
+    zero["samples"]["s1"]["contamination"]["fraction"] = 0.0
+    out_zero = tmp_path / "r-zero.vcf"
+    call_generic(Scenario(zero), obs_paths, out_zero, opts)
+    clean = copy.deepcopy(scenario)
+    del clean["samples"]["s1"]["contamination"]
+    out_clean = tmp_path / "r-clean.vcf"
+    call_generic(Scenario(clean), obs_paths, out_clean, opts)
+    pz, pc = _probs(out_zero), _probs(out_clean)
+    for k in pz:
+        assert abs(pz[k] - pc[k]) < 1e-2, (k, pz[k], pc[k])
+
+    out = tmp_path / "r-contam.vcf"
+    call_generic(Scenario(scenario), obs_paths, out, opts)
+    assert np.isfinite(_probs(out)["PROB_PRESENT"])
