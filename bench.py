@@ -76,21 +76,59 @@ def _bench_preprocess_tpu(n=256):
         tmp = Path(tempfile.mkdtemp(prefix="vlt-pre-tpu-"))
         cand = tmp / "c.vcf"
         n_written = make_candidates(n, cand)
-        t0 = time.perf_counter()
-        count = preprocess(
-            cand,
-            RES / "tumor-first30000.bam",
-            RES / "chr10.fa",
-            tmp / "obs.jsonl",
-            sample_name="t",
-            options=PreprocessOptions(device_chunk=64, log_mode="silent"),
-        )
-        dt = time.perf_counter() - t0
-        return {
-            "ms_per_locus": round(dt / max(count, 1) * 1000, 2),
+
+        def _run(out_name, props=None):
+            t0 = time.perf_counter()
+            count = preprocess(
+                cand,
+                RES / "tumor-first30000.bam",
+                RES / "chr10.fa",
+                tmp / out_name,
+                sample_name="t",
+                alignment_properties=props,
+                options=PreprocessOptions(device_chunk=64, log_mode="silent"),
+            )
+            return round((time.perf_counter() - t0) / max(count, 1) * 1000, 2), count
+
+        ms, count = _run("obs.jsonl")
+        out = {
+            "ms_per_locus": ms,
             "n_loci": count,
             "device_chunk": 64,
         }
+        try:
+            # Pallas column kernel path: needs zero-extension gap params
+            # (the reference CLI defaults), which BAM-estimated properties
+            # replace with finite MLE extensions — measure with defaults
+            from varlociraptor_tpu.estimation.alignment_properties import (
+                estimate,
+            )
+            from varlociraptor_tpu.io.bam import BamReader
+            from varlociraptor_tpu.io.fasta import FastaBuffer
+
+            props = estimate(
+                BamReader(RES / "tumor-first30000.bam"),
+                reference=FastaBuffer(RES / "chr10.fa"),
+            )
+            from varlociraptor_tpu.estimation.alignment_properties import (
+                GapParams,
+            )
+            import math as _math
+
+            props.gap_params = GapParams(
+                prob_insertion_artifact=_math.log(2.8e-6),
+                prob_deletion_artifact=_math.log(5.1e-6),
+                prob_insertion_extend_artifact=float("-inf"),
+                prob_deletion_extend_artifact=float("-inf"),
+            )
+            os.environ["VLT_PALLAS_PAIRHMM"] = "1"
+            ms_pl, _c = _run("obs-pallas.jsonl", props=props)
+            out["ms_per_locus_pallas"] = ms_pl
+        except Exception as e:  # noqa: BLE001
+            out["pallas_error"] = f"{type(e).__name__}: {e}"[:120]
+        finally:
+            os.environ.pop("VLT_PALLAS_PAIRHMM", None)
+        return out
     except Exception as e:  # noqa: BLE001
         return {"error": f"{type(e).__name__}: {e}"[:160]}
     finally:
