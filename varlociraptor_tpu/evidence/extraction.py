@@ -425,28 +425,20 @@ def extract_observations_begin(
 
     try:
         if realigners:
-            # scout pass: enumerate every (allele, read-window) pair and
-            # compute ALL edit hits of the pileup in one native batch
+            # single scout pass: enumerate every (allele, read-window)
+            # pair, queue SYMBOLIC forward requests, then compute all edit
+            # hits of the pileup in one native batch; run_batch /
+            # collect_requests materializes the shrunk windows + bands +
+            # patched-allele forwards from the memoized hits, and the
+            # replay pass (extract_observations_finish) consumes results
+            # in the identical order
             for r in realigners:
                 r.begin_scout()
             for ev, k in zip(candidates, keep):
                 if k:
                     variant.allele_support(ev, props, alt_variants)
-            any_forwards = any(r._scout_forwards for r in realigners)
             for r in realigners:
                 r.flush_scout()
-            if any_forwards:
-                # record pass: hits come from the memo; queue pair-HMM
-                # forwards. Only needed when the scout saw any forward
-                # call at all (pure fast-path pileups skip it and the
-                # replay below computes nothing inline either).
-                for ev, k in zip(candidates, keep):
-                    if k:
-                        # the record pass only needs the forward-call
-                        # sequence, which allele_support alone produces;
-                        # the observation fields built by
-                        # evidence_to_observation queue nothing
-                        variant.allele_support(ev, props, alt_variants)
     except BaseException:
         for r in realigners:
             r.end_batch()

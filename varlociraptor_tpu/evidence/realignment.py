@@ -187,7 +187,6 @@ class Realigner:
         self._results = None
         self._cursor = 0
         self._scout = None
-        self._scout_forwards = 0
         # host-side memos alive for one record/replay cycle: the two passes
         # (and reads sharing identical windows) recompute identical edit
         # hits and allele emissions; EditHit/AlleleEmission objects are
@@ -199,9 +198,6 @@ class Realigner:
     def _forward(self, seqs, reads, quals, max_dists=None):
         if max_dists is None:
             max_dists = [None] * len(seqs)
-        if self._batch_mode == "scout":
-            self._scout_forwards += 1
-            return np.zeros(len(seqs), dtype=np.float64)
         if self._batch_mode == "record":
             self._requests.append((seqs, reads, quals, max_dists))
             return np.zeros(len(seqs), dtype=np.float64)
@@ -212,16 +208,17 @@ class Realigner:
         return self.hmm.forward(seqs, reads, quals, max_dists)
 
     def begin_scout(self):
-        """Hit-prefetch pass: allele_support runs with dummy edit hits and
-        no forward queueing, only to ENUMERATE the (allele, read-window)
-        pairs of the whole pileup; flush_scout then computes every edit hit
-        in one native batch and primes the memo for the record pass."""
+        """Single host pass: allele_support runs with dummy edit hits,
+        ENUMERATING the (allele, read-window) pairs of the whole pileup and
+        queueing SYMBOLIC forward requests; flush_scout then computes every
+        edit hit in one native batch, and run_batch/collect_requests
+        materializes the shrunk windows, bands and patched-allele forwards
+        from the memoized hits — no separate record pass."""
         self._batch_mode = "scout"
         self._requests = []
         self._hit_memo = {}
         self._em_memo = {}
         self._scout = {}
-        self._scout_forwards = 0
 
     def flush_scout(self):
         from ..io.native import hybrid_hits_batch
@@ -249,25 +246,111 @@ class Realigner:
                         last,
                         second,
                     )
-        self._batch_mode = "record"
-        self._requests = []
+        self._batch_mode = "queued"
 
     def begin_record(self):
-        self._batch_mode = "record"
+        """Legacy entry (kept for tests that drive the passes manually):
+        equivalent to a fresh symbolic-queue cycle without hit prefetch."""
+        self._batch_mode = "scout"
         self._requests = []
         self._hit_memo = {}
         self._em_memo = {}
+        self._scout = {}
+
+    def _shrunk_bands(self, emissions, hits):
+        """Hit-anchored window shrink + band per allele
+        (shrink_to_hit, pairhmm.rs:66-73; dist_upper_bound = dist +
+        EDIT_BAND, edit_distance.rs:493-497)."""
+        shrunk, bands = [], []
+        for em, hit in zip(emissions, hits):
+            if hit is None:
+                shrunk.append(em.seq)
+                bands.append(None)
+            else:
+                lo = max(hit.start - EDIT_BAND, 0)
+                hi = min(hit.end + EDIT_BAND, len(em.seq))
+                shrunk.append(em.seq[lo:hi])
+                bands.append(hit.dist + EDIT_BAND)
+        return shrunk, bands
+
+    def _forward_alleles(self, emissions, hits, read_window, qual_window,
+                         props, error_rate, n_ref):
+        """Forward probs for one allele set. In the scout pass this queues
+        the SYMBOLIC request (emissions + windows; the hit-derived shrink,
+        bands and patched-allele follow-ups materialize in
+        collect_requests once the hit batch has run)."""
+        if self._batch_mode == "scout":
+            self._requests.append(
+                (emissions, n_ref, read_window, qual_window, props, error_rate)
+            )
+            return np.zeros(len(emissions), dtype=np.float64)
+        shrunk, bands = self._shrunk_bands(emissions, hits)
+        n = len(shrunk)
+        return self._forward(
+            shrunk, [read_window] * n, [qual_window] * n, bands
+        )
+
+    def _patched_window(self, a_em, a_hit, read_window, props, error_rate):
+        """Third-allele-rescue patched allele + its hit (memoized so the
+        materialization in collect_requests and the replay pass make the
+        IDENTICAL queueing decision). Returns (patched, phit) or
+        (None, None)."""
+        if a_hit is None:
+            return None, None
+        em_memo = self._em_memo
+        if em_memo is not None:
+            pkey = ("patch", id(a_em), id(a_hit), read_window.tobytes())
+            patched = em_memo.get(pkey, _MEMO_MISS)
+            if patched is _MEMO_MISS:
+                patched = derive_patched_allele(a_em, read_window, a_hit)
+                em_memo[pkey] = patched
+        else:
+            patched = derive_patched_allele(a_em, read_window, a_hit)
+        if (
+            not _PARITY_PRESELECT
+            and patched is not None
+            and a_em.alt_vs_ref_len_diff != 0
+            and len(patched) == len(a_em.seq)
+        ):
+            # see allele_support: a same-length patch of an indel variant
+            # is the same event (placement ambiguity), not a third allele
+            patched = None
+        if patched is None:
+            return None, None
+        phit = self._calc_hit(
+            AlleleEmission(seq=patched, ref_offset=a_em.ref_offset),
+            read_window,
+            props,
+            error_rate,
+            is_patched=True,
+        )
+        return patched, phit
 
     def collect_requests(self):
-        """Flatten the recorded forward requests: (seqs, reads, quals,
-        dists).  Used by cross-locus chunked execution (the preprocess
+        """Materialize the symbolic requests into flattened forward items:
+        (seqs, reads, quals, dists).  Hits come from the memo primed by
+        flush_scout; the patched-allele follow-up forwards are appended per
+        request exactly as the replay pass will re-derive them.  Used by
+        run_batch and by cross-locus chunked execution (the preprocess
         driver concatenates requests of MANY loci into one device call)."""
         seqs, reads, quals, dists = [], [], [], []
-        for s, r, q, d in self._requests:
-            seqs.extend(s)
-            reads.extend(r)
-            quals.extend(q)
-            dists.extend(d)
+        for emissions, n_ref, rw, qw, props, er in self._requests:
+            hits = self._calc_hits(emissions, rw, props, er)
+            shrunk, bands = self._shrunk_bands(emissions, hits)
+            n = len(shrunk)
+            seqs.extend(shrunk)
+            reads.extend([rw] * n)
+            quals.extend([qw] * n)
+            dists.extend(bands)
+            for a_em, a_hit in zip(emissions[n_ref:], hits[n_ref:]):
+                patched, phit = self._patched_window(a_em, a_hit, rw, props, er)
+                if patched is not None:
+                    lo = max(phit.start - EDIT_BAND, 0)
+                    hi = min(phit.end + EDIT_BAND, len(patched))
+                    seqs.append(patched[lo:hi])
+                    reads.append(rw)
+                    quals.append(qw)
+                    dists.append(phit.dist + EDIT_BAND)
         return seqs, reads, quals, dists
 
     def set_results(self, results):
@@ -543,17 +626,6 @@ class Realigner:
             # informative pileup).  Probability subsumes the edit distance
             # signal; each HMM run is still banded to its OWN hit's
             # dist + EDIT_BAND (dist_upper_bound, edit_distance.rs:493-497).
-            shrunk = []
-            bands = []
-            for em, hit in zip(all_emissions, hits):
-                if hit is None:
-                    shrunk.append(em.seq)
-                    bands.append(None)
-                else:
-                    lo = max(hit.start - EDIT_BAND, 0)
-                    hi = min(hit.end + EDIT_BAND, len(em.seq))
-                    shrunk.append(em.seq[lo:hi])
-                    bands.append(hit.dist + EDIT_BAND)
             if self.mode == "fast":
                 # fast mode: score the edit-distance path only
                 probs = np.array(
@@ -565,11 +637,9 @@ class Realigner:
                     ]
                 )
             else:
-                probs = self._forward(
-                    shrunk,
-                    [read_window] * len(shrunk),
-                    [qual_window] * len(shrunk),
-                    bands,
+                probs = self._forward_alleles(
+                    all_emissions, hits, read_window, qual_window, props,
+                    error_rate, n_ref,
                 )
             if _PARITY_PRESELECT:
                 # reference prob_allele (mod.rs:426-479): only alleles whose
@@ -615,41 +685,15 @@ class Realigner:
             p_inferred_by_alt: list[float | None] = []
             for a_em, a_hit in zip(alt_alleles, hits[n_ref:]):
                 p_inf = None
-                if a_hit is None:
-                    patched = None
-                elif em_memo is not None:
-                    pkey = ("patch", id(a_em), id(a_hit), read_window.tobytes())
-                    patched = em_memo.get(pkey, _MEMO_MISS)
-                    if patched is _MEMO_MISS:
-                        patched = derive_patched_allele(a_em, read_window, a_hit)
-                        em_memo[pkey] = patched
-                else:
-                    patched = derive_patched_allele(a_em, read_window, a_hit)
-                if (
-                    not _PARITY_PRESELECT
-                    and patched is not None
-                    and a_em.alt_vs_ref_len_diff != 0
-                    and len(patched) == len(a_em.seq)
-                ):
-                    # METHOD: for an indel variant, a read-derived allele of
-                    # the SAME length as the candidate allele means the read
-                    # carries an indel of identical length at this locus —
-                    # the same event, with only placement/content ambiguity
-                    # inside the repeat context (e.g. ins CTC vs candidate
-                    # ins CCT left-shifted differently). Such reads support
-                    # the candidate; rescuing them to a third allele would
-                    # flip true het indel calls to hom-ref. Rescue is kept
-                    # for length-changing patches (different indel length =
-                    # genuinely different allele, e.g. a longer insertion).
-                    patched = None
+                # METHOD (same-length skip inside _patched_window): for an
+                # indel variant, a read-derived allele of the SAME length as
+                # the candidate allele means the read carries an indel of
+                # identical length at this locus — the same event; rescue is
+                # kept for length-changing patches only.
+                patched, phit = self._patched_window(
+                    a_em, a_hit, read_window, props, error_rate
+                )
                 if patched is not None:
-                    phit = self._calc_hit(
-                        AlleleEmission(seq=patched, ref_offset=a_em.ref_offset),
-                        read_window,
-                        props,
-                        error_rate,
-                        is_patched=True,
-                    )
                     lo = max(phit.start - EDIT_BAND, 0)
                     hi = min(phit.end + EDIT_BAND, len(patched))
                     if self.mode == "fast":
