@@ -12,6 +12,8 @@ Implemented here: Snv (snv.rs:38-253), Mnv (mnv.rs:41-359), None/ref-site
 
 from __future__ import annotations
 
+import copy
+
 import math
 from dataclasses import dataclass
 
@@ -198,6 +200,19 @@ class Snv(VariantType):
             return self.realigner.allele_support(
                 record, [(self.pos, self.pos + 1)], self, alt_variants, props
             )
+        # the fast path below is a pure function of (variant, record); the
+        # scout and replay passes evaluate it twice per read — cache the
+        # latest (variant, result) on the record (single slot: passes visit
+        # a record's loci back-to-back). Callers mutate supports via
+        # merge(), so cache hits return a shallow copy.
+        slot = getattr(record, "_vlt_fastsup", None)
+        if slot is not None and slot[0] is self:
+            return None if slot[1] is None else copy.copy(slot[1])
+        sup = self._fast_support(record, props)
+        object.__setattr__(record, "_vlt_fastsup", (self, sup))
+        return None if sup is None else copy.copy(sup)
+
+    def _fast_support(self, record, props):
         qpos = record.read_pos(self.pos)
         if qpos is None:
             # locus deleted/skipped in this read: no observation (snv.rs:144-149)
@@ -304,6 +319,14 @@ class Mnv(VariantType):
             return self.realigner.allele_support(
                 record, [(self.pos, self.pos + self.len)], self, alt_variants, props
             )
+        slot = getattr(record, "_vlt_fastsup", None)
+        if slot is not None and slot[0] is self:
+            return None if slot[1] is None else copy.copy(slot[1])
+        sup = self._fast_support(record, props)
+        object.__setattr__(record, "_vlt_fastsup", (self, sup))
+        return None if sup is None else copy.copy(sup)
+
+    def _fast_support(self, record, props):
         # mnv.rs:95-200: true-ref per-base product, plus a third-allele
         # rescue — if the read prefers ALT but differs from ALT by more
         # substitutions than the error rate explains, contrast against an
