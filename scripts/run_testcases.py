@@ -92,24 +92,39 @@ def main():
         and pattern in d.name
         and (only is None or d.name in only)
     )
+    workers = 3  # leave one core for the parent (override with --jobs N)
+    if "--jobs" in sys.argv:
+        workers = int(sys.argv[sys.argv.index("--jobs") + 1])
+
     results = {}
-    for name in names:
-        q = mp.Queue()
-        p = mp.Process(target=run_one, args=(name, q, mode))
-        p.start()
-        p.join(timeout)
-        if p.is_alive():
-            p.terminate()
-            p.join()
-            results[name] = ("TIMEOUT", "", timeout)
-        else:
-            try:
-                n, status, msg, dt = q.get_nowait()
-                results[name] = (status, msg, dt)
-            except Exception:  # noqa: BLE001
-                results[name] = ("CRASH", "", 0)
-        status, msg, dt = results[name]
-        print(f"{name:40s} {status:8s} {dt:6.1f}s  {msg}", flush=True)
+    pending = list(names)
+    running = {}  # name -> (process, queue, deadline)
+    while pending or running:
+        while pending and len(running) < workers:
+            name = pending.pop(0)
+            q = mp.Queue()
+            p = mp.Process(target=run_one, args=(name, q, mode))
+            p.start()
+            running[name] = (p, q, time.time() + timeout)
+        time.sleep(0.2)
+        for name in list(running):
+            p, q, deadline = running[name]
+            if p.is_alive() and time.time() < deadline:
+                continue
+            if p.is_alive():
+                p.terminate()
+                p.join()
+                results[name] = ("TIMEOUT", "", timeout)
+            else:
+                p.join()
+                try:
+                    n, status, msg, dt = q.get_nowait()
+                    results[name] = (status, msg, dt)
+                except Exception:  # noqa: BLE001
+                    results[name] = ("CRASH", "", 0)
+            del running[name]
+            status, msg, dt = results[name]
+            print(f"{name:40s} {status:8s} {dt:6.1f}s  {msg}", flush=True)
 
     counts = {}
     for status, _, _ in results.values():
