@@ -269,3 +269,18 @@ def test_sam_input_through_preprocess(tmp_path):
         outs[tag] = [json.loads(x) for x in out.read_text().splitlines()[1:]]
     assert outs["bam"] == outs["sam"]
     assert outs["bam"] and outs["bam"][0]["obs"]
+
+
+def test_vcf_malformed_lines(tmp_path):
+    from varlociraptor_tpu.errors import MalformedVcfError
+    from varlociraptor_tpu.io.vcf import VcfReader
+
+    bad1 = tmp_path / "short.vcf"
+    bad1.write_text("##fileformat=VCFv4.2\nchr1\t100\t.\n")
+    with pytest.raises(MalformedVcfError):
+        VcfReader(bad1).records()
+
+    bad2 = tmp_path / "pos.vcf"
+    bad2.write_text("##fileformat=VCFv4.2\nchr1\tXYZ\t.\tA\tT\t.\t.\t.\n")
+    with pytest.raises(MalformedVcfError):
+        VcfReader(bad2).records()

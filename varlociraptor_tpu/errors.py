@@ -199,3 +199,11 @@ class MalformedBcfError(VarlociraptorError):
 
     def __init__(self, detail: str):
         super().__init__(f"malformed BCF input: {detail}")
+
+
+class MalformedVcfError(VarlociraptorError):
+    """VCF text record violates the spec (missing columns, non-numeric
+    POS)."""
+
+    def __init__(self, detail: str):
+        super().__init__(f"malformed VCF input: {detail}")

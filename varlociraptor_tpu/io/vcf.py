@@ -121,6 +121,13 @@ class VcfReader:
     @staticmethod
     def _parse_line(line: str) -> VcfRecord:
         cols = line.split("\t")
+        if len(cols) < 5:
+            from ..errors import MalformedVcfError
+
+            raise MalformedVcfError(
+                f"record line has {len(cols)} columns (expected >= 5): "
+                f"{line[:80]!r}"
+            )
         chrom, pos, vid, ref, alt = cols[0], cols[1], cols[2], cols[3], cols[4]
         qual = cols[5] if len(cols) > 5 else "."
         filt = cols[6] if len(cols) > 6 else "."
@@ -130,9 +137,15 @@ class VcfReader:
         for s in cols[9:]:
             vals = s.split(":")
             samples.append(dict(zip(fmt, vals)))
+        try:
+            pos0 = int(pos) - 1
+        except ValueError as e:
+            from ..errors import MalformedVcfError
+
+            raise MalformedVcfError(f"non-numeric POS {pos!r} on {chrom}") from e
         return VcfRecord(
             chrom=chrom,
-            pos=int(pos) - 1,
+            pos=pos0,
             id=vid,
             ref=ref,
             alts=[] if alt == "." else alt.split(","),
