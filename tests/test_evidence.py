@@ -175,7 +175,6 @@ def test_record_replay_batching_matches_direct(ref_resources):
             # forward computes directly at the call site
             r.begin_scout = lambda: None
             r.flush_scout = lambda: None
-            r.begin_record = lambda: None
             r.run_batch = lambda: None
             r.end_batch = lambda: None
         p = extract_observations(v, bam, props, max_depth=200)

@@ -248,15 +248,6 @@ class Realigner:
                     )
         self._batch_mode = "queued"
 
-    def begin_record(self):
-        """Legacy entry (kept for tests that drive the passes manually):
-        equivalent to a fresh symbolic-queue cycle without hit prefetch."""
-        self._batch_mode = "scout"
-        self._requests = []
-        self._hit_memo = {}
-        self._em_memo = {}
-        self._scout = {}
-
     def _shrunk_bands(self, emissions, hits):
         """Hit-anchored window shrink + band per allele
         (shrink_to_hit, pairhmm.rs:66-73; dist_upper_bound = dist +
