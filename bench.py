@@ -53,7 +53,7 @@ def _bench_e2e():
         sys.path.insert(0, "/root/repo/scripts")
         from bench_e2e import run as e2e_run
 
-        return e2e_run(n_candidates=1500, workers=4)
+        return e2e_run(n_candidates=3000, workers=4)
     except Exception as e:  # noqa: BLE001
         return {"error": f"{type(e).__name__}: {e}"[:160]}
 
