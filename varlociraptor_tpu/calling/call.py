@@ -9,7 +9,9 @@ posterior engine instead of per-record recursion.
 
 from __future__ import annotations
 
+import logging
 import math
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -430,12 +432,19 @@ class GenericCaller:
                         "artifacts": map_combo.short_labels(),
                     }
                 )
+            # missing-data: no sample has any observation covering the
+            # candidate — the reference emits HINTS=missing-data, missing
+            # PROB_* values and no FORMAT fields instead of a prior-only
+            # posterior (calling/variants/mod.rs:424-451,469)
+            hints = list(it.hints)
+            if all(not p.read_observations for p in it.pileups):
+                hints.append("missing-data")
             results.append(
                 {
                     "variant": it.variant,
                     "event_probs": event_probs,
                     "sample_infos": sample_infos,
-                    "hints": it.hints,
+                    "hints": hints,
                 }
             )
         return results
@@ -501,12 +510,17 @@ def call_generic(
     ]
 
     n = 0
+    # periodic progress logging, mirroring the reference's 20-second
+    # progress_logger in the calling loop (calling.rs:349-352)
+    log = logging.getLogger("varlociraptor_tpu.call")
+    t0 = time.monotonic()
+    last_log = t0
     with open_variant_writer(output_path, sample_names=sample_names, header_lines=header) as w:
         batch_items = []
         batch_contig = None
 
         def flush():
-            nonlocal n
+            nonlocal n, last_log
             if not batch_items:
                 return
             results = caller.call_batch(batch_items, batch_contig)
@@ -515,6 +529,11 @@ def call_generic(
                 if call_processor is not None:
                     call_processor(res)
                 n += 1
+            now = time.monotonic()
+            if now - last_log >= 20.0:
+                rate = n / max(now - t0, 1e-9)
+                log.info("called %d records (%.0f records/s)", n, rate)
+                last_log = now
 
         while True:
             recs = []
@@ -660,10 +679,22 @@ def _simple_obs_string(pileup: Pileup, alt_allele: bool) -> str:
     )
 
 
+_FORMAT_KEYS = (
+    "DP", "AF", "OBS", "SAOBS", "SROBS", "OOBS",
+    "SB", "ROB", "RPB", "SCB", "HE", "ALB", "AFD",
+)
+
+
 def _result_to_record(res, sample_names) -> VcfRecord:
     v: VariantInfo = res["variant"]
     info = {}
+    missing_data = "missing-data" in res["hints"]
     for name, logp in sorted(res["event_probs"].items()):
+        if missing_data:
+            # missing PROB_* (f32::missing) — FDR's tags_prob_sum then
+            # skips the record, matching utils/mod.rs:193-194
+            info[f"PROB_{name.upper()}"] = "."
+            continue
         phred = np_phred_from_log(logp)
         info[f"PROB_{name.upper()}"] = f"{phred:.4f}" if np.isfinite(phred) else "inf"
     if v.kind in ("deletion", "insertion", "inversion", "duplication"):
@@ -690,6 +721,11 @@ def _result_to_record(res, sample_names) -> VcfRecord:
 
     samples = []
     for si in res["sample_infos"]:
+        if missing_data:
+            # the reference omits all FORMAT fields on missing data
+            # (calling/variants/mod.rs:469); "." is the text-VCF equivalent
+            samples.append({k: "." for k in _FORMAT_KEYS})
+            continue
         afd = si["afd"]
         afd_str = (
             ",".join(
