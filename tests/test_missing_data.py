@@ -88,3 +88,36 @@ def test_missing_data_skipped_by_fdr(tmp_path):
     ]
     # the missing-data record can never pass filtration (tags_prob_sum=None)
     assert len(recs) == 1 and "\t11\t" in recs[0]
+
+
+def test_breakend_group_event_tag_and_fdr_dedup(tmp_path):
+    """Output records of a haplotype/breakend group must carry the EVENT
+    INFO tag (calling/variants/mod.rs:411-413,626-628) so FDR dedups the
+    group's probability once and shares keep decisions across mates."""
+    from varlociraptor_tpu.filtration.fdr import control_fdr
+
+    obs_path = tmp_path / "s.jsonl"
+    with ObservationWriter(obs_path, sample_name="s") as w:
+        for pos in (10, 20):
+            v = _variant(pos)
+            v.haplotype = "event:swap1"
+            w.write_record(v, Pileup(read_observations=[_obs()] * 5))
+        w.write_record(_variant(30), Pileup(read_observations=[_obs()] * 5))
+    calls = tmp_path / "calls.vcf"
+    call_generic(Scenario(SCENARIO), {"s": obs_path}, calls, CallOptions())
+    lines = [
+        l for l in calls.read_text().splitlines() if l and not l.startswith("#")
+    ]
+    assert len(lines) == 3
+    assert "EVENT=swap1" in lines[0] and "EVENT=swap1" in lines[1]
+    assert "EVENT=" not in lines[2]
+    filtered = tmp_path / "filtered.vcf"
+    control_fdr(calls, filtered, events=["present"], alpha=1.0)
+    kept = [
+        l
+        for l in filtered.read_text().splitlines()
+        if l and not l.startswith("#")
+    ]
+    # both mates share one keep decision — either both in or both out
+    n_mates = sum("EVENT=swap1" in l for l in kept)
+    assert n_mates in (0, 2)

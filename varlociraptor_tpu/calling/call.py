@@ -487,6 +487,7 @@ def call_generic(
         '##INFO=<ID=SVLEN,Number=A,Type=Integer,Description="SV length">',
         '##INFO=<ID=END,Number=1,Type=Integer,Description="SV end">',
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
+        '##INFO=<ID=EVENT,Number=1,Type=String,Description="Haplotype event identifier">',
         '##INFO=<ID=HINTS,Number=.,Type=String,Description="Model hints">',
         '##INFO=<ID=PROB_ABSENT,Number=A,Type=Float,Description="PHRED posterior">',
         '##INFO=<ID=PROB_ARTIFACT,Number=A,Type=Float,Description="PHRED posterior">',
@@ -712,6 +713,15 @@ def _result_to_record(res, sample_names) -> VcfRecord:
             # svlen = end0 + 1 - pos0) — without it, vartype-filtered FDR
             # would drop every such record
             info["END"] = v.pos + v.svlen
+    if v.haplotype:
+        # the reference writes the haplotype identifier back as EVENT INFO
+        # (calling/variants/mod.rs:411-413,626-628); MATEID-joined groups
+        # are Event("id1-id2") too (variants/model/mod.rs:94-105).  FDR
+        # breakend-group dedup and keep-decision sharing key on this tag.
+        if v.haplotype.startswith("event:"):
+            info["EVENT"] = v.haplotype[len("event:"):]
+        elif v.haplotype.startswith("mates:"):
+            info["EVENT"] = "-".join(v.haplotype[len("mates:"):].split(","))
     if res["hints"]:
         info["HINTS"] = ",".join(res["hints"])
     # --propagate-info-fields passthrough (utils/aux_info.rs:52-135)
