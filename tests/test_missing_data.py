@@ -121,3 +121,26 @@ def test_breakend_group_event_tag_and_fdr_dedup(tmp_path):
     # both mates share one keep decision — either both in or both out
     n_mates = sum("EVENT=swap1" in l for l in kept)
     assert n_mates in (0, 2)
+
+
+def test_imprecise_cipos_roundtrip(tmp_path):
+    """IMPRECISE + CIPOS/CIEND survive preprocess observation files into
+    the final call record (write_record_aux_info,
+    calling/variants/mod.rs:162-176)."""
+    v = VariantInfo(
+        kind="deletion", chrom="chr1", pos=100,
+        ref_allele="N", alt_allele="<DEL>", svlen=500,
+        precise=False, cipos=(-12, 12), ciend=(-9, 9),
+    )
+    obs_path = tmp_path / "s.jsonl"
+    with ObservationWriter(obs_path, sample_name="s") as w:
+        w.write_record(v, Pileup(read_observations=[_obs()] * 4))
+    calls = tmp_path / "calls.vcf"
+    call_generic(Scenario(SCENARIO), {"s": obs_path}, calls, CallOptions())
+    line = [
+        l for l in calls.read_text().splitlines() if l and not l.startswith("#")
+    ][0]
+    info = line.split("\t")[7]
+    assert "IMPRECISE" in info
+    assert "CIPOS=-12,12" in info
+    assert "CIEND=-9,9" in info

@@ -488,6 +488,9 @@ def call_generic(
         '##INFO=<ID=END,Number=1,Type=Integer,Description="SV end">',
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
         '##INFO=<ID=EVENT,Number=1,Type=String,Description="Haplotype event identifier">',
+        '##INFO=<ID=IMPRECISE,Number=0,Type=Flag,Description="Imprecise structural variant">',
+        '##INFO=<ID=CIPOS,Number=2,Type=Integer,Description="Confidence interval around POS">',
+        '##INFO=<ID=CIEND,Number=2,Type=Integer,Description="Confidence interval around END">',
         '##INFO=<ID=HINTS,Number=.,Type=String,Description="Model hints">',
         '##INFO=<ID=PROB_ABSENT,Number=A,Type=Float,Description="PHRED posterior">',
         '##INFO=<ID=PROB_ARTIFACT,Number=A,Type=Float,Description="PHRED posterior">',
@@ -713,6 +716,13 @@ def _result_to_record(res, sample_names) -> VcfRecord:
             # svlen = end0 + 1 - pos0) — without it, vartype-filtered FDR
             # would drop every such record
             info["END"] = v.pos + v.svlen
+    if not v.precise and v.cipos is not None:
+        # write_record_aux_info (calling/variants/mod.rs:162-176): imprecise
+        # variants carry IMPRECISE + the candidate's raw CIPOS (and CIEND)
+        info["IMPRECISE"] = True
+        info["CIPOS"] = f"{v.cipos[0]},{v.cipos[1]}"
+        if v.ciend is not None:
+            info["CIEND"] = f"{v.ciend[0]},{v.ciend[1]}"
     if v.haplotype:
         # the reference writes the haplotype identifier back as EVENT INFO
         # (calling/variants/mod.rs:411-413,626-628); MATEID-joined groups

@@ -121,6 +121,10 @@ class ObservationWriter:
             "som": variant.somatic_effective_mutation_rate,
             "obs": [obs_to_dict(o) for o in pileup.read_observations],
         }
+        if variant.cipos is not None:
+            rec["cipos"] = list(variant.cipos)
+        if variant.ciend is not None:
+            rec["ciend"] = list(variant.ciend)
         if pileup.raw_depth is not None:
             # depth observation (reference placeholder depth_observation.rs)
             rec["dp"] = pileup.raw_depth
@@ -167,6 +171,8 @@ class ObservationReader:
                 alt_allele=d["alt"],
                 svlen=d.get("svlen", 0),
                 precise=d.get("precise", True),
+                cipos=tuple(d["cipos"]) if d.get("cipos") else None,
+                ciend=tuple(d["ciend"]) if d.get("ciend") else None,
                 haplotype=d.get("haplotype"),
                 heterozygosity=d.get("het"),
                 somatic_effective_mutation_rate=d.get("som"),

@@ -330,11 +330,8 @@ def preprocess(
                     from ..evidence.breakends import Breakend
 
                     ci = (0, 0)
-                    if not info.precise:
-                        raw = rec.info_get("CIPOS")
-                        if raw and raw is not True:
-                            parts = str(raw).split(",")
-                            ci = (int(parts[0]), int(parts[1]))
+                    if not info.precise and info.cipos is not None:
+                        ci = info.cipos
                     try:
                         bnd = Breakend.parse(
                             info.chrom,

@@ -592,6 +592,8 @@ class ReferenceObservationWriter:
             '##INFO=<ID=EVENT,Number=1,Type=String,Description="Haplotype event id">',
             '##INFO=<ID=MATEID,Number=.,Type=String,Description="Breakend mate id">',
             '##INFO=<ID=IMPRECISE,Number=0,Type=Flag,Description="Imprecise SV">',
+            '##INFO=<ID=CIPOS,Number=2,Type=Integer,Description="Confidence interval around POS">',
+            '##INFO=<ID=CIEND,Number=2,Type=Integer,Description="Confidence interval around END">',
         ] + [
             f'##INFO=<ID={t},Number=.,Type=Integer,Description="Varlociraptor observations">'
             for t in _OBS_INFO_HEADER_TAGS
@@ -642,6 +644,10 @@ class ReferenceObservationWriter:
                 info["EVENT"] = hap
         if not variant.precise:
             info["IMPRECISE"] = True
+            if variant.cipos is not None:
+                info["CIPOS"] = f"{variant.cipos[0]},{variant.cipos[1]}"
+            if variant.ciend is not None:
+                info["CIEND"] = f"{variant.ciend[0]},{variant.ciend[1]}"
         if aux:
             info.update({k: v for k, v in aux.items()})
         info.update(encode_reference_observations(pileup))

@@ -27,6 +27,8 @@ class VariantInfo:
     spec: str = ""  # breakend spec
     precise: bool = True
     haplotype: str | None = None
+    cipos: tuple | None = None  # raw candidate CIPOS (lo, hi) when imprecise
+    ciend: tuple | None = None
     heterozygosity: float | None = None
     somatic_effective_mutation_rate: float | None = None
     aux_info: dict | None = None
@@ -85,6 +87,24 @@ def collect_variants(rec: VcfRecord, skip_imprecise: bool = True) -> list[Varian
     het = get_prior("HETEROZYGOSITY")
     som = get_prior("SOMATIC_EFFECTIVE_MUTATION_RATE")
 
+    def get_ci(key):
+        # VariantPrecision::try_from (variants/model/mod.rs:183-239):
+        # CIPOS/CIEND kept as the raw candidate integer pair and written
+        # back verbatim on output records (calling/variants/mod.rs:162-176)
+        raw = rec.info_get(key)
+        if raw is None or raw is True:
+            return None
+        parts = str(raw).split(",")
+        if len(parts) != 2:
+            return None
+        try:
+            return (int(parts[0]), int(parts[1]))
+        except ValueError:
+            return None
+
+    cipos = get_ci("CIPOS") if imprecise else None
+    ciend = get_ci("CIEND") if imprecise else None
+
     def mk(kind, alt_allele, **kw):
         return VariantInfo(
             kind=kind,
@@ -96,6 +116,8 @@ def collect_variants(rec: VcfRecord, skip_imprecise: bool = True) -> list[Varian
             haplotype=haplotype,
             heterozygosity=het,
             somatic_effective_mutation_rate=som,
+            cipos=cipos,
+            ciend=ciend,
             **kw,
         )
 
