@@ -1,0 +1,141 @@
+"""Estimation extras: effective mutation rate (numeric parity with the
+reference's inline test, estimation/effective_mutation_rate.rs:76-83),
+mutational burden modes, and the 2-sample VAF scatter plot."""
+
+import math
+
+import numpy as np
+import pytest
+
+from varlociraptor_tpu.calling.call import CallOptions, call_generic
+from varlociraptor_tpu.calling.observations import ObservationWriter
+from varlociraptor_tpu.calling.variants import VariantInfo
+from varlociraptor_tpu.evidence.observation import (
+    Pileup,
+    ReadObservation,
+    set_prob_mapping,
+    set_prob_overlap,
+)
+from varlociraptor_tpu.grammar.scenario import Scenario
+
+SCENARIO = {
+    "samples": {"s": {"universe": "[0.0,1.0]", "resolution": 0.05}},
+    "events": {"present": "s:]0.0,1.0]"},
+}
+
+
+def _obs(alt: bool):
+    o = ReadObservation()
+    set_prob_mapping(o, -1e-9)
+    if alt:
+        o.prob_alt, o.prob_ref = -1e-9, math.log(1e-6)
+    else:
+        o.prob_alt, o.prob_ref = math.log(1e-6), -1e-9
+    o.prob_missed_allele = math.log(0.5)
+    o.prob_sample_alt = 0.0
+    set_prob_overlap(o, -math.inf)
+    return o
+
+
+def _pileup(n_alt, n_ref):
+    return Pileup(
+        read_observations=[_obs(True)] * n_alt + [_obs(False)] * n_ref
+    )
+
+
+@pytest.fixture(scope="module")
+def calls(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("burden")
+    obs_path = tmp_path / "s.jsonl"
+    with ObservationWriter(obs_path, sample_name="s") as w:
+        for i, (na, nr) in enumerate([(10, 10), (5, 15), (18, 2), (0, 20)]):
+            v = VariantInfo(
+                kind="snv", chrom="chr1", pos=100 + 50 * i,
+                ref_allele="A", alt_allele="T", alt_base="T",
+            )
+            w.write_record(v, _pileup(na, nr))
+    out = tmp_path / "calls.vcf"
+    call_generic(Scenario(SCENARIO), {"s": obs_path}, out, CallOptions())
+    return out
+
+
+def test_effective_mutation_rate_reference_value():
+    """Williams et al. example from the reference's inline test:
+    linspace(0.12, 0.25, 2539) -> slope 596.16 +- 0.01."""
+    from varlociraptor_tpu.estimation.effective_mutation_rate import estimate
+
+    e = estimate(np.linspace(0.12, 0.25, 2539))
+    assert abs(e["mu_per_beta"] - 596.16) < 0.01
+    assert e["n"] == 2539
+
+
+def test_effective_mutation_rate_duplicate_grouping():
+    """Duplicate AFs collapse to one regression point (BTreeMap keyed on
+    1/f, effective_mutation_rate.rs:35-41) — they raise the cumulative
+    count but get no extra regression weight."""
+    from varlociraptor_tpu.estimation.effective_mutation_rate import estimate
+
+    base = [0.12, 0.15, 0.2, 0.25]
+    with_dups = base + [0.15] * 50
+    e1 = estimate(base)
+    e2 = estimate(with_dups)
+    # same x support; duplicated 0.15 shifts cumulative counts upward but
+    # the fit still has exactly 4 points
+    assert e1["n"] == 4 and e2["n"] == 54
+    assert np.isfinite(e2["mu_per_beta"])
+
+
+def test_mutational_burden_modes(calls):
+    from varlociraptor_tpu.estimation.mutational_burden import (
+        collect_estimates,
+    )
+
+    curve = collect_estimates(calls, ["present"], "s", mode="curve")
+    assert curve["data"]["values"], "curve mode must emit data points"
+    v0 = curve["data"]["values"][0]
+    assert v0["vaf"] == 0.0 and v0["tmb"] > 0.0
+    # cumulative curve is non-increasing in VAF
+    tmbs = [d["tmb"] for d in curve["data"]["values"]]
+    assert all(a >= b - 1e-12 for a, b in zip(tmbs, tmbs[1:]))
+
+    hist = collect_estimates(calls, ["present"], "s", mode="hist")
+    assert abs(
+        sum(d["tmb"] for d in hist["data"]["values"]) - tmbs[0]
+    ) < 1e-6 * max(tmbs[0], 1.0)
+
+    multibar = collect_estimates(
+        calls, ["present"], "s", mode="multibar", cutoff=0.2
+    )
+    vals = multibar["data"]["values"]
+    assert vals and all(d["vartype"] == "SNV" for d in vals)
+
+    table = collect_estimates(calls, ["present"], "s", mode="table")
+    assert table["table"].startswith("min_vaf\ttmb\tvartype")
+    assert len(table["table"].splitlines()) > 10
+
+
+def test_vaf_scatter(tmp_path):
+    from varlociraptor_tpu.estimation.sample_variants import vaf_scatter
+
+    sc = {
+        "samples": {
+            "a": {"universe": "[0.0,1.0]", "resolution": 0.05},
+            "b": {"universe": "[0.0,1.0]", "resolution": 0.05},
+        },
+        "events": {"present": "a:]0.0,1.0] | b:]0.0,1.0]"},
+    }
+    pa = tmp_path / "a.jsonl"
+    pb = tmp_path / "b.jsonl"
+    for path, name, frac in ((pa, "a", (12, 8)), (pb, "b", (4, 16))):
+        with ObservationWriter(path, sample_name=name) as w:
+            v = VariantInfo(
+                kind="snv", chrom="chr1", pos=100,
+                ref_allele="A", alt_allele="T", alt_base="T",
+            )
+            w.write_record(v, _pileup(*frac))
+    out = tmp_path / "calls.vcf"
+    call_generic(Scenario(sc), {"a": pa, "b": pb}, out, CallOptions())
+    spec = vaf_scatter(out, "a", "b")
+    pts = spec["data"]["values"]
+    assert len(pts) == 1
+    assert pts[0]["a"] > pts[0]["b"]

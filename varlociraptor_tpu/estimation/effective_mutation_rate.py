@@ -16,14 +16,16 @@ def estimate(afs, min_af: float = 0.12, max_af: float = 0.25):
 
     Returns dict with slope (mu/beta), intercept, and the fitted curve.
     """
-    afs = np.sort(np.asarray([a for a in afs if min_af <= a <= max_af]))
+    afs = np.asarray([a for a in afs if min_af <= a <= max_af], dtype=np.float64)
     if len(afs) < 2:
         return {"mu_per_beta": float("nan"), "intercept": float("nan"), "n": len(afs)}
-    fmax = afs[-1]
-    # cumulative count of mutations with AF >= f, as function of 1/f - 1/fmax
-    xs = 1.0 / afs - 1.0 / fmax
-    ms = np.arange(len(afs), 0, -1, dtype=np.float64)  # M(f) counts
-    slope, intercept = np.polyfit(xs, ms, 1)
+    # effective_mutation_rate.rs:35-56: group by UNIQUE reciprocal frequency
+    # (BTreeMap keyed on 1/f), regress the cumulative mutation count M(1/f)
+    # on 1/f over one point per distinct frequency (duplicates only raise
+    # the cumulative count, they do not get extra regression weight)
+    recip, counts = np.unique(1.0 / afs, return_counts=True)
+    ms = np.cumsum(counts).astype(np.float64)
+    slope, intercept = np.polyfit(recip, ms, 1)
     return {
         "mu_per_beta": float(slope),
         "intercept": float(intercept),
