@@ -18,15 +18,15 @@ import math
 def _universe_points(universe, resolution: float):
     pts = set()
     for sp in universe:
-        if getattr(sp, "is_set", False) or getattr(sp, "set_values", None) is not None:
-            vals = getattr(sp, "set_values", None) or getattr(sp, "values", ())
-            pts.update(float(v) for v in vals)
+        if sp.is_set:
+            pts.update(float(v) for v in sp.set_values)
         else:
-            start, end = float(sp.start), float(sp.end)
+            r = sp.range_value
+            start, end = float(r.start), float(r.end)
             n = max(1, round((end - start) / max(resolution, 1e-9)))
             for i in range(n + 1):
                 v = start + (end - start) * i / n
-                if sp.contains(v):
+                if r.contains(v):
                     pts.add(round(v, 9))
     return sorted(pts)
 
