@@ -165,3 +165,14 @@ def test_cnv_depth_from_observation_files(tmp_path):
     assert abs(seg.pos - (1000 + 20 * 500)) <= 2 * 500
     # the plain run must NOT see the same confident depth-driven gain
     assert cn not in plain_cns
+
+
+def test_allele_freq_pdf_reference_edges():
+    """cnvs.rs:442-455 inline test: impossible binomial outcomes are
+    ln_zero (k=round(af*depth); p=1 with k<n, and p=0 with k>0)."""
+    import numpy as np
+
+    from varlociraptor_tpu.calling.cnvs import _ln_binom_pmf
+
+    assert _ln_binom_pmf(np.array([round(0.64 * 10)]), 1.0, np.array([10]))[0] == -np.inf
+    assert _ln_binom_pmf(np.array([round(0.1 * 10)]), 0.0, np.array([10]))[0] == -np.inf
