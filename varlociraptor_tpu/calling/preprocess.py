@@ -62,6 +62,9 @@ class PreprocessOptions:
     # region sharding / n_workers). 0 = auto: 1 on the CPU backend (native
     # kernels, exact semantics), 64 on accelerators.
     device_chunk: int = 0
+    # contigs kept in the FASTA LRU buffer (--reference-buffer-size,
+    # cli.rs:268-276, reference default 10)
+    reference_buffer_size: int = 10
 
 
 def build_variant(info: VariantInfo, reference: FastaBuffer, options, props):
@@ -137,7 +140,9 @@ def preprocess(
 ):
     """Run preprocessing for one sample; returns count of processed records."""
     options = options or PreprocessOptions()
-    reference = reference or FastaBuffer(reference_path)
+    reference = reference or FastaBuffer(
+        reference_path, capacity=options.reference_buffer_size
+    )
     bam = bam or BamReader(bam_path)
     if alignment_properties is None:
         from ..estimation.alignment_properties import estimate

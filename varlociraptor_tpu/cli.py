@@ -40,7 +40,22 @@ def build_parser():
     pv.add_argument("--sample-name", default="sample")
     pv.add_argument("--alignment-properties", default=None)
     pv.add_argument("--max-depth", type=int, default=200)
-    pv.add_argument("--realignment-window", type=int, default=64)
+    pv.add_argument(
+        "--realignment-window", "--indel-window", type=int, default=64,
+        dest="realignment_window",
+        help="window around breakpoints for realignment "
+             "(reference flag name: --indel-window, cli.rs:310-316)",
+    )
+    pv.add_argument(
+        "--reference-buffer-size", type=int, default=10,
+        help="number of contigs kept in the FASTA LRU buffer (cli.rs:268-276)",
+    )
+    pv.add_argument(
+        "--min-bam-refetch-distance", type=int, default=1,
+        help="accepted for reference compatibility (cli.rs:278-288); the "
+             "block-cached indexed BAM reader makes refetch batching "
+             "unnecessary, so the value is not used",
+    )
     pv.add_argument("--pairhmm-mode", default="exact", choices=["exact", "fast", "homopolymer"])
     pv.add_argument("--omit-insert-size", action="store_true")
     pv.add_argument("--threads", type=int, default=1,
@@ -237,6 +252,7 @@ def run(argv=None):
                 region=args.region,
                 log_mode=args.log_mode,
                 n_workers=args.threads,
+                reference_buffer_size=args.reference_buffer_size,
             ),
         )
         print(f"preprocessed {n} candidate records", file=sys.stderr)
