@@ -169,11 +169,15 @@ def build_parser():
     mb = est_sub.add_parser("mutational-burden")
     mb.add_argument("calls", nargs="?", default=None)
     mb.add_argument("--events", nargs="+", required=True)
-    mb.add_argument("--sample", required=True)
+    mb.add_argument("--sample", nargs="+", required=True,
+                    help="sample name(s); several allowed with --mode multibar")
     mb.add_argument("--coding-genome-size", type=float, default=3e7)
     mb.add_argument("--mode", default="curve",
                     choices=["curve", "hist", "multibar", "table"])
-    mb.add_argument("--cutoff", type=float, default=0.2)
+    mb.add_argument("--cutoff", type=float, default=0.2,
+                    help="minimal VAF for the multibar plot (--vaf-cutoff)")
+    mb.add_argument("--vaf-cutoff", type=float, dest="cutoff",
+                    help="reference flag name for --cutoff")
 
     # ---- conversions ----
     dp = sub.add_parser("decode-phred", help="PHRED PROB_* -> linear probabilities")
