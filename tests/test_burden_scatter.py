@@ -204,3 +204,18 @@ def test_vaf_scatter(tmp_path):
     pts = spec["data"]["values"]
     assert len(pts) == 1
     assert pts[0]["a"] > pts[0]["b"]
+
+
+def test_af_to_gt_reference_semantics():
+    """conversion/genotype.rs:27-45: exact 0.5/1.0/0.0 are genotyped
+    directly; any other AF with DP>0 is heterozygous (subclone); no
+    observations -> ./."""
+    from varlociraptor_tpu.conversion.genotype import af_to_gt
+
+    assert af_to_gt(0.5) == "0/1"
+    assert af_to_gt(1.0) == "1/1"
+    assert af_to_gt(0.0) == "0/0"
+    assert af_to_gt(0.9, dp=20) == "0/1"
+    assert af_to_gt(0.1, dp=20) == "0/1"
+    assert af_to_gt(0.3, dp=0) == "./."
+    assert af_to_gt(None) == "./."

@@ -1,22 +1,32 @@
 """Derive diploid GT from MAP allele frequencies.
 
-Port of ``/root/reference/src/conversion/genotype.rs``: AF >= 0.75 -> 1/1,
-AF >= 0.25 -> 0/1, else 0/0 (missing AF -> ./.).
+Port of ``/root/reference/src/conversion/genotype.rs:17-52``: AF exactly
+0.5 -> 0/1, exactly 1.0 -> 1/1, exactly 0.0 -> 0/0; any other AF with
+DP > 0 is called heterozygous 0/1 (most likely case: a subclone); missing
+AF or no observations -> ./.
 """
 
 from __future__ import annotations
 
+import math
+
 from ..io.vcf import VcfReader, open_variant_file, VcfWriter, open_variant_writer
 
 
-def af_to_gt(af: float | None) -> str:
+def af_to_gt(af: float | None, dp: int | None = 1) -> str:
     if af is None:
         return "./."
-    if af >= 0.75:
-        return "1/1"
-    if af >= 0.25:
+    if math.isclose(af, 0.5, rel_tol=1e-6, abs_tol=1e-9):
         return "0/1"
-    return "0/0"
+    if math.isclose(af, 1.0, rel_tol=1e-6):
+        return "1/1"
+    if math.isclose(af, 0.0, rel_tol=1e-6, abs_tol=1e-9):
+        return "0/0"
+    if dp is not None and dp > 0:
+        # VAF < 1.0 but not exactly 0.5: still the most likely genotype is
+        # heterozygous (in a subclone of the cells), genotype.rs:35-38
+        return "0/1"
+    return "./."
 
 
 def genotype(in_path, out_path=None):
@@ -35,5 +45,9 @@ def genotype(in_path, out_path=None):
                     af = None if af != af else af
                 except ValueError:
                     af = None
-                s["GT"] = af_to_gt(af)
+                try:
+                    dp = int(s.get("DP", "."))
+                except ValueError:
+                    dp = None
+                s["GT"] = af_to_gt(af, dp)
             w.write(rec)
