@@ -23,9 +23,15 @@ def decode_phred(in_path, out_path=None):
         for rec in records:
             for key, val in list(rec.info.items()):
                 if key.startswith("PROB_") and val is not True:
-                    try:
-                        phred = float(str(val).split(",")[0])
-                    except ValueError:
-                        continue
-                    rec.info[key] = f"{math.exp(np_log_from_phred(phred)):.6g}"
+                    # Number=A: convert every allele's value; keep missing
+                    # ('.') entries as-is (decode_phred.rs:39-50)
+                    out = []
+                    for part in str(val).split(","):
+                        try:
+                            phred = float(part)
+                        except ValueError:
+                            out.append(part)
+                            continue
+                        out.append(f"{math.exp(np_log_from_phred(phred)):.6g}")
+                    rec.info[key] = ",".join(out)
             w.write(rec)
