@@ -285,18 +285,29 @@ def main():
 
     loci_per_sec = n_loci * n_iter / dt
 
-    cpu_rate = _measured_cpu_baseline()
+    if force_cpu:
+        # the fallback headline IS the baseline methodology (same engine,
+        # same backend) — re-measuring it separately only injects run-to-run
+        # noise into the ratio, so the ratio is 1.0 by construction
+        cpu_rate = loci_per_sec
+        provenance = (
+            "identical by construction: the CPU fallback runs the baseline "
+            "engine on the baseline backend"
+        )
+    else:
+        cpu_rate = _measured_cpu_baseline()
+        provenance = (
+            "same engine + same batch on this host's XLA CPU backend "
+            "(scripts/bench_posterior_cpu.py)"
+            if cpu_rate
+            else "nominal (CPU baseline run failed)"
+        )
     baseline = cpu_rate if cpu_rate else NOMINAL_BASELINE_LOCI_PER_SEC
     extra = {
         "e2e": _bench_e2e(),
         "preprocess_tpu": _bench_preprocess_tpu(),
         "baseline_cpu_loci_per_sec": round(cpu_rate, 1) if cpu_rate else None,
-        "baseline_provenance": (
-            "same engine + same batch on this host's XLA CPU backend "
-            "(scripts/bench_posterior_cpu.py)"
-            if cpu_rate
-            else "nominal (CPU baseline run failed)"
-        ),
+        "baseline_provenance": provenance,
     }
     print(
         json.dumps(
