@@ -87,6 +87,19 @@ class VcfReader:
         self.header_lines: list[str] = []
         self.sample_names: list[str] = []
         self._records: list[VcfRecord] | None = None
+        # parse the header eagerly so header_lines/sample_names are valid
+        # immediately (accessing them before records() used to silently
+        # return [] — a recurring footgun)
+        with self._open() as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line.startswith("##"):
+                    self.header_lines.append(line)
+                elif line.startswith("#CHROM"):
+                    self.sample_names = line.split("\t")[9:]
+                    break
+                else:
+                    break
 
     def _open(self):
         raw = open(self.path, "rb").read(2)
