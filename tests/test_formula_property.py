@@ -1,0 +1,135 @@
+"""Randomized consistency check of the formula-normalization pipeline:
+for random formulas over two samples, the compiled branch program
+(expansion -> negation pushdown against the universe -> merge/flatten,
+formula.rs:473-485) must agree with direct recursive evaluation of the
+parsed AST at every probe point inside the universe."""
+
+import random
+
+import numpy as np
+import yaml
+
+from varlociraptor_tpu.grammar import formula as fm
+from varlociraptor_tpu.grammar.compiler import compile_event
+from varlociraptor_tpu.grammar.scenario import Scenario
+
+SPECS = [
+    "0.0",
+    "0.5",
+    "1.0",
+    "{0.0,0.5}",
+    "{0.5,1.0}",
+    "[0.0,0.5]",
+    "[0.2,0.8]",
+    "]0.1,0.6]",
+    "[0.4,1.0[",
+    "]0.0,1.0]",
+    "[0.0,1.0[",
+    "]0.25,0.75[",
+]
+
+
+def _random_formula(rng, depth=0):
+    if depth >= 3 or rng.random() < 0.35:
+        return f"s{rng.randrange(2)}:{rng.choice(SPECS)}"
+    op = rng.random()
+    a = _random_formula(rng, depth + 1)
+    b = _random_formula(rng, depth + 1)
+    if op < 0.4:
+        return f"({a} & {b})"
+    if op < 0.8:
+        return f"({a} | {b})"
+    return f"!({a})"
+
+
+def _complement_contains(sp, v):
+    """Reference negation semantics for one atom against universe [0,1]
+    (formula.rs:759-855 + split_at:1106-1135): pure set complement for
+    sets; for ranges, an EXCLUSIVE bound strictly inside the universe
+    drops its boundary point from the complement (split_at carves it off
+    with an exclusive piece), while an exclusive bound coinciding with an
+    inclusive universe endpoint survives as a degenerate singleton."""
+    if sp.is_set:
+        return not any(abs(v - x) < 1e-12 for x in sp.set_values)
+    r = sp.range_value
+    if r.contains(v):
+        return False
+    if v == r.start and r.left_exclusive and r.start > 0.0:
+        return False
+    if v == r.end and r.right_exclusive and r.end < 1.0:
+        return False
+    return True
+
+
+def _eval_direct(node, vafs, neg=False):
+    """Direct recursive evaluation of the parsed AST with De Morgan
+    pushdown, modeling the reference's atom-complement semantics."""
+    if isinstance(node, fm.Conjunction):
+        sub = (_eval_direct(c, vafs, neg) for c in node.operands)
+        return any(sub) if neg else all(sub)
+    if isinstance(node, fm.Disjunction):
+        sub = (_eval_direct(c, vafs, neg) for c in node.operands)
+        return all(sub) if neg else any(sub)
+    if isinstance(node, fm.Negation):
+        return _eval_direct(node.operand, vafs, not neg)
+    if isinstance(node, fm.TrueLit):
+        return not neg
+    if isinstance(node, fm.FalseLit):
+        return neg
+    assert isinstance(node, fm.Atom), type(node)
+    v = vafs[node.sample]
+    if neg:
+        return _complement_contains(node.vafs, v)
+    return node.vafs.contains(v)
+
+
+def _member(ev, vafs):
+    for br in ev.branches:
+        ok = True
+        for sp, v in zip(br.spectra, vafs.values()):
+            if sp.kind == 0:
+                if not any(abs(v - x) < 1e-9 for x in sp.values):
+                    ok = False
+                    break
+            else:
+                lo = v > sp.start if sp.left_exclusive else v >= sp.start
+                hi = v < sp.end if sp.right_exclusive else v <= sp.end
+                if not (lo and hi):
+                    ok = False
+                    break
+        if ok:
+            return True
+    return False
+
+
+def test_random_formulas_compile_to_equivalent_branch_programs():
+    rng = random.Random(20260818)
+    sc = Scenario(
+        yaml.safe_load(
+            """
+samples:
+  s0: {universe: "[0.0,1.0]"}
+  s1: {universe: "[0.0,1.0]"}
+events:
+  placeholder: "s0:1.0"
+"""
+        )
+    )
+    # boundary-heavy probe grid: spectrum endpoints +- epsilon included
+    probes = sorted(
+        set(np.round(np.linspace(0, 1, 11), 6))
+        | {0.1, 0.2, 0.25, 0.4, 0.6, 0.75, 0.8}
+        | {0.1 + 1e-7, 0.6 - 1e-7, 0.25 + 1e-7}
+    )
+    n_checked = 0
+    for i in range(40):
+        text = _random_formula(rng)
+        ast = fm.parse_formula(text)
+        ev = compile_event(f"ev{i}", ast, sc, "all")
+        for v0 in probes:
+            for v1 in probes:
+                direct = _eval_direct(ast, {"s0": v0, "s1": v1})
+                compiled = _member(ev, {"s0": v0, "s1": v1})
+                assert direct == compiled, (text, v0, v1, direct, compiled)
+                n_checked += 1
+    assert n_checked == 40 * len(probes) ** 2

@@ -65,13 +65,27 @@ class VAFRange:
         return lo and hi
 
     def split_at(self, vaf: float):
-        """(left, right) spectra, None where empty (formula.rs split_at)."""
+        """(left, right) spectra, None where empty (formula.rs:1106-1135).
+
+        A degenerate piece (start == end) survives as a SINGLETON set
+        unless its left bound is exclusive and the parent's right bound is
+        exclusive — the reference's to_spectrum rule. This is what makes
+        e.g. the complement of [0.0,1.0[ against universe [0.0,1.0] come
+        out as {1.0} instead of vanishing (the right piece ]1.0,1.0] is
+        degenerate but the parent end is inclusive)."""
         assert self.contains(vaf)
-        left = VAFRange(self.start, vaf, self.left_exclusive, True)
-        right = VAFRange(vaf, self.end, True, self.right_exclusive)
-        lspec = VAFSpectrum.range(left) if not left.is_empty else None
-        rspec = VAFSpectrum.range(right) if not right.is_empty else None
-        return lspec, rspec
+
+        def to_spec(start, end, lex, rex):
+            if start == end:
+                if not (lex and self.right_exclusive):
+                    return VAFSpectrum.from_set([start])
+                return None
+            return VAFSpectrum.range(VAFRange(start, end, lex, rex))
+
+        return (
+            to_spec(self.start, vaf, self.left_exclusive, True),
+            to_spec(vaf, self.end, True, self.right_exclusive),
+        )
 
     def overlap(self, other: "VAFRange") -> str:
         """one of contained/contains/end/start/equal/none
@@ -482,7 +496,11 @@ def negate_spectrum_against_universe(vafs: VAFSpectrum, universe: list[VAFSpectr
                         left, right = ur.split_at(v)
                         if right is not None:
                             stack.append(right)
-                        if left is not None:
+                        if left is not None and not (
+                            left.is_set and left.set_values == (v,)
+                        ):
+                            # a degenerate left piece IS the negated point
+                            # itself — it must not enter the complement
                             out.append(left)
                         consumed = True
                         break
