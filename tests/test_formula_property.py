@@ -133,3 +133,43 @@ events:
                 assert direct == compiled, (text, v0, v1, direct, compiled)
                 n_checked += 1
     assert n_checked == 40 * len(probes) ** 2
+
+
+def test_random_interval_algebra_consistency():
+    """Pointwise consistency of the interval algebra: intersect(a,b)
+    contains v iff a and b both contain v; a successful union contains v
+    iff a or b contains v; overlap 'none' iff no common point on the
+    probe grid."""
+    from varlociraptor_tpu.grammar.formula import (
+        VAFRange,
+        VAFSpectrum,
+        _intersect_spectra,
+        _try_union_spectra,
+    )
+
+    rng = random.Random(48074578)
+    grid = [round(i / 20, 3) for i in range(21)]
+
+    def rand_spectrum():
+        if rng.random() < 0.3:
+            k = rng.randrange(1, 4)
+            return VAFSpectrum.from_set(rng.sample(grid, k))
+        lo, hi = sorted(rng.sample(grid, 2))
+        return VAFSpectrum.range(
+            VAFRange(lo, hi, rng.random() < 0.5, rng.random() < 0.5)
+        )
+
+    for _ in range(300):
+        a, b = rand_spectrum(), rand_spectrum()
+        inter = _intersect_spectra(a, b)
+        union = _try_union_spectra(a, b)
+        for v in grid:
+            ina, inb = a.contains(v), b.contains(v)
+            assert inter.contains(v) == (ina and inb), (a, b, v)
+            if union is not None:
+                assert union.contains(v) == (ina or inb), (a, b, v, union)
+        if a.is_set is False and b.is_set is False:
+            ov = a.range_value.overlap(b.range_value)
+            any_common = any(a.contains(v) and b.contains(v) for v in grid)
+            if ov == "none":
+                assert not any_common, (a, b)
