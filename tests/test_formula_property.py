@@ -173,3 +173,45 @@ def test_random_interval_algebra_consistency():
             any_common = any(a.contains(v) and b.contains(v) for v in grid)
             if ov == "none":
                 assert not any_common, (a, b)
+
+
+def test_random_formulas_discrete_universe():
+    """Same compiled-vs-direct equivalence over a DISCRETE universe
+    (0.0 | 0.5 | 1.0): negation runs the set-vs-set difference path
+    (formula.rs:773-780), which is a pure complement — no boundary
+    quirks."""
+    rng = random.Random(1234)
+    sc = Scenario(
+        yaml.safe_load(
+            """
+samples:
+  s0: {universe: "0.0 | 0.5 | 1.0"}
+  s1: {universe: "0.0 | 0.5 | 1.0"}
+events:
+  placeholder: "s0:1.0"
+"""
+        )
+    )
+    specs = ["0.0", "0.5", "1.0", "{0.0,0.5}", "{0.5,1.0}", "{0.0,1.0}"]
+
+    def rand_formula(depth=0):
+        if depth >= 3 or rng.random() < 0.35:
+            return f"s{rng.randrange(2)}:{rng.choice(specs)}"
+        op = rng.random()
+        a, b = rand_formula(depth + 1), rand_formula(depth + 1)
+        if op < 0.4:
+            return f"({a} & {b})"
+        if op < 0.8:
+            return f"({a} | {b})"
+        return f"!({a})"
+
+    probes = [0.0, 0.5, 1.0]
+    for i in range(40):
+        text = rand_formula()
+        ast = fm.parse_formula(text)
+        ev = compile_event(f"dev{i}", ast, sc, "all")
+        for v0 in probes:
+            for v1 in probes:
+                direct = _eval_direct(ast, {"s0": v0, "s1": v1})
+                compiled = _member(ev, {"s0": v0, "s1": v1})
+                assert direct == compiled, (text, v0, v1, direct, compiled)
