@@ -215,3 +215,51 @@ events:
                 direct = _eval_direct(ast, {"s0": v0, "s1": v1})
                 compiled = _member(ev, {"s0": v0, "s1": v1})
                 assert direct == compiled, (text, v0, v1, direct, compiled)
+
+
+def test_random_formulas_with_variant_and_lfc_compile():
+    """Compile-smoke: random formulas mixing VAF atoms with IUPAC variant
+    selectors and l2fc predicates (incl. under negation — variant flips
+    `positive`, l2fc flips the comparison op, formula.rs:713-758) must
+    compile without errors and honor plain-VAF membership."""
+    rng = random.Random(777)
+    sc = Scenario(
+        yaml.safe_load(
+            """
+samples:
+  s0: {universe: "[0.0,1.0]"}
+  s1: {universe: "[0.0,1.0]"}
+events:
+  placeholder: "s0:1.0"
+"""
+        )
+    )
+    leaves = [
+        's0:{0.0,0.5}', "s1:[0.2,0.8]", "s0:]0.0,1.0]", "s1:0.5",
+        "C>T", "A>G",
+        "l2fc(s0,s1) >= 1.0", "l2fc(s1,s0) < 0.5",
+    ]
+
+    def rand_formula(depth=0):
+        if depth >= 3 or rng.random() < 0.4:
+            return rng.choice(leaves)
+        op = rng.random()
+        a, b = rand_formula(depth + 1), rand_formula(depth + 1)
+        if op < 0.4:
+            return f"({a} & {b})"
+        if op < 0.8:
+            return f"({a} | {b})"
+        return f"!({a})"
+
+    n_nontrivial = 0
+    for i in range(60):
+        text = rand_formula()
+        ast = fm.parse_formula(text)
+        ev = compile_event(f"vl{i}", ast, sc, "all")
+        # every branch must carry one spectrum per sample (missing samples
+        # auto-filled with the whole universe, vaftree.rs:250-296)
+        for br in ev.branches:
+            assert len(br.spectra) == 2
+        if ev.branches:
+            n_nontrivial += 1
+    assert n_nontrivial > 30
