@@ -47,12 +47,12 @@ RESCALE = 1e16
 
 
 def _kernel(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref, coef_ref,
-            out_ref, mjm1, mjm2, scale, acc):
-    """One tile of TB items: allele [TB, Xp] i32 (0 = pad), read [TB, Yp] i32,
-    mis [TB, Yp] f32 (LINEAR miscall prob), alen/rlen [TB, 1] i32,
-    coef [1, 4] f32 in SMEM = (t_mm, t_dm*t_md, t_im*t_mi, t_mi).
-    out [TB, 1] f32 log-prob. Scratch: mjm1/mjm2 [TB, Xp] f32 columns,
-    scale/acc [TB, 1] f32."""
+            out_ref, mjm1, mjm2, scale, acc, mprev):
+    """One tile of TB items: allele [TB, Xp] f32 (0 = pad), read [TB, Yp] f32
+    (base codes exact in f32), mis [TB, Yp] f32 (LINEAR miscall prob),
+    alen/rlen [TB, 1] i32, coef [1, 4] f32 in SMEM =
+    (t_mm, t_dm*t_md, t_im*t_mi, t_mi). out [TB, 1] f32 log-prob.
+    Scratch: mjm1/mjm2 [TB, Xp] f32 columns, scale/acc/mprev [TB, 1] f32."""
     Xp = allele_ref.shape[1]
     Yp = read_ref.shape[1]
     t_mm = coef_ref[0, 0]
@@ -65,23 +65,34 @@ def _kernel(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref, coef_ref,
     rlen = rlen_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Xp), 1)
     valid = lane < alen  # lane k holds allele position i = k+1
+    lane_y = jax.lax.broadcasted_iota(jnp.int32, (TB, Yp), 1)
 
     mjm1[:] = jnp.zeros((TB, Xp), jnp.float32)
     mjm2[:] = jnp.zeros((TB, Xp), jnp.float32)
     scale[:] = jnp.zeros((TB, 1), jnp.float32)  # accumulated -log scale
     acc[:] = jnp.zeros((TB, 1), jnp.float32)
+    mprev[:] = jnp.zeros((TB, 1), jnp.float32)
 
     m1 = mis_ref[:, 0:1]  # miscall of the first read base [TB, 1]
 
+    def _shift(x, k):
+        # static shift right by k lanes, zero-fill (Pallas TPU: no dynamic
+        # lane slicing, so all lane movement is static concatenation)
+        return jnp.concatenate(
+            [jnp.zeros((TB, k), jnp.float32), x[:, : Xp - k]], axis=1
+        )
+
     def col(j, _):
-        # j is 1-based read position
-        rj = jax.lax.dynamic_slice(read_ref[:], (0, j - 1), (TB, 1))  # [TB,1]
-        mj = jax.lax.dynamic_slice(mis_ref[:], (0, j - 1), (TB, 1))
-        mjm = jax.lax.dynamic_slice(
-            mis_ref[:], (0, jnp.maximum(j - 2, 0)), (TB, 1)
-        )  # miscall of read base j-1 (for the I path); unused when j<2
+        # j is 1-based read position. Column j's read base / miscall are
+        # extracted with a masked lane reduction (dynamic_slice along lanes
+        # does not lower on TPU Pallas); miscall of base j-1 is carried in
+        # the mprev scratch register across iterations.
+        sel = lane_y == (j - 1)
+        rj = jnp.sum(jnp.where(sel, read_ref[:], 0.0), axis=1, keepdims=True)
+        mj = jnp.sum(jnp.where(sel, mis_ref[:], 0.0), axis=1, keepdims=True)
+        mjm = mprev[:]  # miscall of read base j-1 (I path); unused when j<2
         match = allele == rj
-        is_n = rj == ord("N")
+        is_n = rj == float(ord("N"))
         e_m = jnp.where(
             match,
             1.0 - mj,
@@ -91,9 +102,9 @@ def _kernel(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref, coef_ref,
 
         prev1 = mjm1[:]
         prev2 = mjm2[:]
-        sh1 = jnp.where(lane >= 1, jnp.roll(prev1, 1, axis=1), 0.0)
-        sh2 = jnp.where(lane >= 2, jnp.roll(prev1, 2, axis=1), 0.0)
-        ins1 = jnp.where(lane >= 1, jnp.roll(prev2, 1, axis=1), 0.0)
+        sh1 = _shift(prev1, 1)
+        sh2 = _shift(prev1, 2)
+        ins1 = _shift(prev2, 1)
 
         start_w = jnp.where(j == 1, jnp.exp(-scale[:]), 0.0)  # [TB,1]
         # free-start I at column 1 feeds M at column 2 for every i
@@ -129,6 +140,7 @@ def _kernel(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref, coef_ref,
 
         mjm2[:] = prev1s
         mjm1[:] = mj_col
+        mprev[:] = mj
         return 0
 
     out_ref[:] = jnp.full((TB, 1), -1e30, jnp.float32)
@@ -162,6 +174,7 @@ def _pallas_forward(allele, read, mis, alen, rlen, coef, x_pad, y_pad,
             pltpu.VMEM((TB, x_pad), jnp.float32),
             pltpu.VMEM((TB, 1), jnp.float32),
             pltpu.VMEM((TB, 1), jnp.float32),
+            pltpu.VMEM((TB, 1), jnp.float32),
         ],
         interpret=interpret,
     )(allele, read, mis, alen, rlen, coef)
@@ -180,8 +193,8 @@ def pallas_exact_forward(alleles, reads, quals, gap, interpret=False):
     B = ((n + TB - 1) // TB) * TB
     Xp = max(128, -(-max(len(a) for a in alleles) // 128) * 128)
     Yp = max(128, -(-max(len(r) for r in reads) // 128) * 128)
-    allele = np.zeros((B, Xp), dtype=np.int32)
-    read = np.zeros((B, Yp), dtype=np.int32)
+    allele = np.zeros((B, Xp), dtype=np.float32)
+    read = np.zeros((B, Yp), dtype=np.float32)
     mis = np.zeros((B, Yp), dtype=np.float32)
     alen = np.zeros((B, 1), dtype=np.int32)
     rlen = np.ones((B, 1), dtype=np.int32)
