@@ -81,3 +81,16 @@ def test_pallas_matches_wavefront_interpret():
     )[: len(alleles)]
     rel = np.abs(out_pl - out_ref) / np.maximum(np.abs(out_ref), 1.0)
     assert float(rel.max()) < 5e-4, rel.max()
+
+
+def test_pallas_empty_read_masked():
+    """A zero-length read window must return -1e30 (the wavefront's empty
+    result), not a bogus positive log-prob from the forced pad column."""
+    alleles = [b"ACGTACGTAC", b"ACGTACGTAC"]
+    reads = [np.zeros(0, dtype=np.uint8), np.frombuffer(b"ACGT", np.uint8)]
+    quals = [np.zeros(0, dtype=np.uint8), np.full(4, 30, np.uint8)]
+    out = pallas_exact_forward(alleles, reads, quals, GAP, interpret=True)
+    assert out[0] == -1e30
+    # ACGT matches at 2 start positions -> ~log(2*(1-1e-3)^4) (semiglobal
+    # forward sums over free starts; normalization cancels in ref/alt)
+    assert abs(out[1] - math.log(2.0)) < 0.05

@@ -545,9 +545,18 @@ class BatchedPairHMM:
         return self._use_native
 
     def _backend_is_tpu(self):
+        # explicit TPU check: the Pallas kernel lowers via Mosaic only on
+        # TPU (the axon plugin tunnels to a real chip); a GPU/METAL backend
+        # must keep the XLA wavefront
         import jax
 
-        return jax.default_backend() not in ("cpu",)
+        backend = jax.default_backend()
+        if backend in ("tpu", "axon"):
+            return True
+        try:
+            return jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            return False
 
     def _init_gaps(self, gap_params):
         # zero (= -inf log) extension probability means multi-base spurious

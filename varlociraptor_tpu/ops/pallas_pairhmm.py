@@ -58,13 +58,13 @@ RESCALE = 1e16
 
 
 def _kernel(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref, coef_ref,
-            out_ref, mjm1, mjm2, scale, acc, mprev):
+            out_ref, mjm1, mjm2, scale, mprev):
     """One tile of TB items, item axis on LANES: allele [Xp, TB] f32
     (0 = pad; base codes are exact in f32), read [Yp, TB] f32,
     mis [Yp, TB] f32 (LINEAR miscall prob), alen/rlen [1, TB] i32,
     coef [1, 4] f32 in SMEM = (t_mm, t_dm*t_md, t_im*t_mi, t_mi).
     out [1, TB] f32 log-prob. Scratch: mjm1/mjm2 [Xp, TB] f32 columns,
-    scale/acc/mprev [1, TB] f32."""
+    scale/mprev [1, TB] f32."""
     from jax.experimental import pallas as pl
 
     Xp = allele_ref.shape[0]
@@ -83,7 +83,6 @@ def _kernel(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref, coef_ref,
     mjm1[:] = jnp.zeros((Xp, TB), jnp.float32)
     mjm2[:] = jnp.zeros((Xp, TB), jnp.float32)
     scale[:] = jnp.zeros((1, TB), jnp.float32)  # accumulated -log scale
-    acc[:] = jnp.zeros((1, TB), jnp.float32)
     mprev[:] = jnp.zeros((1, TB), jnp.float32)
 
     m1 = mis_ref[0:1, :]  # miscall of the first read base [1, TB]
@@ -137,8 +136,7 @@ def _kernel(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref, coef_ref,
             mj * t_mi * jnp.sum(prev1s, axis=0, keepdims=True),
         )
         fin = m_sum + i_sum
-        acc[:] = jnp.where(at_end, fin, acc[:])
-        # freeze the log scale of finished items alongside their acc
+        # freeze the log(fin)-scale of finished items at their end column
         out_ref[:] = jnp.where(
             at_end,
             jnp.where(fin > 0.0, jnp.log(jnp.maximum(fin, 1e-300)), -1e30)
@@ -193,11 +191,14 @@ def _pallas_forward(allele_u8, read_u8, qual_u8, alen, rlen, coef, x_pad,
             pltpu.VMEM((x_pad, TB), jnp.float32),
             pltpu.VMEM((1, TB), jnp.float32),
             pltpu.VMEM((1, TB), jnp.float32),
-            pltpu.VMEM((1, TB), jnp.float32),
         ],
         interpret=interpret,
     )(allele, read, mis, alen, rlen, coef)
     return out[0, :]
+
+
+def _pow2_at_least(n):
+    return 1 << max(0, int(n - 1).bit_length())
 
 
 def _scatter_rows(items, B, Np):
@@ -227,9 +228,12 @@ def pack_exact_batch(alleles, reads, quals, gap):
     ``_pallas_forward``). Fully vectorized — no per-item Python loop.
     Returns (args tuple for _pallas_forward, n, Xp, Yp)."""
     n = len(alleles)
-    B = ((n + TB - 1) // TB) * TB
-    Xp = max(8, -(-max(len(a) for a in alleles) // 8) * 8)
-    Yp = max(8, -(-max(len(r) for r in reads) // 8) * 8)
+    # bucket shapes coarsely so jit programs are REUSED across pileups
+    # (fine-grained padding => one Mosaic compile through the remote
+    # tunnel per distinct shape combo; cf. pairhmm.py's pow2 bucketing)
+    B = TB * _pow2_at_least((n + TB - 1) // TB)
+    Xp = max(32, -(-max(len(a) for a in alleles) // 32) * 32)
+    Yp = max(32, -(-max(len(r) for r in reads) // 32) * 32)
     allele, alens = _scatter_rows([bytes(a) for a in alleles], B, Xp)
     read, rlens = _scatter_rows(reads, B, Yp)
     qual, _ = _scatter_rows(quals, B, Yp)
@@ -257,4 +261,11 @@ def pallas_exact_forward(alleles, reads, quals, gap, interpret=False):
     out = _pallas_forward(
         *(jnp.asarray(a) for a in args), Xp, Yp, interpret=interpret
     )
-    return np.asarray(out, dtype=np.float64)[:n]
+    res = np.asarray(out, dtype=np.float64)[:n]
+    # items with a truly EMPTY read are clamped to rlen=1 in the pack; the
+    # forced column there reads pad data (qual 0 -> miscall 1.0) and would
+    # return a bogus positive log-prob — mask to the wavefront's -1e30
+    empty = np.fromiter((len(r) == 0 for r in reads), dtype=bool, count=n)
+    if empty.any():
+        res[empty] = -1e30
+    return res
