@@ -266,9 +266,20 @@ def test_sam_input_through_preprocess(tmp_path):
             ),
             options=PreprocessOptions(log_mode="silent"),
         )
-        outs[tag] = [json.loads(x) for x in out.read_text().splitlines()[1:]]
+        from varlociraptor_tpu.calling.observations import (
+            ObservationReader,
+            obs_to_dict,
+        )
+
+        outs[tag] = [
+            (
+                (v.chrom, v.pos, v.ref_allele, v.alt_allele),
+                [obs_to_dict(o) for o in p.read_observations],
+            )
+            for v, p in ObservationReader(out)
+        ]
     assert outs["bam"] == outs["sam"]
-    assert outs["bam"] and outs["bam"][0]["obs"]
+    assert outs["bam"] and outs["bam"][0][1]
 
 
 def test_vcf_malformed_lines(tmp_path):

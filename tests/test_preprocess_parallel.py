@@ -39,7 +39,18 @@ def _run(tmp, tag, **opts):
         sample_name="t",
         options=PreprocessOptions(log_mode="silent", **opts),
     )
-    return [json.loads(line) for line in open(out).read().splitlines()[1:]]
+    from varlociraptor_tpu.calling.observations import (
+        ObservationReader,
+        obs_to_dict,
+    )
+
+    return [
+        (
+            (v.chrom, v.pos, v.ref_allele, v.alt_allele, v.kind),
+            [obs_to_dict(o) for o in p.read_observations],
+        )
+        for v, p in ObservationReader(out)
+    ]
 
 
 @pytest.fixture(scope="module")

@@ -45,6 +45,10 @@ from .ref_obs import open_observations
 from .variants import VariantInfo
 
 DEFAULT_BATCH = 64
+# the columnar fast path amortizes per-dispatch latency over much larger
+# windows (fastcall.py pads the locus axis to pow2 buckets, so small
+# inputs don't pay for the window size)
+DEFAULT_COLUMNAR_BATCH = 1024
 
 
 @dataclass
@@ -56,8 +60,13 @@ class CallOptions:
     omit_homopolymer_artifact_detection: bool = False
     omit_alt_locus_bias: bool = False
     full_prior: bool = False
-    batch_size: int = DEFAULT_BATCH
+    batch_size: int | None = None  # None = path-dependent default
     resolution: float = 0.01
+
+    def effective_batch(self, columnar: bool) -> int:
+        if self.batch_size is not None:
+            return self.batch_size
+        return DEFAULT_COLUMNAR_BATCH if columnar else DEFAULT_BATCH
 
 
 @dataclass
@@ -322,7 +331,7 @@ class GenericCaller:
         # pad the locus axis to the fixed batch size so partial batches
         # reuse the compiled program (padded loci carry empty pileups and
         # their results are dropped below)
-        Lp = self.options.batch_size
+        Lp = self.options.effective_batch(columnar=False)
         feats, mask = batch.features, batch.mask
         if L < Lp:
             def _pad(a):
@@ -469,16 +478,16 @@ def call_generic(
     Returns number of records called.
     """
     options = options or CallOptions()
+    # engine programs are recompiled per (L, depth, combo-slot) shape combo
+    # (~3.5 s each on XLA CPU, minutes through the axon tunnel); the
+    # persistent cache makes every later process/run start warm
+    from ..utils.jaxcache import enable as _enable_xla_cache
+
+    _enable_xla_cache()
     caller = GenericCaller(scenario, options, mesh=mesh)
     # samples without observation files get empty pileups (the reference
     # models per-sample readers as Option<bcf::Reader>, calling.rs:55-81)
-    iters = [
-        iter(open_observations(observation_paths[name], name))
-        if name in observation_paths
-        else None
-        for name in scenario.sample_names
-    ]
-    if all(it is None for it in iters):
+    if not any(name in observation_paths for name in scenario.sample_names):
         raise ValueError("no observation files given")
 
     sample_names = scenario.sample_names
@@ -519,6 +528,72 @@ def call_generic(
     log = logging.getLogger("varlociraptor_tpu.call")
     t0 = time.monotonic()
     last_log = t0
+
+    # columnar fast path (calling/fastcall.py): vectorized host loop +
+    # compact-encoding engine dispatch.  The per-WorkItem path remains for
+    # the plug-in hooks that need Pileup objects (contamination estimation)
+    # and the cross-shard mesh layer; VLT_LEGACY_CALL=1 forces it.
+    import os as _os
+
+    use_columnar = (
+        call_processor is None
+        and candidate_filter is None
+        and _os.environ.get("VLT_LEGACY_CALL") != "1"
+    )
+    if use_columnar:
+        from .fastcall import ColumnarCaller
+        from .columnar import ColumnarBatch
+
+        caller = ColumnarCaller(scenario, options, mesh=mesh)
+
+    # zero-object read path: when every present reader supports columnar
+    # windows, records never materialize as per-read Python objects at all
+    readers = [
+        open_observations(observation_paths[name], name)
+        if name in observation_paths
+        else None
+        for name in scenario.sample_names
+    ]
+    if use_columnar and all(
+        r is None or hasattr(r, "read_window") for r in readers
+    ):
+        from .columnar import ColumnarBatch as _CB
+
+        window_n = options.effective_batch(True)
+        with open_variant_writer(
+            output_path, sample_names=sample_names, header_lines=header
+        ) as w:
+            while True:
+                windows = [
+                    r.read_window(window_n) if r is not None else None
+                    for r in readers
+                ]
+                present = [x for x in windows if x is not None]
+                if not present:
+                    break
+                lens = {len(x[0]) for x in present}
+                if len(lens) != 1:
+                    raise ValueError(
+                        "inconsistent observation files (different lengths)"
+                    )
+                if lens == {0}:
+                    break
+                cb = _CB.from_sample_windows(windows)
+                out, meta = caller.call_window_cb(cb, cb.variants[0].chrom)
+                for rec in caller.format_window(cb, out, meta, sample_names):
+                    w.write(rec)
+                    n += 1
+                now = time.monotonic()
+                if now - last_log >= 20.0:
+                    log.info(
+                        "called %d records (%.0f records/s)",
+                        n,
+                        n / max(now - t0, 1e-9),
+                    )
+                    last_log = now
+        return n
+    iters = [iter(r) if r is not None else None for r in readers]
+
     with open_variant_writer(output_path, sample_names=sample_names, header_lines=header) as w:
         batch_items = []
         batch_contig = None
@@ -527,12 +602,22 @@ def call_generic(
             nonlocal n, last_log
             if not batch_items:
                 return
-            results = caller.call_batch(batch_items, batch_contig)
-            for res in results:
-                w.write(_result_to_record(res, sample_names))
-                if call_processor is not None:
-                    call_processor(res)
-                n += 1
+            if use_columnar:
+                cb = ColumnarBatch.from_pileups(
+                    [it.variant for it in batch_items],
+                    [it.pileups for it in batch_items],
+                )
+                out, meta = caller.call_window_cb(cb, batch_contig)
+                for rec in caller.format_window(cb, out, meta, sample_names):
+                    w.write(rec)
+                    n += 1
+            else:
+                results = caller.call_batch(batch_items, batch_contig)
+                for res in results:
+                    w.write(_result_to_record(res, sample_names))
+                    if call_processor is not None:
+                        call_processor(res)
+                    n += 1
             now = time.monotonic()
             if now - last_log >= 20.0:
                 rate = n / max(now - t0, 1e-9)
@@ -568,11 +653,20 @@ def call_generic(
                 ):
                     raise ValueError("inconsistent observation files (different loci)")
             pileups = [r[1] if r is not None else Pileup() for r in recs]
-            item = caller.make_work_item(n, v0, pileups)
-            if candidate_filter is not None and not candidate_filter(item):
-                continue
+            if use_columnar:
+                # the columnar path applies the non-standard-alignment
+                # filter and singleton adjustment vectorized in
+                # call_window_cb — don't mutate the pileups here
+                item = WorkItem(
+                    index=n, variant=v0, pileups=pileups, flags=(), snv=None
+                )
+            else:
+                item = caller.make_work_item(n, v0, pileups)
+                if candidate_filter is not None and not candidate_filter(item):
+                    continue
             if batch_contig is not None and (
-                v0.chrom != batch_contig or len(batch_items) >= options.batch_size
+                v0.chrom != batch_contig
+                or len(batch_items) >= options.effective_batch(use_columnar)
             ):
                 flush()
                 batch_items = []

@@ -614,11 +614,23 @@ def _preprocess_parallel(
             "n_workers": options.n_workers,
         },
     ) as writer:
+        from .observations import CHUNK_RECORDS, ObservationReader
+
         for job in jobs:
-            with open(job[5]) as f:
-                next(f, None)  # shard header
-                for line in f:
-                    writer._fh.write(line)
+            if writer._binary:
+                # columnar chunk relay — no per-read objects
+                rd = ObservationReader(job[5])
+                while True:
+                    w = rd.read_window(CHUNK_RECORDS)
+                    if w is None:
+                        break
+                    writer.write_window(*w)
+                rd.close()
+            else:
+                with open(job[5]) as f:
+                    next(f, None)  # shard header
+                    for line in f:
+                        writer._fh.write(line)
     import shutil
 
     shutil.rmtree(tmpdir, ignore_errors=True)

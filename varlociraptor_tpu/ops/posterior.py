@@ -511,17 +511,14 @@ class PosteriorEngine:
 
         self._run = jax.jit(self._run_impl)
 
-        def _packed_impl(*args):
+        def _pack_out(out, mask):
             # one f32 + one i16 flat buffer, assembled INSIDE the jit: every
             # un-jitted jnp op on axon is a separate tunnel dispatch, and
             # np.asarray(mask) on a device array re-fetched the [L,S,D]
             # bool mask (~4 MB at batch 32k).  `posteriors` is derived on
             # the host (joint - marginal) and not shipped at all.
-            out = self._run_impl(*args)
-            mask = args[1]
-            # clamp to the int16 ceiling of the packed buffer (pileups are
-            # depth-capped far below this; a >32767-read pileup would OOM
-            # the feature tensor long before the count could wrap)
+            # n_obs clamps to the int16 ceiling of the packed buffer
+            # (pileups are depth-capped far below this)
             n_obs = jnp.minimum(mask.sum(axis=-1), 32767).astype(jnp.int16)
             f32_flat = jnp.concatenate(
                 [
@@ -539,7 +536,13 @@ class PosteriorEngine:
             )
             return f32_flat, i16_flat
 
+        self._pack_out = _pack_out
+
+        def _packed_impl(*args):
+            return _pack_out(self._run_impl(*args), args[1])
+
         self._run_packed = jax.jit(_packed_impl)
+        self._run_packed_compact = None  # built lazily by run_compact
 
     # ------------------------------------------------------------------
     def _branch_weights(self, n_obs):
@@ -1781,13 +1784,101 @@ class PosteriorEngine:
             )
         else:
             f32_flat, i16_flat = self._run_packed(*args, None, n_art)
-        f32_flat = np.asarray(f32_flat)
-        i16_flat = np.asarray(i16_flat)
+        return self._unpack_host(
+            np.asarray(f32_flat), np.asarray(i16_flat), L, args[2].shape[2]
+        )
 
+    # ------------------------------------------------------------------
+    def _compact_core(self, obs_f16, obs_u8, hil, mask, slot_map,
+                      combo_active, branch_gates, ln_prior_absent, fwd_rate,
+                      has_alt, ln_prior_joint, n_art):
+        """Feature expansion + device bias factors + posterior, traced
+        inside one jit (ops.compact_obs wire encoding)."""
+        from .compact_obs import bias_factors, expand_features
+
+        feats = expand_features(obs_f16, obs_u8, hil)
+        ba, br_, bn = bias_factors(
+            obs_f16, obs_u8, slot_map, fwd_rate, has_alt
+        )
+        return self._run_impl(
+            feats, mask, ba, br_, bn, combo_active, branch_gates,
+            ln_prior_absent, ln_prior_joint=ln_prior_joint,
+            n_artifact_active=n_art,
+        )
+
+    def run_compact_unpacked(self):
+        """Jitted compact-input engine returning the UNPACKED output dict
+        (device arrays) — the sharded path needs per-output arrays because
+        the packed flat buffer does not shard along the locus axis."""
+        if getattr(self, "_run_compact_unpacked", None) is None:
+            self._run_compact_unpacked = jax.jit(self._compact_core)
+        return self._run_compact_unpacked
+
+    # ------------------------------------------------------------------
+    def run_compact(
+        self,
+        obs_f16,
+        obs_u8,
+        hil,
+        mask,
+        slot_map,
+        combo_active,
+        branch_gates,
+        ln_prior_absent,
+        fwd_rate,
+        has_alt_loci,
+        ln_prior_joint=None,
+        n_artifact_active=None,
+    ):
+        """Like :meth:`run`, but from the compact wire encoding
+        (ops.compact_obs): feature expansion AND per-combo bias factors run
+        inside the jit, so the tunnel ships ~24 B/obs instead of the f32
+        feature tensor + three host-built bias tensors (~16x less).
+
+        obs_f16 [L,S,D,9] f16; obs_u8 [L,S,D,4] u8; hil [L,S,D] i8;
+        mask [L,S,D] bool; slot_map [L,Bc] int32 (FULL_COMBOS indices per
+        active combo slot, 0-padded); combo_active [L,Bc] bool;
+        fwd_rate [L] f32; has_alt_loci [L] bool; others as in run().
+        """
+        if self._run_packed_compact is None:
+            def _impl(*args):
+                return self._pack_out(self._compact_core(*args), args[3])
+
+            self._run_packed_compact = jax.jit(_impl)
+
+        L = obs_f16.shape[0]
+        args = [
+            jnp.asarray(obs_f16, dtype=jnp.float16),
+            jnp.asarray(obs_u8, dtype=jnp.uint8),
+            jnp.asarray(hil, dtype=jnp.int8),
+            jnp.asarray(mask),
+            jnp.asarray(slot_map, dtype=jnp.int32),
+            jnp.asarray(combo_active),
+            jnp.asarray(branch_gates),
+            jnp.asarray(ln_prior_absent, dtype=jnp.float32),
+            jnp.asarray(fwd_rate, dtype=jnp.float32),
+            jnp.asarray(has_alt_loci),
+        ]
+        if n_artifact_active is None:
+            n_art = jnp.full(
+                (L,), float(self.n_artifact_combos or 1), dtype=jnp.float32
+            )
+        else:
+            n_art = jnp.asarray(n_artifact_active, dtype=jnp.float32)
+        pj = (
+            jnp.asarray(ln_prior_joint, dtype=jnp.float32)
+            if ln_prior_joint is not None
+            else None
+        )
+        f32_flat, i16_flat = self._run_packed_compact(*args, pj, n_art)
+        return self._unpack_host(
+            np.asarray(f32_flat), np.asarray(i16_flat), L, combo_active.shape[1]
+        )
+
+    def _unpack_host(self, f32_flat, i16_flat, L, B):
+        """Split the packed device buffers back into the host result dict."""
         S = self.n_samples
-        G = self.grid.size
         E = len(self.events)
-        B = args[2].shape[2]
         host = {}
         pos = 0
         for k, shape in (

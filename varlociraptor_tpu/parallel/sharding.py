@@ -107,6 +107,61 @@ def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
     return out
 
 
+def run_sharded_compact(engine, mesh, obs_f16, obs_u8, hil, mask, slot_map,
+                        combo_active, branch_gates, ln_prior_absent,
+                        fwd_rate, has_alt_loci, ln_prior_joint=None,
+                        n_artifact_active=None):
+    """Compact-wire twin of :func:`run_sharded`: the f16/u8 observation
+    encoding (ops.compact_obs) is sharded along the locus axis and feature
+    expansion + bias factors run on each shard's device — the same program
+    the single-device columnar path jits, so outputs are bit-identical."""
+    import numpy as _np
+
+    L0 = _np.asarray(obs_f16).shape[0]
+    if n_artifact_active is None:
+        n_artifact_active = _np.full(
+            L0, float(engine.n_artifact_combos or 1), dtype=_np.float32
+        )
+    inputs = [
+        _np.asarray(obs_f16, dtype=_np.float16),
+        _np.asarray(obs_u8, dtype=_np.uint8),
+        _np.asarray(hil, dtype=_np.int8),
+        _np.asarray(mask),
+        _np.asarray(slot_map, dtype=_np.int32),
+        _np.asarray(combo_active),
+        _np.asarray(branch_gates),
+        _np.asarray(ln_prior_absent, dtype=_np.float32),
+        _np.asarray(fwd_rate, dtype=_np.float32),
+        _np.asarray(has_alt_loci),
+    ]
+    if ln_prior_joint is not None:
+        inputs.append(_np.asarray(ln_prior_joint, dtype=_np.float32))
+    inputs.append(_np.asarray(n_artifact_active, dtype=_np.float32))
+    arrays, pad = shard_engine_inputs(mesh, *inputs)
+    fn = engine.run_compact_unpacked()
+    if ln_prior_joint is not None:
+        out = fn(*arrays[:-1], arrays[-1])
+    else:
+        out = fn(*arrays[:-1], None, arrays[-1])
+    out = {k: v for k, v in out.items() if k != "joint"}
+    if jax.process_count() > 1:
+        def local_rows(v):
+            shards = sorted(
+                v.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+        out = {k: local_rows(v)[:L0] for k, v in out.items()}
+    else:
+        out = {k: np.asarray(v)[:L0] for k, v in out.items()}
+    out["densities_dphred"] = engine.expand_afd(
+        out["densities_dphred"], out.pop("afd_idx")
+    )
+    out["joint"] = out["posteriors"] + out["marginal"][:, None]
+    out["n_obs"] = _np.asarray(mask).sum(axis=-1)
+    return out
+
+
 def distributed_mesh(axis: str = "loci") -> Mesh:
     """Mesh over every addressable device; initializes jax.distributed when
     the standard coordinator env vars are present (multi-host pods over
