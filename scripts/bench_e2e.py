@@ -68,6 +68,15 @@ def run(n_candidates: int = 2500, workers: int = 4):
 
     filtered = tmp / "filtered.vcf"
     kept = control_fdr(calls, filtered, events=["SOMATIC_TUMOR"], alpha=0.05)
+    # tumor and normal read the same BAM, so somatic keeps are rightly ~0;
+    # the germline events DO have true positives in the real chr10 reads —
+    # this stage proves the FDR keep/write path end-to-end (round-3
+    # verdict: a benchmark whose output is empty is a weak witness)
+    filtered_g = tmp / "filtered_germline.vcf"
+    kept_germline = control_fdr(
+        calls, filtered_g, events=["GERMLINE_HET", "GERMLINE_HOM"], alpha=0.05
+    )
+    assert kept_germline > 0, "e2e pipeline kept no germline records"
     t3 = time.perf_counter()
 
     return {
@@ -79,6 +88,7 @@ def run(n_candidates: int = 2500, workers: int = 4):
         "e2e_s": round(t3 - t0, 2),
         "e2e_loci_per_sec": round(n / (t3 - t0), 1),
         "fdr_kept": kept,
+        "fdr_kept_germline": kept_germline,
         "workers": workers,
     }
 

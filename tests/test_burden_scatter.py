@@ -201,9 +201,16 @@ def test_vaf_scatter(tmp_path):
     out = tmp_path / "calls.vcf"
     call_generic(Scenario(sc), {"a": pa, "b": pb}, out, CallOptions())
     spec = vaf_scatter(out, "a", "b")
-    pts = spec["data"]["values"]
+    # vega v5 blueprint: source data + kde2d density + isocontour overlay
+    # (templates/plots/vaf_scatter_contour.json semantics)
+    by_name = {d["name"]: d for d in spec["data"]}
+    pts = by_name["source"]["values"]
     assert len(pts) == 1
-    assert pts[0]["a"] > pts[0]["b"]
+    assert pts[0]["sample"] == "b"
+    assert pts[0]["normal_vaf"] > pts[0]["tumor_vaf"]
+    assert by_name["density"]["transform"][0]["type"] == "kde2d"
+    assert by_name["contours"]["transform"][0]["type"] == "isocontour"
+    assert any(m["type"] == "path" for m in spec["marks"])
 
 
 def test_af_to_gt_reference_semantics():

@@ -563,6 +563,28 @@ def call_generic(
         with open_variant_writer(
             output_path, sample_names=sample_names, header_lines=header
         ) as w:
+            # dispatch-ahead pipeline: window i computes on the device
+            # while window i-1 is formatted/written and window i+1 is read
+            pending = None  # (cb, PendingWindow)
+
+            def drain():
+                nonlocal n, last_log
+                if pending is None:
+                    return
+                cb_p, pw = pending
+                out, meta = pw.finish()
+                for rec in caller.format_window(cb_p, out, meta, sample_names):
+                    w.write(rec)
+                    n += 1
+                now = time.monotonic()
+                if now - last_log >= 20.0:
+                    log.info(
+                        "called %d records (%.0f records/s)",
+                        n,
+                        n / max(now - t0, 1e-9),
+                    )
+                    last_log = now
+
             while True:
                 windows = [
                     r.read_window(window_n) if r is not None else None
@@ -579,18 +601,12 @@ def call_generic(
                 if lens == {0}:
                     break
                 cb = _CB.from_sample_windows(windows)
-                out, meta = caller.call_window_cb(cb, cb.variants[0].chrom)
-                for rec in caller.format_window(cb, out, meta, sample_names):
-                    w.write(rec)
-                    n += 1
-                now = time.monotonic()
-                if now - last_log >= 20.0:
-                    log.info(
-                        "called %d records (%.0f records/s)",
-                        n,
-                        n / max(now - t0, 1e-9),
-                    )
-                    last_log = now
+                pw = caller.call_window_cb(
+                    cb, cb.variants[0].chrom, sync=False
+                )
+                drain()
+                pending = (cb, pw)
+            drain()
         return n
     iters = [iter(r) if r is not None else None for r in readers]
 

@@ -84,6 +84,42 @@ class _PhredStrings:
         return cls._tbl
 
 
+class PendingWindow:
+    """Dispatched-but-unfetched engine window (dispatch-ahead pipeline)."""
+
+    def __init__(self, engine, L, Bmax, groups, meta):
+        self.engine = engine
+        self.L = L
+        self.Bmax = Bmax
+        self.groups = groups
+        self.meta = meta
+
+    def finish(self):
+        """Materialize all bucket outputs and merge in locus order."""
+        out = None
+        for idx, Lb, (kind, payload) in self.groups:
+            sub = (
+                payload
+                if kind == "done"
+                else self.engine.fetch_compact(payload)
+            )
+            if out is None:
+                out = {
+                    k: (
+                        np.full((self.L, self.Bmax), -np.inf, dtype=v.dtype)
+                        if k == "combo_joint"
+                        else np.zeros((self.L,) + v.shape[1:], dtype=v.dtype)
+                    )
+                    for k, v in sub.items()
+                }
+            for k, v in sub.items():
+                if k == "combo_joint":
+                    out[k][idx[:, None], np.arange(v.shape[1])] = v[:Lb]
+                else:
+                    out[k][idx] = v[:Lb]
+        return out, self.meta
+
+
 class ColumnarCaller(GenericCaller):
     """GenericCaller with the vectorized columnar batch path."""
 
@@ -92,10 +128,13 @@ class ColumnarCaller(GenericCaller):
         return self.call_window_cb(cb, contig)
 
     # ------------------------------------------------------------------
-    def call_window_cb(self, cb: ColumnarBatch, contig):
+    def call_window_cb(self, cb: ColumnarBatch, contig, sync=True):
         """Run a columnar window through the engine.  Returns
         (out dict sliced to [L], meta dict with the per-locus decisions the
-        formatter needs)."""
+        formatter needs).  sync=False returns a PendingWindow instead: the
+        device computes while the caller formats the previous window
+        (dispatch-ahead pipelining over the high-latency tunnel); call
+        ``.finish()`` for (out, meta)."""
         events, grid = self._events_for(contig)
         engine = self._engine_for(contig, events, grid)
         L = cb.L
@@ -164,6 +203,9 @@ class ColumnarCaller(GenericCaller):
         # cache turns later runs into ~1 s deserializations) — so buckets
         # are deliberately COARSE: padded compute is cheap, programs are
         # not.
+        import jax as _jax
+
+        is_cpu = _jax.default_backend() == "cpu"
         d_l = cb.counts.max(axis=1) if cb.counts.size else np.ones(L, int)
         d_l = np.maximum(d_l, 1)
         dbucket = np.left_shift(1, np.ceil(np.log2(d_l)).astype(np.int64))
@@ -172,9 +214,11 @@ class ColumnarCaller(GenericCaller):
         if len(uniq) > 1:
             # merge sparsely-populated depth buckets upward: each distinct
             # shape pays ~1.7 s trace+lower per process even with the
-            # persistent compile cache, so only clearly-dominant buckets
-            # earn their own program
-            thresh = max(64, L // 4)
+            # persistent compile cache (minutes to compile through the axon
+            # tunnel), and on TPU every extra dispatch adds ~0.1 s of
+            # tunnel latency — so buckets are COARSE, and coarser still on
+            # TPU where padded compute is nearly free
+            thresh = max(64, L // 4) if is_cpu else max(64, L // 2)
             for i, b in enumerate(uniq[:-1]):
                 sel = dbucket == b
                 if sel.sum() < thresh:
@@ -182,7 +226,7 @@ class ColumnarCaller(GenericCaller):
         cbucket = np.full(L, slot_map.shape[1], dtype=np.int64)
         group_key = dbucket * 1024 + cbucket
 
-        out = None
+        groups = []
         counts_full = np.zeros((L, S), dtype=np.int64)
         batch_cap = max(self.options.effective_batch(columnar=True), 1)
         Bmax = slot_map.shape[1]
@@ -239,32 +283,24 @@ class ColumnarCaller(GenericCaller):
                     engine, self.mesh, obs_f16, obs_u8, hil, mask, sm, sa,
                     bg, pa_b, fr_b, hal_b, n_artifact_active=na_b,
                 )
+                groups.append((idx, Lb, ("done", sub)))
             else:
-                sub = engine.run_compact(
+                handles = engine.run_compact(
                     obs_f16, obs_u8, hil, mask, sm, sa, bg, pa_b, fr_b,
                     hal_b, ln_prior_joint=pj_b, n_artifact_active=na_b,
+                    fetch=False,
                 )
-            if out is None:
-                out = {
-                    k: (
-                        np.full((L, Bmax), -np.inf, dtype=v.dtype)
-                        if k == "combo_joint"
-                        else np.zeros((L,) + v.shape[1:], dtype=v.dtype)
-                    )
-                    for k, v in sub.items()
-                }
-            for k, v in sub.items():
-                if k == "combo_joint":
-                    out[k][idx[:, None], np.arange(v.shape[1])] = v[:Lb]
-                else:
-                    out[k][idx] = v[:Lb]
+                groups.append((idx, Lb, ("pending", handles)))
         meta = {
             "slot_map": slot_map,
             "counts": counts_full,
             "grid": grid,
             "events": events,
         }
-        return out, meta
+        pw = PendingWindow(engine, L, Bmax, groups, meta)
+        if sync:
+            return pw.finish()
+        return pw
 
     # ------------------------------------------------------------------
     def format_window(self, cb: ColumnarBatch, out, meta, sample_names):

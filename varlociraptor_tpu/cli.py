@@ -204,7 +204,8 @@ def build_parser():
     sc = pl_sub.add_parser("scatter")
     sc.add_argument("calls")
     sc.add_argument("--sample-x", required=True)
-    sc.add_argument("--sample-y", required=True)
+    # nargs="+" matches the reference's multi-sample -y (cli.rs:403-404)
+    sc.add_argument("--sample-y", required=True, nargs="+")
     vp = pl_sub.add_parser("variant-calling-prior")
     vp.add_argument("--scenario", required=True)
     vp.add_argument("--contig", required=True)

@@ -413,6 +413,45 @@ def wildtype_homopolymer_error_model(hop_counts) -> dict | None:
     return {k: v / n for k, v in grouped.items()}
 
 
+def min_alignments_for_hphmm_mle(
+    num_alignments: int | None,
+    precision: float = 1e-5,
+    precision_is_relative: bool = True,
+    confidence_level: float = 0.1,
+) -> int:
+    """Chi-squared sample-size bound for the hop-HMM transition MLE
+    (``alignment_properties.rs:466-533``): the number of alignments needed
+    to estimate every transition probability to ``precision`` at
+    ``confidence_level``, with the finite-population correction when the
+    BAM's total mapped count is known from the index.
+
+    Formula from Krejcie & Morgan-style chi-squared sizing
+    (jstor.org/stable/2683352), 82 valid transitions, ~100 transitions per
+    alignment, checked on probabilities {0.25, 1e-1..1e-5}.
+    """
+    from statistics import NormalDist
+
+    transitions_per_alignment = 100.0
+    n_valid_transitions = 82
+    p_chi = 1.0 - confidence_level / n_valid_transitions
+    # chi^2(1 dof) quantile via the normal quantile: X = Z^2
+    b = NormalDist().inv_cdf((p_chi + 1.0) / 2.0) ** 2
+    probs = [0.25, 1e-1, 1e-2, 1e-3, 1e-4, 1e-5]
+    needed = []
+    for p in probs:
+        p_ = precision * p if precision_is_relative else precision
+        if num_alignments:
+            n_trans = num_alignments * transitions_per_alignment
+            est = (
+                b * n_trans * p * (1.0 - p)
+                / (p_ ** 2 * (n_trans - 1.0) + b * p * (1.0 - p))
+            ) / transitions_per_alignment
+        else:
+            est = (b * p * (1.0 - p) / p_ ** 2) / transitions_per_alignment
+        needed.append(math.ceil(est))
+    return max(needed)
+
+
 def estimate(
     bam_reader,
     omit_insert_size: bool = False,
@@ -438,7 +477,22 @@ def estimate(
     max_read_len = 0
     max_mapq = 0
     n = 0
-    n_records = num_records or 1_000_000
+    if num_records is not None:
+        n_records = num_records
+    else:
+        # precision-driven stopping rule (alignment_properties.rs:252-273):
+        # the chi-squared bound, fpc-corrected by the index's total mapped
+        # count when available
+        mapped = None
+        try:
+            from ..io.bam_index import BamIndex
+
+            idx = BamIndex.load(getattr(bam_reader, "path", None))
+            if idx is not None:
+                mapped = idx.mapped_total()
+        except Exception:  # noqa: BLE001 - index is optional
+            mapped = None
+        n_records = min_alignments_for_hphmm_mle(mapped)
     transitions = np.zeros((N_STATES, N_STATES), dtype=np.int64)
     hop_counts: dict[int, dict[tuple, int]] = {}
     ref_cache: dict[int, np.ndarray] = {}

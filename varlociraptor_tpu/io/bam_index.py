@@ -37,13 +37,26 @@ def reg2bins(beg: int, end: int, min_shift: int, depth: int):
 class BamIndex:
     """Parsed BAI or CSI index."""
 
-    def __init__(self, min_shift, depth, bins_per_ref, ioffsets_per_ref):
+    def __init__(self, min_shift, depth, bins_per_ref, ioffsets_per_ref,
+                 mapped_per_ref=None):
         self.min_shift = min_shift
         self.depth = depth
         # per ref: {bin: (loffset, [(vbeg, vend), ...])}
         self.bins = bins_per_ref
         # per ref: linear index (BAI only; [] for CSI)
         self.ioffsets = ioffsets_per_ref
+        # per ref: mapped record count from the metadata pseudo-bin
+        # (None when the index carries no metadata)
+        self.mapped_per_ref = mapped_per_ref
+
+    def mapped_total(self):
+        """Total mapped records per the index metadata (htslib
+        index_stats equivalent); None if unavailable."""
+        if not self.mapped_per_ref or all(
+            m is None for m in self.mapped_per_ref
+        ):
+            return None
+        return sum(m or 0 for m in self.mapped_per_ref)
 
     # -- loading -------------------------------------------------------
     @classmethod
@@ -67,10 +80,12 @@ class BamIndex:
         pos += 4
         bins_per_ref = []
         ioffsets_per_ref = []
+        mapped_per_ref = []
         for _ in range(n_ref):
             (n_bin,) = struct.unpack_from("<i", raw, pos)
             pos += 4
             bins = {}
+            mapped = None
             for _ in range(n_bin):
                 b, n_chunk = struct.unpack_from("<Ii", raw, pos)
                 pos += 8
@@ -81,13 +96,17 @@ class BamIndex:
                     chunks.append((beg, end))
                 if b != 37450:  # metadata pseudo-bin
                     bins[b] = (0, chunks)
+                elif len(chunks) == 2:
+                    # pseudo-bin chunk 2 = (n_mapped, n_unmapped)
+                    mapped = chunks[1][0]
             (n_intv,) = struct.unpack_from("<i", raw, pos)
             pos += 4
             ioff = list(struct.unpack_from(f"<{n_intv}Q", raw, pos))
             pos += 8 * n_intv
             bins_per_ref.append(bins)
             ioffsets_per_ref.append(ioff)
-        return cls(14, 5, bins_per_ref, ioffsets_per_ref)
+            mapped_per_ref.append(mapped)
+        return cls(14, 5, bins_per_ref, ioffsets_per_ref, mapped_per_ref)
 
     @classmethod
     def _parse_csi(cls, raw: bytes) -> "BamIndex":
@@ -102,10 +121,12 @@ class BamIndex:
         # metadata pseudo-bin id for CSI
         max_bin = ((1 << ((depth + 1) * 3)) - 1) // 7
         bins_per_ref = []
+        mapped_per_ref = []
         for _ in range(n_ref):
             (n_bin,) = struct.unpack_from("<i", raw, pos)
             pos += 4
             bins = {}
+            mapped = None
             for _ in range(n_bin):
                 b, loffset, n_chunk = struct.unpack_from("<IQi", raw, pos)
                 pos += 16
@@ -116,8 +137,14 @@ class BamIndex:
                     chunks.append((beg, end))
                 if b <= max_bin:
                     bins[b] = (loffset, chunks)
+                elif len(chunks) == 2:
+                    mapped = chunks[1][0]
             bins_per_ref.append(bins)
-        return cls(min_shift, depth, bins_per_ref, [[] for _ in bins_per_ref])
+            mapped_per_ref.append(mapped)
+        return cls(
+            min_shift, depth, bins_per_ref,
+            [[] for _ in bins_per_ref], mapped_per_ref,
+        )
 
     # -- queries -------------------------------------------------------
     def chunks(self, tid: int, beg: int, end: int):

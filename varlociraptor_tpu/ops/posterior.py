@@ -1829,6 +1829,7 @@ class PosteriorEngine:
         has_alt_loci,
         ln_prior_joint=None,
         n_artifact_active=None,
+        fetch=True,
     ):
         """Like :meth:`run`, but from the compact wire encoding
         (ops.compact_obs): feature expansion AND per-combo bias factors run
@@ -1839,6 +1840,11 @@ class PosteriorEngine:
         mask [L,S,D] bool; slot_map [L,Bc] int32 (FULL_COMBOS indices per
         active combo slot, 0-padded); combo_active [L,Bc] bool;
         fwd_rate [L] f32; has_alt_loci [L] bool; others as in run().
+
+        fetch=False: return the packed DEVICE buffers (f32, i16, L, Bc)
+        without synchronizing — the dispatch-ahead pipeline formats the
+        previous window while this one computes; finish with
+        :meth:`fetch_compact`.
         """
         if self._run_packed_compact is None:
             def _impl(*args):
@@ -1871,8 +1877,17 @@ class PosteriorEngine:
             else None
         )
         f32_flat, i16_flat = self._run_packed_compact(*args, pj, n_art)
+        if not fetch:
+            return f32_flat, i16_flat, L, combo_active.shape[1]
         return self._unpack_host(
             np.asarray(f32_flat), np.asarray(i16_flat), L, combo_active.shape[1]
+        )
+
+    def fetch_compact(self, handles):
+        """Materialize + unpack a ``run_compact(..., fetch=False)`` result."""
+        f32_flat, i16_flat, L, B = handles
+        return self._unpack_host(
+            np.asarray(f32_flat), np.asarray(i16_flat), L, B
         )
 
     def _unpack_host(self, f32_flat, i16_flat, L, B):
