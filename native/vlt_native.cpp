@@ -379,6 +379,169 @@ static double vlt_pairhmm_one(
   return std::log(total) + log_scale;
 }
 
+// f64 LOG-space sequential profile (rust-bio bio::stats::pairhmm keeps every
+// cell as a LogProb and combines predecessors with per-cell ln_sum_exp —
+// a different rounding profile from the rescaled linear-space kernel above;
+// docs/calibration_failures.md shows the golden-testcase posteriors are
+// sensitive at the ±1 PHRED level to exactly this choice).  Same recurrence,
+// same banding; max-shift ln_sum_exp per cell, terms ordered (M, D, I,
+// start) like the match-state transition list.
+static inline double lse2d(double a, double b) {
+  const double m = a > b ? a : b;
+  if (m == -std::numeric_limits<double>::infinity()) return m;
+  return m + std::log(std::exp(a - m) + std::exp(b - m));
+}
+static inline double lse3d(double a, double b, double c) {
+  double m = a > b ? a : b;
+  if (c > m) m = c;
+  if (m == -std::numeric_limits<double>::infinity()) return m;
+  return m + std::log(std::exp(a - m) + std::exp(b - m) + std::exp(c - m));
+}
+static inline double lse4d(double a, double b, double c, double d) {
+  double m = a > b ? a : b;
+  if (c > m) m = c;
+  if (d > m) m = d;
+  if (m == -std::numeric_limits<double>::infinity()) return m;
+  return m + std::log(std::exp(a - m) + std::exp(b - m) + std::exp(c - m) +
+                      std::exp(d - m));
+}
+
+static double vlt_pairhmm_one_log(
+    const uint8_t* a, int32_t x_len,
+    const uint8_t* r, int32_t y_len,
+    const float* miscall,
+    const float gaps[4],
+    const float* ins_open, const float* ins_ext,
+    const float* del_open, const float* del_ext,
+    int32_t max_edit) {
+  const double NEGINF = -std::numeric_limits<double>::infinity();
+  const int32_t H = x_len + 1;
+  std::vector<double> M0(H, NEGINF), D0(H, NEGINF), I0(H, NEGINF);
+  std::vector<double> M1(H, NEGINF), D1(H, NEGINF), I1(H, NEGINF);
+  std::vector<double> dop(H), dex(H), tdm(H);
+  std::vector<uint8_t> au(H);
+  const int32_t EINF = 1 << 29;
+  std::vector<int32_t> E0, E1;
+  const bool banded = max_edit >= 0;
+  if (banded) {
+    E0.assign(H, 0);
+    E1.assign(H, EINF);
+  }
+  auto ln1m = [](double lx) {  // log(1 - exp(lx)), lx <= 0
+    if (lx == -std::numeric_limits<double>::infinity()) return 0.0;
+    const double lin = 1.0 - std::exp(lx);
+    return lin > 1e-12 ? std::log(lin) : std::log(1e-12);
+  };
+  const double g_mi = (double)gaps[0];
+  const double g_md = (double)gaps[1];
+  const double g_ii = (double)gaps[2];
+  const double g_dd = (double)gaps[3];
+  for (int32_t i = 1; i <= x_len; i++) {
+    au[i] = a[i - 1] & ~0x20;
+    dop[i] = del_open ? (double)del_open[i - 1] : g_md;
+    dex[i] = del_ext ? (double)del_ext[i - 1] : g_dd;
+    tdm[i] = ln1m(dex[i]);
+  }
+  for (int32_t j = 1; j <= y_len; j++) {
+    const uint8_t rj = r[j - 1] & ~0x20;
+    const double m = (double)miscall[j - 1];
+    const double noc = ln1m(m);
+    const double io = ins_open ? (double)ins_open[j - 1] : g_mi;
+    const double ie = ins_ext ? (double)ins_ext[j - 1] : g_ii;
+    const double tim = ln1m(ie);
+    const double start = (j == 1) ? 0.0 : NEGINF;
+    M1[0] = NEGINF; D1[0] = NEGINF;
+    if (banded && E0[0] > max_edit) {
+      I1[0] = NEGINF;
+      E1[0] = EINF;
+    } else {
+      I1[0] = m + lse2d(ie + I0[0], start + io);
+      if (banded) E1[0] = E0[0] >= EINF ? EINF : E0[0] + 1;
+    }
+    for (int32_t i = 1; i <= x_len; i++) {
+      if (banded) {
+        const int32_t tl = E0[i - 1], tp = E0[i], lf = E1[i - 1];
+        int32_t mn = tl < tp ? tl : tp;
+        if (lf < mn) mn = lf;
+        if (mn > max_edit) {
+          M1[i] = NEGINF; D1[i] = NEGINF; I1[i] = NEGINF;
+          E1[i] = EINF;
+          continue;
+        }
+        const int32_t sub = (au[i] == rj) ? tl : (tl >= EINF ? EINF : tl + 1);
+        int32_t e = sub;
+        if (tp < EINF && tp + 1 < e) e = tp + 1;
+        if (lf < EINF && lf + 1 < e) e = lf + 1;
+        E1[i] = e;
+      }
+      double e_m;
+      if (au[i] == rj) e_m = noc;
+      else if (rj == 'N') e_m = std::log(0.25);
+      else e_m = m + std::log(1.0 / 3.0);
+      double t_mm_lin = 1.0 - std::exp(io) - std::exp(dop[i]);
+      const double t_mm =
+          std::log(t_mm_lin > 1e-12 ? t_mm_lin : 1e-12);
+      M1[i] = e_m + lse4d(t_mm + M0[i - 1], tdm[i] + D0[i - 1],
+                          tim + I0[i - 1], start);
+      I1[i] = m + lse3d(io + M0[i], ie + I0[i], start + io);
+      D1[i] = lse2d(dop[i] + M1[i - 1], dex[i] + D1[i - 1]);
+    }
+    M0.swap(M1); D0.swap(D1); I0.swap(I1);
+    if (banded) E0.swap(E1);
+  }
+  if (y_len == 0) return -1e30;
+  // free end gap in x: ln_sum_exp over the last column's M and I states
+  double mx = NEGINF;
+  for (int32_t i = 0; i <= x_len; i++) {
+    if (M0[i] > mx) mx = M0[i];
+    if (I0[i] > mx) mx = I0[i];
+  }
+  if (mx == NEGINF) return -1e30;
+  double s = 0.0;
+  for (int32_t i = 0; i <= x_len; i++) {
+    s += std::exp(M0[i] - mx) + std::exp(I0[i] - mx);
+  }
+  const double total = mx + std::log(s);
+  return total > -1e30 ? total : -1e30;
+}
+
+extern "C" int32_t vlt_pairhmm_forward_batch_log(
+    const uint8_t* alleles, const int64_t* allele_off, const int32_t* allele_len,
+    const uint8_t* reads, const int64_t* read_off, const int32_t* read_len,
+    const float* miscalls, const float* gaps,
+    const float* ins_open, const float* ins_ext,
+    const float* del_open, const float* del_ext,
+    const int32_t* max_edit,
+    int32_t n_items, int32_t n_threads, double* out) {
+  auto work = [&](int32_t lo, int32_t hi) {
+    for (int32_t b = lo; b < hi; b++) {
+      out[b] = vlt_pairhmm_one_log(
+          alleles + allele_off[b], allele_len[b],
+          reads + read_off[b], read_len[b],
+          miscalls + read_off[b], gaps,
+          ins_open ? ins_open + read_off[b] : nullptr,
+          ins_ext ? ins_ext + read_off[b] : nullptr,
+          del_open ? del_open + allele_off[b] : nullptr,
+          del_ext ? del_ext + allele_off[b] : nullptr,
+          max_edit ? max_edit[b] : -1);
+    }
+  };
+  if (n_threads <= 1 || n_items < 8) {
+    work(0, n_items);
+  } else {
+    std::vector<std::thread> ts;
+    const int32_t chunk = (n_items + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+      const int32_t lo = t * chunk;
+      const int32_t hi = lo + chunk < n_items ? lo + chunk : n_items;
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return 0;
+}
+
 extern "C" int32_t vlt_pairhmm_forward_batch(
     const uint8_t* alleles, const int64_t* allele_off, const int32_t* allele_len,
     const uint8_t* reads, const int64_t* read_off, const int32_t* read_len,

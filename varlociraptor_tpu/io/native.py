@@ -62,6 +62,7 @@ def _load():
         lib.vlt_bam_scan.restype = ctypes.c_int64
         lib.vlt_semiglobal_edit.restype = ctypes.c_int32
         lib.vlt_pairhmm_forward_batch.restype = ctypes.c_int32
+        lib.vlt_pairhmm_forward_batch_log.restype = ctypes.c_int32
         lib.vlt_myers_semiglobal.restype = ctypes.c_int32
         lib.vlt_hybrid_hits_batch.restype = ctypes.c_int32
         lib.vlt_pairhmm_hop_batch.restype = ctypes.c_int32
@@ -203,8 +204,12 @@ def pairhmm_forward_batch(
     del_ext=None,
     max_edit=None,
     n_threads=None,
+    profile="linear",
 ):
     """Native linear-space semiglobal pair-HMM forward over a work batch.
+
+    ``profile="log"`` selects the f64 log-space per-cell ln_sum_exp twin
+    (the rust-bio LogProb numeric profile; same recurrence and banding).
 
     alleles/reads: list[bytes]; miscalls: list[float32 arrays] (log miscall
     per read base); gaps: [4] log f32.  Optional positional gap arrays
@@ -245,7 +250,12 @@ def pairhmm_forward_batch(
         )
 
     nthreads = n_threads or _default_threads(8)
-    rc = lib.vlt_pairhmm_forward_batch(
+    fn = (
+        lib.vlt_pairhmm_forward_batch_log
+        if profile == "log"
+        else lib.vlt_pairhmm_forward_batch
+    )
+    rc = fn(
         a_buf.ctypes.data_as(ctypes.c_void_p),
         a_off.ctypes.data_as(ctypes.c_void_p),
         a_len.ctypes.data_as(ctypes.c_void_p),

@@ -822,8 +822,19 @@ class BatchedPairHMM:
                 del_open=del_open,
                 del_ext=del_ext,
             )
+        import os
+
+        # VLT_PAIRHMM_F64LOG=1: the f64 log-space per-cell ln_sum_exp
+        # profile (rust-bio LogProb semantics) — the third numeric profile
+        # of docs/calibration_failures.md, for sequential-parity studies
+        profile = (
+            "log"
+            if os.environ.get("VLT_PAIRHMM_F64LOG") == "1"
+            else "linear"
+        )
         out = pairhmm_forward_batch(
-            alleles, reads, miscalls, self.gap, max_edit=max_dists, **kw
+            alleles, reads, miscalls, self.gap, max_edit=max_dists,
+            profile=profile, **kw
         )
         if out is None:  # native lib unavailable after all: fall back
             self._use_native = False
