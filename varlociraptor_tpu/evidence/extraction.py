@@ -434,8 +434,9 @@ def extract_observations_begin(
             # in the identical order
             for r in realigners:
                 r.begin_scout()
+            scout_relevant = variant.scout_relevant
             for ev, k in zip(candidates, keep):
-                if k:
+                if k and scout_relevant(ev):
                     variant.allele_support(ev, props, alt_variants)
             for r in realigners:
                 r.flush_scout()

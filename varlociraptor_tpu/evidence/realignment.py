@@ -651,8 +651,10 @@ class Realigner:
                 ref_idx = _select(hits[:n_ref], probs[:n_ref])
                 alt_rel = _select(hits[n_ref:], probs[n_ref:])
             else:
-                ref_idx = int(np.argmax(probs[:n_ref]))
-                alt_rel = int(np.argmax(probs[n_ref:]))
+                # single-allele sets (the common case) skip the argmax
+                n_alt = len(probs) - n_ref
+                ref_idx = 0 if n_ref == 1 else int(np.argmax(probs[:n_ref]))
+                alt_rel = 0 if n_alt == 1 else int(np.argmax(probs[n_ref:]))
             prob_ref = float(probs[ref_idx])
             prob_alt = float(probs[n_ref + alt_rel])
             alt_emission = alt_alleles[alt_rel]

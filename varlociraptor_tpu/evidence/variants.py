@@ -82,6 +82,19 @@ class AlleleSupport:
     def prob_missed_allele(self):
         return np_ln_add_exp(self.prob_ref_allele(), self.prob_alt_allele()) - math.log(2.0)
 
+    def clone(self) -> "AlleleSupport":
+        # hand-rolled shallow copy: the fast-path record cache returns a
+        # fresh instance per caller (merge() mutates); copy.copy costs ~5x
+        # a direct constructor call in the per-read hot loop
+        return AlleleSupport(
+            prob_ref=self.prob_ref,
+            prob_alt=self.prob_alt,
+            strand=self.strand,
+            read_position=self.read_position,
+            homopolymer_indel_len=self.homopolymer_indel_len,
+            third_allele_evidence=self.third_allele_evidence,
+        )
+
     def merge(self, other: "AlleleSupport"):
         """types/mod.rs:104-155."""
         if self.is_alt_support():
@@ -144,6 +157,14 @@ class VariantType:
     def homopolymer_error_model(self, props):
         return None
 
+    def scout_relevant(self, ev: Evidence) -> bool:
+        """True when allele_support(ev) could queue a pair-HMM forward —
+        the scout pass (extraction.extract_observations_begin) exists only
+        to enumerate forward requests, so evidence that provably takes the
+        direct fast path is skipped there (it is evaluated once, in the
+        replay pass). Default: conservatively True."""
+        return True
+
 
 class Snv(VariantType):
     """SNV with the direct base-comparison fast path (snv.rs:66-150).
@@ -189,6 +210,14 @@ class Snv(VariantType):
             )
         ]
 
+    def scout_relevant(self, ev):
+        # forwards are queued only for reads routed to the realigner
+        # (_support_per_read's indel-operations gate); pure fast-path
+        # evidence is skipped in the scout pass
+        if not self.realign_indel_reads or self.realigner is None:
+            return False
+        return any(r.has_indel_operations() for r in ev.records())
+
     def _support_per_read(self, record, props, alt_variants):
         if locus_overlap(record, self.pos, self.pos + 1) != OVERLAP_ENCLOSING:
             return None
@@ -207,10 +236,10 @@ class Snv(VariantType):
         # merge(), so cache hits return a shallow copy.
         slot = getattr(record, "_vlt_fastsup", None)
         if slot is not None and slot[0] is self:
-            return None if slot[1] is None else copy.copy(slot[1])
+            return None if slot[1] is None else slot[1].clone()
         sup = self._fast_support(record, props)
         object.__setattr__(record, "_vlt_fastsup", (self, sup))
-        return None if sup is None else copy.copy(sup)
+        return None if sup is None else sup.clone()
 
     def _fast_support(self, record, props):
         qpos = record.read_pos(self.pos)
@@ -308,6 +337,14 @@ class Mnv(VariantType):
             )
         ]
 
+    def scout_relevant(self, ev):
+        # forwards are queued only for reads routed to the realigner
+        # (_support_per_read's indel-operations gate); pure fast-path
+        # evidence is skipped in the scout pass
+        if not self.realign_indel_reads or self.realigner is None:
+            return False
+        return any(r.has_indel_operations() for r in ev.records())
+
     def _support_per_read(self, record, props, alt_variants):
         if locus_overlap(record, self.pos, self.pos + self.len) != OVERLAP_ENCLOSING:
             return None
@@ -321,10 +358,10 @@ class Mnv(VariantType):
             )
         slot = getattr(record, "_vlt_fastsup", None)
         if slot is not None and slot[0] is self:
-            return None if slot[1] is None else copy.copy(slot[1])
+            return None if slot[1] is None else slot[1].clone()
         sup = self._fast_support(record, props)
         object.__setattr__(record, "_vlt_fastsup", (self, sup))
-        return None if sup is None else copy.copy(sup)
+        return None if sup is None else sup.clone()
 
     def _fast_support(self, record, props):
         # mnv.rs:95-200: true-ref per-base product, plus a third-allele

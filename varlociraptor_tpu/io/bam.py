@@ -194,7 +194,12 @@ class BamRecord:
         return None
 
     def has_indel_operations(self) -> bool:
-        return any(op in (OP_I, OP_D) for op, _ in self.cigar)
+        # cached: queried per (variant, pass) in the evidence hot loop
+        hio = getattr(self, "_vlt_hio", None)
+        if hio is None:
+            hio = any(op in (OP_I, OP_D) for op, _ in self.cigar)
+            object.__setattr__(self, "_vlt_hio", hio)
+        return hio
 
     def cigar_string(self) -> str:
         return "".join(f"{int(l)}{CIGAR_OPS[int(op)]}" for op, l in self.cigar)
