@@ -159,7 +159,7 @@ int64_t vlt_bam_scan(const uint8_t* data, int64_t len, int64_t start,
 // evidence/edit_distance.py::semiglobal_edit — free start/end gaps on the
 // allele axis, read fully consumed). ops codes: 0=M 1=S 2=I 3=D.
 // ---------------------------------------------------------------------------
-extern "C" int32_t vlt_semiglobal_edit(
+static int32_t semiglobal_edit_core(
     const uint8_t* allele, int32_t x_len,
     const uint8_t* read, int32_t y_len,
     int32_t* out_start,
@@ -247,6 +247,143 @@ extern "C" int32_t vlt_semiglobal_edit(
   return dist;
 }
 
+extern "C" int32_t vlt_semiglobal_edit(
+    const uint8_t* allele, int32_t x_len,
+    const uint8_t* read, int32_t y_len,
+    int32_t* out_start, uint8_t* out_ops, int32_t* out_n_ops,
+    int32_t* out_last_start) {
+  return semiglobal_edit_core(allele, x_len, read, y_len,
+                              out_start, out_ops, out_n_ops, out_last_start);
+}
+
+// ---------------------------------------------------------------------------
+// Diagonally-banded semiglobal edit DP with compact band-only storage.
+//
+// Cells with i - j outside [dlo, dhi] are +INF.  When the band comes from a
+// Myers scan with distance d < y_len (every <=d-edit path to a known end
+// stays within d diagonals of that end, and every traceback-condition
+// neighbor of an optimal cell is itself on an optimal path — hence in-band
+// with its exact full-DP value), dist, the first/last co-optimal ends AND
+// the tie-broken traceback are identical to the full DP's.  The d < y_len
+// caller gate excludes the all-insert i=0 tie (full DP would tie-break to
+// placement i=0 at dist == y_len, which no banded end can represent).
+// Storage: (x_len+1) rows of bw = dhi - dlo + 1 slots; slot 0 of row i is
+// j = i - dhi, so the (i-1, j-1) / (i-1, j) predecessors sit at constant
+// offsets 0 / +1.  Returns -2 when the band missed every end.
+// ---------------------------------------------------------------------------
+static inline int32_t band_get(const int32_t* dp, int32_t bw, int32_t dhi,
+                               int32_t y_len, int32_t i, int32_t j) {
+  if (j == 0) return i == 0 ? 0 : 0;  // free start gap (row 0: dp[0][0]=0 too)
+  if (i == 0) return j;               // leading read inserts
+  const int32_t k = j - (i - dhi);
+  if (k < 0 || k >= bw || j > y_len) return 1 << 28;
+  return dp[(size_t)i * bw + k];
+}
+
+static int32_t semiglobal_edit_banded(
+    const uint8_t* allele, int32_t x_len,
+    const uint8_t* read, int32_t y_len,
+    int32_t dlo, int32_t dhi,
+    int32_t* out_start, uint8_t* out_ops, int32_t* out_n_ops,
+    int32_t* out_last_start) {
+  if (x_len <= 0 || y_len <= 0) return -1;
+  const int32_t INF = 1 << 28;
+  const int32_t bw = dhi - dlo + 1;
+  if (bw <= 0) return -2;
+  std::vector<int32_t> dp((size_t)(x_len + 1) * bw, INF);
+  std::vector<uint8_t> a(x_len), r(y_len);
+  for (int32_t i = 0; i < x_len; i++) a[i] = allele[i] & ~0x20;
+  for (int32_t j = 0; j < y_len; j++) r[j] = read[j] & ~0x20;
+  // row 0: dp[0][j] = j for the in-band slots (j = -dhi + k)
+  for (int32_t k = 0; k < bw; k++) {
+    const int32_t j = k - dhi;
+    if (j >= 1 && j <= y_len) dp[k] = j;
+  }
+  for (int32_t i = 1; i <= x_len; i++) {
+    int32_t* row = &dp[(size_t)i * bw];
+    const int32_t* prev = &dp[(size_t)(i - 1) * bw];
+    const uint8_t ai = a[i - 1];
+    const int32_t base = i - dhi;           // j at slot 0
+    int32_t klo = 1 - base > 0 ? 1 - base : 0;
+    int32_t khi = y_len - base < bw - 1 ? y_len - base : bw - 1;
+    for (int32_t k = klo; k <= khi; k++) {
+      const int32_t j = base + k;
+      // (i-1, j-1) -> prev slot k; (i-1, j) -> prev slot k+1
+      int32_t tl = (j == 1) ? 0 : prev[k];           // j-1 == 0: free col
+      if (i == 1) tl = j - 1;                        // row 0 value
+      int32_t best = tl + (ai != r[j - 1]);
+      const int32_t tp = (i == 1) ? j
+                         : (k + 1 < bw ? prev[k + 1] : INF);
+      if (tp + 1 < best) best = tp + 1;
+      const int32_t lf = (j == 1) ? 0 : (k > 0 ? row[k - 1] : INF);
+      if (lf + 1 < best) best = lf + 1;
+      row[k] = best;
+    }
+  }
+  // best end over the allele axis at column y_len (in-band rows only; the
+  // d < y_len caller gate makes the i=0 all-insert placement non-minimal)
+  int32_t best_i = -1, dist = INF, last_i = -1;
+  const int32_t ilo = y_len + dlo > 1 ? y_len + dlo : 1;
+  const int32_t ihi = y_len + dhi < x_len ? y_len + dhi : x_len;
+  for (int32_t i = ilo; i <= ihi; i++) {
+    const int32_t v = band_get(dp.data(), bw, dhi, y_len, i, y_len);
+    if (v < dist) { dist = v; best_i = i; }
+  }
+  if (best_i < 0 || dist >= INF) return -2;
+  for (int32_t i = ihi; i > best_i; i--) {
+    if (band_get(dp.data(), bw, dhi, y_len, i, y_len) == dist) { last_i = i; break; }
+  }
+  if (last_i < 0) last_i = best_i;
+  // traceback (identical preference order: diag, del, ins)
+  int32_t i = best_i, j = y_len, n = 0;
+  while (j > 0) {
+    const int32_t cur = band_get(dp.data(), bw, dhi, y_len, i, j);
+    if (i > 0 && cur == band_get(dp.data(), bw, dhi, y_len, i - 1, j - 1) +
+                            (a[i - 1] != r[j - 1])) {
+      out_ops[n++] = (a[i - 1] == r[j - 1]) ? 0 : 1;
+      i--; j--;
+    } else if (i > 0 &&
+               cur == band_get(dp.data(), bw, dhi, y_len, i - 1, j) + 1) {
+      out_ops[n++] = 3;
+      i--;
+    } else if (cur == band_get(dp.data(), bw, dhi, y_len, i, j - 1) + 1) {
+      out_ops[n++] = 2;
+      j--;
+    } else {
+      out_ops[n++] = 1;
+      if (i > 0) i--;
+      j--;
+    }
+  }
+  for (int32_t k = 0; k < n / 2; k++) {
+    const uint8_t t = out_ops[k];
+    out_ops[k] = out_ops[n - 1 - k];
+    out_ops[n - 1 - k] = t;
+  }
+  *out_start = i;
+  *out_n_ops = n;
+  if (out_last_start) {
+    int32_t li = last_i, lj = y_len;
+    while (lj > 0) {
+      const int32_t cur = band_get(dp.data(), bw, dhi, y_len, li, lj);
+      if (li > 0 && cur == band_get(dp.data(), bw, dhi, y_len, li - 1, lj - 1) +
+                              (a[li - 1] != r[lj - 1])) {
+        li--; lj--;
+      } else if (li > 0 &&
+                 cur == band_get(dp.data(), bw, dhi, y_len, li - 1, lj) + 1) {
+        li--;
+      } else if (cur == band_get(dp.data(), bw, dhi, y_len, li, lj - 1) + 1) {
+        lj--;
+      } else {
+        if (li > 0) li--;
+        lj--;
+      }
+    }
+    *out_last_start = li;
+  }
+  return dist;
+}
+
 // ---------------------------------------------------------------------------
 // Semiglobal pair-HMM forward (linear space, per-row rescaling).
 //
@@ -282,16 +419,26 @@ static double vlt_pairhmm_one(
   // rescaling keeps every column representable in f64; the free-end-gap sum
   // only reads the last column, so no cross-scale mixing occurs.
   const int32_t H = x_len + 1;
-  std::vector<double> M0(H, 0.0), D0(H, 0.0), I0(H, 0.0);
-  std::vector<double> M1(H, 0.0), D1(H, 0.0), I1(H, 0.0);
-  std::vector<double> dop(H), dex(H), tdm(H);
-  std::vector<uint8_t> au(H);
+  // per-thread scratch (the batch driver calls this in a tight loop:
+  // malloc/free per item would dominate the banded fast path)
+  struct Scratch {
+    std::vector<double> M0, D0, I0, M1, D1, I1, dop, dex, tdm;
+    std::vector<uint8_t> au;
+    std::vector<int32_t> E0, E1;
+  };
+  thread_local Scratch sc;
+  sc.M0.assign(H, 0.0); sc.D0.assign(H, 0.0); sc.I0.assign(H, 0.0);
+  sc.M1.assign(H, 0.0); sc.D1.assign(H, 0.0); sc.I1.assign(H, 0.0);
+  auto &M0 = sc.M0, &D0 = sc.D0, &I0 = sc.I0;
+  auto &M1 = sc.M1, &D1 = sc.D1, &I1 = sc.I1;
+  auto &dop = sc.dop, &dex = sc.dex, &tdm = sc.tdm;
+  auto &au = sc.au;
   // banded-pruning edit-distance DP (rust-bio PairHMM min_edit_dist):
   // E[i] over the allele axis for the previous (E0) / current (E1) read
   // column; column j=0 is all zeros (free start gap in x anchors every
   // allele offset at distance 0).
   const int32_t EINF = 1 << 29;
-  std::vector<int32_t> E0, E1;
+  auto &E0 = sc.E0, &E1 = sc.E1;
   const bool banded = max_edit >= 0;
   if (banded) {
     E0.assign(H, 0);
@@ -301,14 +448,35 @@ static double vlt_pairhmm_one(
   const double g_md = std::exp((double)gaps[1]);
   const double g_ii = std::exp((double)gaps[2]);
   const double g_dd = std::exp((double)gaps[3]);
-  for (int32_t i = 1; i <= x_len; i++) {
-    au[i] = a[i - 1] & ~0x20;
-    dop[i] = del_open ? std::exp((double)del_open[i - 1]) : g_md;
-    dex[i] = del_ext ? std::exp((double)del_ext[i - 1]) : g_dd;
-    double t = 1.0 - dex[i];
-    tdm[i] = t > 1e-12 ? t : 1e-12;
+  double t0_ = 1.0 - g_dd;
+  const double tdm_c = t0_ > 1e-12 ? t0_ : 1e-12;
+  // positional gap arrays exist only in homopolymer mode; the exact-mode
+  // default uses batch-constant gaps (no per-item exp() precompute)
+  const bool posgaps = del_open || del_ext;
+  if (posgaps) {
+    dop.resize(H); dex.resize(H); tdm.resize(H);
+    for (int32_t i = 1; i <= x_len; i++) {
+      dop[i] = del_open ? std::exp((double)del_open[i - 1]) : g_md;
+      dex[i] = del_ext ? std::exp((double)del_ext[i - 1]) : g_dd;
+      double t = 1.0 - dex[i];
+      tdm[i] = t > 1e-12 ? t : 1e-12;
+    }
   }
+  au.resize(H);
+  for (int32_t i = 1; i <= x_len; i++) au[i] = a[i - 1] & ~0x20;
   double log_scale = 0.0;
+  // Live-interval tracking (banded only): the band-DP-live set per column
+  // is bounded below by a monotone floor (cells below never revive: all
+  // their predecessors are pruned) and above by the previous column's
+  // ceiling + an E-chained extension; cells outside the visited interval
+  // are virtually pruned.  Sentinel cells (one beyond each end) carry the
+  // pruned representation (M/D/I = 0, E = EINF) so the next column's reads
+  // see exactly what the full scan would have written.  Arithmetic per
+  // visited cell is unchanged -> results are bit-identical to the full
+  // scan; only provably-pruned cell visits are skipped.
+  int32_t lv_lo = 0, lv_hi = x_len;  // E0-live bounds (col 0: all live)
+  int32_t sum_lo = 1, sum_hi = x_len;  // visited bounds of the last column
+  bool i0_live = true;
   for (int32_t j = 1; j <= y_len; j++) {
     const uint8_t rj = r[j - 1] & ~0x20;
     const double m = std::exp((double)miscall[j - 1]);
@@ -325,12 +493,35 @@ static double vlt_pairhmm_one(
     if (banded && E0[0] > max_edit) {
       I1[0] = 0.0;
       E1[0] = EINF;
+      i0_live = false;
     } else {
       I1[0] = m * (ie * I0[0] + start_w * io);
       if (banded) E1[0] = E0[0] >= EINF ? EINF : E0[0] + 1;
     }
     double colmax = I1[0];
-    for (int32_t i = 1; i <= x_len; i++) {
+    int32_t istart = 1, iend = x_len;
+    if (banded) {
+      // while the i=0 free-start cell is live, low cells can chain alive
+      // through E1[i-1] regardless of the E0 floor — scan from 1 then
+      istart = i0_live ? 1 : (lv_lo > 1 ? lv_lo : 1);
+      iend = lv_hi + 1 < x_len ? lv_hi + 1 : x_len;
+      if (iend < istart - 1) iend = istart - 1;
+      if (istart - 1 >= 1) {
+        // pre-loop lower sentinel: the full scan prunes every cell below
+        // the floor at THIS column, and i=istart's in-column D/E chain
+        // reads position istart-1 during the loop
+        M1[istart - 1] = 0.0; D1[istart - 1] = 0.0; I1[istart - 1] = 0.0;
+        E1[istart - 1] = EINF;
+      }
+    }
+    int32_t nlo = x_len + 1, nhi = 0;  // live bounds of THIS column
+    int32_t i = istart;
+    // banded: iterate the E0-derived range, then keep going while the
+    // in-column E1 chain stays live (exactly the cells the full scan
+    // would not prune); physical state above/below the visited range is
+    // maintained pruned (zeros / EINF), so all reads see full-scan values
+    for (; i <= x_len && (i <= iend || (banded && E1[i - 1] <= max_edit));
+         i++) {
       if (banded) {
         // skip cells whose best-path edit distance exceeds the band
         // (rust-bio pairhmm: min over topleft/top/left predecessors)
@@ -347,34 +538,71 @@ static double vlt_pairhmm_one(
         if (tp < EINF && tp + 1 < e) e = tp + 1;
         if (lf < EINF && lf + 1 < e) e = lf + 1;
         E1[i] = e;
+        if (e <= max_edit) { if (i < nlo) nlo = i; if (i > nhi) nhi = i; }
       }
       double e_m;
       if (au[i] == rj) e_m = noc;
       else if (rj == 'N') e_m = 0.25;
       else e_m = m * (1.0 / 3.0);
-      double t_mm = 1.0 - io - dop[i];
+      const double dop_i = posgaps ? dop[i] : g_md;
+      const double dex_i = posgaps ? dex[i] : g_dd;
+      const double tdm_i = posgaps ? tdm[i] : tdm_c;
+      double t_mm = 1.0 - io - dop_i;
       if (t_mm < 1e-12) t_mm = 1e-12;
-      const double Mv = e_m * (t_mm * M0[i - 1] + tdm[i] * D0[i - 1] +
+      const double Mv = e_m * (t_mm * M0[i - 1] + tdm_i * D0[i - 1] +
                                tim * I0[i - 1] + start_w);
       const double Iv = m * (io * M0[i] + ie * I0[i] + start_w * io);
       M1[i] = Mv; I1[i] = Iv;
       // D depends on current column at i-1 (gap in read)
-      const double Dv = dop[i] * M1[i - 1] + dex[i] * D1[i - 1];
+      const double Dv = dop_i * M1[i - 1] + dex_i * D1[i - 1];
       D1[i] = Dv;
       double mx = Mv > Dv ? Mv : Dv;
       if (Iv > mx) mx = Iv;
       if (mx > colmax) colmax = mx;
     }
-    if (colmax > 0.0 && colmax < 1e-120) {
+    if (banded) {
+      const int32_t vhi = i - 1;  // last visited row this column
+      // keep the physical state pruned for max_edit+2 cells above the
+      // ceiling: the next column's visited range (E0 range + the strictly
+      // incrementing E1 chain, <= max_edit steps) plus its one-cell read
+      // margin provably stays inside the maintained region, so every read
+      // above this column's ceiling sees exactly the full scan's values
+      const int32_t zhi = vhi + max_edit + 2;
+      for (int32_t k = vhi + 1; k <= zhi && k <= x_len; k++) {
+        M1[k] = 0.0; D1[k] = 0.0; I1[k] = 0.0;
+        E1[k] = EINF;
+      }
+      sum_lo = istart; sum_hi = vhi;
+      if (nlo > nhi && !i0_live) {
+        // everything pruned: later columns are all zeros, so P = 0 —
+        // unless this IS the last column, whose visited (pruned-band-edge)
+        // cells still carry mass that the full scan would sum
+        if (j < y_len) return -1e30;
+      }
+      lv_lo = nlo > nhi ? 1 : nlo;
+      lv_hi = nlo > nhi ? 0 : nhi;
+      if (colmax > 0.0 && colmax < 1e-120) {
+        const double s = 1e120;
+        M1[0] *= s; D1[0] *= s; I1[0] *= s;
+        for (int32_t k = istart; k <= vhi; k++) {
+          M1[k] *= s; D1[k] *= s; I1[k] *= s;
+        }
+        log_scale -= std::log(s);
+      }
+    } else if (colmax > 0.0 && colmax < 1e-120) {
       const double s = 1e120;
-      for (int32_t i = 0; i <= x_len; i++) { M1[i] *= s; D1[i] *= s; I1[i] *= s; }
+      for (int32_t k = 0; k <= x_len; k++) { M1[k] *= s; D1[k] *= s; I1[k] *= s; }
       log_scale -= std::log(s);
     }
     M0.swap(M1); D0.swap(D1); I0.swap(I1);
     if (banded) E0.swap(E1);
   }
-  double total = 0.0;
-  for (int32_t i = 0; i <= x_len; i++) total += M0[i] + I0[i];
+  double total = M0[0] + I0[0];
+  if (banded) {
+    for (int32_t i = sum_lo; i <= sum_hi; i++) total += M0[i] + I0[i];
+  } else {
+    for (int32_t i = 1; i <= x_len; i++) total += M0[i] + I0[i];
+  }
   if (total <= 0.0 || y_len == 0) return -1e30;
   return std::log(total) + log_scale;
 }
@@ -652,25 +880,45 @@ static void vlt_hybrid_one(const uint8_t* allele, int32_t a_len,
   h->start2 = 0;
   h->n_ops2 = 0;
   int32_t ls = 0;
-  if (a_len >= 256 && r_len <= 128) {
+  // Myers scan + diagonally-banded window DP whenever the read fits one
+  // u128 word (the band is exactness-preserving — see semiglobal_edit_core;
+  // previously gated on a_len >= 256, but the banded DP beats the full
+  // O(a_len * r_len) DP already at realignment-window sizes ~100-200)
+  if (a_len >= 24 && r_len <= 128) {
     int32_t fe = 0, le = 0;
     const int32_t d = vlt_myers_semiglobal(read, r_len, allele, a_len, &fe, &le);
-    if (d >= 0) {
+    // d == r_len would tie the i=0 all-insert placement, which the full DP
+    // tie-breaks to but no banded end can represent — take the full path
+    if (d >= 0 && d < r_len) {
       const int32_t lo1 = std::max(0, fe - r_len - d);
+      const int32_t w1 = fe - lo1;
+      const int32_t delta1 = w1 - r_len;
       int32_t s1 = 0, n1 = 0, ls1 = 0;
-      const int32_t d1 = vlt_semiglobal_edit(allele + lo1, fe - lo1, read, r_len,
-                                             &s1, ops, &n1, &ls1);
+      int32_t d1 = semiglobal_edit_banded(allele + lo1, w1, read, r_len,
+                                          delta1 - d, delta1 + d,
+                                          &s1, ops, &n1, &ls1);
+      if (d1 != d)  // band missed (should not happen): exact fallback
+        d1 = vlt_semiglobal_edit(allele + lo1, w1, read, r_len,
+                                 &s1, ops, &n1, &ls1);
       if (d1 >= 0) {
         h->dist = d;
         h->start = lo1 + s1;
         h->n_ops = n1;
         if (le > fe) {
           const int32_t lo2 = std::max(0, le - r_len - d);
+          const int32_t w2 = le - lo2;
+          const int32_t delta2 = w2 - r_len;
           int32_t s2 = 0, n2 = 0, ls2 = 0;
-          std::vector<uint8_t> scratch(le - lo2 + r_len + 2);
-          const int32_t dd = vlt_semiglobal_edit(allele + lo2, le - lo2, read,
-                                                 r_len, &s2, scratch.data(),
-                                                 &n2, &ls2);
+          std::vector<uint8_t> scratch(w2 + r_len + 2);
+          // band must cover paths to every co-optimal end in [fe, le]
+          int32_t dd = (le - fe) <= r_len
+              ? semiglobal_edit_banded(allele + lo2, w2, read, r_len,
+                                       delta2 - d - (le - fe), delta2 + d,
+                                       &s2, scratch.data(), &n2, &ls2)
+              : -2;
+          if (dd != d)
+            dd = vlt_semiglobal_edit(allele + lo2, w2, read, r_len, &s2,
+                                     scratch.data(), &n2, &ls2);
           h->last_start = dd >= 0 ? lo2 + ls2 : h->start;
         } else {
           h->last_start = lo1 + s1;
@@ -693,13 +941,19 @@ suffix:
     const uint8_t* suf = allele + h->last_start;
     const int32_t s_len = a_len - h->last_start;
     int32_t fe = 0, le = 0, done = 0;
-    if (s_len >= 256 && r_len <= 128) {
+    if (s_len >= 24 && r_len <= 128) {
       const int32_t d = vlt_myers_semiglobal(read, r_len, suf, s_len, &fe, &le);
-      if (d >= 0) {
+      if (d >= 0 && d < r_len) {
         const int32_t lo1 = std::max(0, fe - r_len - d);
+        const int32_t w1 = fe - lo1;
+        const int32_t delta1 = w1 - r_len;
         int32_t s1 = 0, n1 = 0, ls1 = 0;
-        const int32_t d1 = vlt_semiglobal_edit(suf + lo1, fe - lo1, read, r_len,
-                                               &s1, ops2, &n1, &ls1);
+        int32_t d1 = semiglobal_edit_banded(suf + lo1, w1, read, r_len,
+                                            delta1 - d, delta1 + d,
+                                            &s1, ops2, &n1, &ls1);
+        if (d1 != d)
+          d1 = vlt_semiglobal_edit(suf + lo1, w1, read, r_len,
+                                   &s1, ops2, &n1, &ls1);
         if (d1 >= 0) {
           tail.dist = d;
           tail.start = lo1 + s1;
