@@ -604,23 +604,28 @@ def _generalized_cigar_groups(ls, codes, n_groups, decode, aux_sort):
     )
     u_ls = (uniq >> 40).astype(np.int64)
     u_code = uniq & ((1 << 40) - 1)
+    # decode each distinct code once (cross-window cache in `decode`)
+    code_uniq = np.unique(u_code)
+    dec_by_code = {int(c): decode(c) for c in code_uniq}
+    aux_by_code = {c: aux_sort(s) for c, s in dec_by_code.items()}
+    aux_vals = np.fromiter(
+        (aux_by_code[int(c)] for c in u_code), dtype=np.int64, count=len(u_code)
+    )
+    # the object path's three stable sorts (first-occurrence, then -count,
+    # then (aux, -count)) collapse to one composite key
+    order = np.lexsort((first_idx, -counts, aux_vals, u_ls))
     out = ["."] * n_groups
-    # group rows by ls
-    starts = np.searchsorted(u_ls, np.arange(n_groups))
-    ends = np.searchsorted(u_ls, np.arange(n_groups), side="right")
+    u_ls_o = u_ls[order]
+    u_code_o = u_code[order]
+    counts_o = counts[order]
+    bounds = np.searchsorted(u_ls_o, np.arange(n_groups + 1))
     for g in range(n_groups):
-        a, b = starts[g], ends[g]
+        a, b = bounds[g], bounds[g + 1]
         if a == b:
             continue
-        items = [
-            (decode(u_code[i]), int(counts[i]), int(first_idx[i]))
-            for i in range(a, b)
-        ]
-        # most_common: count desc, then first occurrence; then stable sort
-        items.sort(key=lambda t: (t[2],))
-        items.sort(key=lambda t: (-t[1],))
-        items.sort(key=lambda t: (aux_sort(t[0]), -t[1]))
-        out[g] = "".join(f"{cnt}{s}" for s, cnt, _ in items)
+        out[g] = "".join(
+            f"{counts_o[i]}{dec_by_code[int(u_code_o[i])]}" for i in range(a, b)
+        )
     return out
 
 
