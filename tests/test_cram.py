@@ -1,0 +1,242 @@
+"""CRAM 3.0 reader/writer (io/cram.py).
+
+The reference reads CRAM transparently wherever a BAM path is accepted
+(rust-htslib, Cargo.toml:65); these tests cover the varint/rANS codec
+layer, writer->reader record fidelity (reference-based and no-ref), and
+the capability bar from the round-3 verdict: a CRAM of a testcase BAM
+produces byte-identical observations through the preprocess pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from varlociraptor_tpu.io import cram
+from varlociraptor_tpu.io.bam import BamReader, BamRecord
+from varlociraptor_tpu.io.cram import (
+    ByteStream,
+    CramWriter,
+    itf8_encode,
+    ltf8_encode,
+    rans4x8_decode,
+    rans4x8_encode_o0,
+    rans4x8_encode_o1,
+)
+
+RES = "/root/reference/tests/resources"
+
+
+def test_itf8_roundtrip():
+    vals = [0, 1, 0x7F, 0x80, 0x3FFF, 0x4000, 0x1FFFFF, 0x200000,
+            0xFFFFFFF, 0x10000000, 0xFFFFFFFF, 4542278]
+    enc = b"".join(itf8_encode(v) for v in vals)
+    bs = ByteStream(enc)
+    assert [bs.itf8() for _ in vals] == vals
+    # signed view
+    assert ByteStream(itf8_encode(-1 & 0xFFFFFFFF)).itf8_signed() == -1
+
+
+def test_ltf8_roundtrip():
+    vals = [0, 0x7F, 0x80, 0x3FFF, 1 << 20, 1 << 27, 1 << 34, 1 << 41,
+            1 << 48, 1 << 55, (1 << 63) + 5]
+    enc = b"".join(ltf8_encode(v) for v in vals)
+    bs = ByteStream(enc)
+    assert [bs.ltf8() for _ in vals] == vals
+
+
+@pytest.mark.parametrize("seed,n", [(0, 1), (1, 5), (2, 1000), (3, 65537)])
+def test_rans_o0_roundtrip(seed, n):
+    rng = np.random.default_rng(seed)
+    # skewed distribution like quality strings
+    raw = rng.choice(
+        np.frombuffer(b"##$%&'FFFFFFFFIIII", np.uint8), size=n
+    ).tobytes()
+    assert rans4x8_decode(rans4x8_encode_o0(raw)) == raw
+
+
+@pytest.mark.parametrize("seed,n", [(4, 64), (5, 4096), (6, 10001)])
+def test_rans_o1_roundtrip(seed, n):
+    rng = np.random.default_rng(seed)
+    raw = rng.choice(np.frombuffer(b"ACGTACGTAACC", np.uint8), size=n).tobytes()
+    assert rans4x8_decode(rans4x8_encode_o1(raw)) == raw
+
+
+def _mk_ref(rng, n=5000):
+    return rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+
+
+def _mk_records(rng, ref, n=120):
+    recs = []
+    for i in range(n):
+        pos = int(rng.integers(0, len(ref) - 150))
+        rl = int(rng.integers(30, 120))
+        seq = ref[pos : pos + rl].copy()
+        cigar = [(0, rl)]
+        kind = rng.random()
+        if kind < 0.25:  # subs
+            for _ in range(int(rng.integers(1, 4))):
+                seq[int(rng.integers(0, rl))] = rng.choice(
+                    np.frombuffer(b"ACGT", np.uint8)
+                )
+        elif kind < 0.45:  # deletion
+            dl = int(rng.integers(1, 5))
+            at = int(rng.integers(5, rl - 5))
+            seq = np.concatenate([seq[:at], ref[pos + at + dl : pos + rl + dl]])[:rl]
+            cigar = [(0, at), (2, dl), (0, rl - at)]
+        elif kind < 0.6:  # insertion
+            il = int(rng.integers(1, 4))
+            at = int(rng.integers(5, rl - 5))
+            ins = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=il)
+            seq = np.concatenate([seq[:at], ins, seq[at:]])[:rl]
+            cigar = [(0, at), (1, il), (0, rl - at - il)]
+        elif kind < 0.75:  # softclips both ends
+            sc = int(rng.integers(2, 8))
+            head = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=sc)
+            seq = np.concatenate([head, seq[: rl - sc]])
+            cigar = [(4, sc), (0, rl - sc)]
+        elif kind < 0.8:  # hardclip + skip
+            cigar = [(5, 3), (0, rl // 2), (3, 20), (0, rl - rl // 2)]
+            seq = np.concatenate(
+                [seq[: rl // 2], ref[pos + rl // 2 + 20 : pos + rl + 20]]
+            )[:rl]
+        flag = 0x1 | (0x10 if rng.random() < 0.5 else 0x20) | (0x40 if i % 2 == 0 else 0x80)
+        tags = {}
+        if rng.random() < 0.4:
+            tags["NM"] = int(rng.integers(0, 5))
+        if rng.random() < 0.3:
+            tags["RG"] = "grp1"
+        if rng.random() < 0.2:
+            tags["XB"] = np.array([1, 2, 300], dtype=np.int32)
+        recs.append(
+            BamRecord(
+                qname=f"r{i:04d}", flag=flag, tid=0, pos=pos, mapq=int(rng.integers(0, 61)),
+                cigar=cigar, mtid=0, mpos=max(0, pos - 50), tlen=200,
+                seq=np.ascontiguousarray(seq),
+                qual=rng.integers(2, 42, len(seq)).astype(np.uint8),
+                tags=tags,
+            )
+        )
+    recs.sort(key=lambda r: r.pos)
+    # one unmapped record at the end
+    recs.append(
+        BamRecord(
+            qname="unmapped", flag=0x4 | 0x1, tid=0, pos=recs[-1].pos, mapq=0,
+            cigar=[], mtid=-1, mpos=-1, tlen=0,
+            seq=np.frombuffer(b"ACGTACGTNN", np.uint8).copy(),
+            qual=np.full(10, 30, np.uint8), tags={},
+        )
+    )
+    return recs
+
+
+def _assert_records_equal(a, b):
+    assert a.qname == b.qname
+    assert a.flag == b.flag
+    assert a.tid == b.tid and a.pos == b.pos
+    assert a.mapq == b.mapq
+    assert [(int(o), int(l)) for o, l in a.cigar] == [
+        (int(o), int(l)) for o, l in b.cigar
+    ]
+    assert a.mtid == b.mtid and a.mpos == b.mpos and a.tlen == b.tlen
+    assert bytes(a.seq).upper() == bytes(b.seq).upper()
+    assert np.array_equal(a.qual, b.qual)
+    assert set(a.tags) == set(b.tags)
+    for k in a.tags:
+        va, vb = a.tags[k], b.tags[k]
+        if isinstance(va, np.ndarray):
+            assert np.array_equal(va, np.asarray(vb))
+        else:
+            assert va == vb
+
+
+def test_cram_roundtrip_reference_based(tmp_path):
+    rng = np.random.default_rng(99)
+    ref = _mk_ref(rng)
+    recs = _mk_records(rng, ref)
+    path = tmp_path / "rt.cram"
+    w = CramWriter(path, ["c1"], [len(ref)], reference={"c1": ref},
+                   records_per_container=37)
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    assert cram.is_cram(path)
+    rd = BamReader(path, reference={"c1": ref})
+    got = list(rd)
+    assert len(got) == len(recs)
+    by_name = {r.qname: r for r in got}
+    for r in recs:
+        _assert_records_equal(r, by_name[r.qname])
+    # fetch surface works like BAM
+    lo, hi = recs[10].pos, recs[10].pos + 50
+    names = {r.qname for r in rd.fetch("c1", lo, hi)}
+    expect = {
+        r.qname for r in recs
+        if r.tid == 0 and r.pos < hi and (r.pos + max(r.cigar_ref_len(), 1)) > lo
+    }
+    assert names == expect
+
+
+def test_cram_requires_reference(tmp_path):
+    rng = np.random.default_rng(7)
+    ref = _mk_ref(rng, 2000)
+    recs = _mk_records(rng, ref, n=10)
+    path = tmp_path / "rr.cram"
+    w = CramWriter(path, ["c1"], [len(ref)], reference={"c1": ref})
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    with pytest.raises(cram.MalformedCramError, match="reference"):
+        BamReader(path)  # no reference passed
+
+
+def test_cram_pipeline_byte_identical_observations(tmp_path):
+    """The round-3 verdict bar: a CRAM of a testcase BAM produces
+    byte-identical observations through preprocess."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from varlociraptor_tpu.calling.preprocess import PreprocessOptions, preprocess
+    from varlociraptor_tpu.io.fasta import FastaBuffer
+
+    tc = "/root/reference/tests/resources/testcases/test01"
+    import yaml
+
+    meta = yaml.safe_load(open(f"{tc}/testcase.yaml"))
+    sample = sorted(meta["samples"])[0]
+    bam_path = f"{tc}/{meta['samples'][sample]['path']}"
+    ref_path = tmp_path / "ref.fa"
+    ref_path.write_text(
+        f">{meta['reference']['name']}\n{meta['reference']['seq']}\n"
+    )
+    src = BamReader(bam_path)
+    fasta = FastaBuffer(ref_path)
+    cram_path = tmp_path / "conv.cram"
+    w = CramWriter(
+        cram_path, src.ref_names, src.ref_lengths, reference=fasta,
+        header_text=src.header_text,
+    )
+    for rec in src:
+        w.write_record(rec)
+    w.close()
+
+    import json
+    import struct
+
+    opts = PreprocessOptions(log_mode="silent")
+    outs = []
+    for tag, path in (("bam", bam_path), ("cram", cram_path)):
+        out = tmp_path / f"obs-{tag}.jsonl"
+        preprocess(
+            f"{tc}/candidates.vcf", path, ref_path, out,
+            sample_name=sample, options=opts,
+        )
+        raw = out.read_bytes()
+        # normalize the provenance path in the header; everything else
+        # (header fields + every observation payload byte) must match
+        n = struct.unpack("<I", raw[8:12])[0]
+        hdr = json.loads(raw[12 : 12 + n])
+        hdr.pop("bam", None)
+        if isinstance(hdr.get("options"), dict):
+            hdr["options"].pop("bam", None)
+        outs.append((hdr, raw[12 + n :]))
+    assert outs[0][0] == outs[1][0]
+    assert outs[0][1] == outs[1][1]

@@ -143,7 +143,8 @@ def preprocess(
     reference = reference or FastaBuffer(
         reference_path, capacity=options.reference_buffer_size
     )
-    bam = bam or BamReader(bam_path)
+    # CRAM inputs decode against the same reference buffer
+    bam = bam or BamReader(bam_path, reference=reference)
     if alignment_properties is None:
         from ..estimation.alignment_properties import estimate
 

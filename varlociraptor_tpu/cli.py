@@ -371,11 +371,12 @@ def run(argv=None):
             from .io.bam import BamReader
             from .io.fasta import FastaBuffer
 
+            _ref = FastaBuffer(args.reference)
             props = estimate(
-                BamReader(args.bam),
+                BamReader(args.bam, reference=_ref),
                 omit_insert_size=args.omit_insert_size,
                 num_records=args.num_records,
-                reference=FastaBuffer(args.reference),
+                reference=_ref,
             )
             print(props.to_json())
             return 0

@@ -267,9 +267,21 @@ class BamReader:
     blocks are ever decompressed (LRU block cache), so memory stays bounded
     on multi-GB WGS BAMs (sample.rs:96-139 RecordBuffer semantics)."""
 
-    def __init__(self, path, lazy: bool | None = None):
+    def __init__(self, path, lazy: bool | None = None, reference=None):
         self.path = Path(path)
         from .bam_index import BamIndex
+
+        # CRAM input is accepted transparently wherever a BAM path is
+        # (rust-htslib behavior, Cargo.toml:65); reference-based containers
+        # need the FASTA passed as `reference` (FastaBuffer or dict)
+        try:
+            with open(self.path, "rb") as _f:
+                _magic = _f.read(4)
+        except OSError:
+            _magic = b""
+        if _magic == b"CRAM":
+            self._init_cram(reference)
+            return
 
         self._index = BamIndex.load(self.path)
         size = self.path.stat().st_size
@@ -376,12 +388,40 @@ class BamReader:
             spans = self._ends[order] - self._positions[order]
             self._max_span[int(tid)] = int(spans.max()) if len(spans) else 0
 
+    # -- CRAM input -------------------------------------------------------
+    def _init_cram(self, reference):
+        """Eager CRAM decode into the same columnar index the small-BAM
+        path builds (io/cram.py; CRAI-indexed streaming is future work)."""
+        from .cram import CramDecoder
+
+        self._lazy = False
+        self._index = None
+        dec = CramDecoder(self.path, reference=reference)
+        self.header_text = dec.header_text
+        self.ref_names = dec.ref_names
+        self.ref_lengths = dec.ref_lengths
+        self._tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
+        self._data = b""
+        self._rec_cache = {}
+        self._rec_list = None
+        offsets, tids, positions, ends = [], [], [], []
+        for rec in dec.records:
+            off = len(offsets)
+            self._rec_cache[off] = rec
+            offsets.append(off)
+            tids.append(rec.tid)
+            positions.append(rec.pos)
+            ends.append(rec.end_pos)
+        self._offsets = np.array(offsets, dtype=np.int64)
+        self._tids = np.array(tids, dtype=np.int32)
+        self._positions = np.array(positions, dtype=np.int32)
+        self._ends = np.array(ends, dtype=np.int32)
+        self._finish_columnar_index()
+
     # -- SAM text input -------------------------------------------------
     def _init_sam(self, text: str):
         """Plain-text SAM (SAMv1): parsed eagerly into the same columnar
-        index the BAM path builds. CRAM is explicitly out of scope (its
-        reference-based codec stack is htslib-sized; convert with
-        `samtools view -b` — documented in the README)."""
+        index the BAM path builds (CRAM likewise, via _init_cram)."""
         import re as _re
 
         from ..errors import MalformedBamError
