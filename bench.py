@@ -8,7 +8,11 @@ ALL engine outputs (np.asarray). `jax.block_until_ready` does NOT synchronize
 on the experimental `axon` platform (round-1 VERDICT measured a ~4000x
 dispatch-vs-execution gap), so only host-materialized outputs count. A
 scaling sanity check asserts wall-time grows with n_loci before the number
-is trusted.
+is trusted.  The headline is the dispatch-ahead steady state (window i+1
+computes while window i's single packed wire buffer crosses the tunnel) —
+the same PendingWindow pattern the production caller uses; `extra.roofline`
+carries the serial number, the compute-only split, the wire bytes/locus and
+XLA cost-analysis flops.
 
 The reference publishes no benchmark numbers (BASELINE.md) and cannot be
 built in this image (no Rust toolchain), so vs_baseline is MEASURED against
@@ -34,7 +38,9 @@ NOMINAL_BASELINE_LOCI_PER_SEC = 1000.0  # fallback if the CPU run fails
 
 def _measured_cpu_baseline(n_loci=8192):
     """Same engine + inputs on the XLA CPU backend, in a subprocess (this
-    process holds the TPU client)."""
+    process holds the TPU client).  Returns (loci/s, flops_per_program,
+    hbm_bytes_per_program) — the latter two from XLA cost analysis of the
+    identical HLO (roofline provenance)."""
     try:
         out = subprocess.run(
             [sys.executable, "/root/repo/scripts/bench_posterior_cpu.py", str(n_loci)],
@@ -43,9 +49,22 @@ def _measured_cpu_baseline(n_loci=8192):
             timeout=420,
             env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
-        return float(out.stdout.strip().splitlines()[-1])
+        lines = out.stdout.strip().splitlines()
+        flops = next(
+            (float(ln.split()[1]) for ln in lines if ln.startswith("FLOPS ")),
+            None,
+        )
+        nbytes = next(
+            (
+                float(ln.split()[1])
+                for ln in lines
+                if ln.startswith("HBM_BYTES ")
+            ),
+            None,
+        )
+        return float(lines[-1]), flops, nbytes
     except Exception:  # noqa: BLE001
-        return None
+        return None, None, None
 
 
 def _bench_e2e():
@@ -135,19 +154,59 @@ def _bench_preprocess_tpu(n=256):
         os.environ.pop("VLT_NATIVE_PAIRHMM", None)
 
 
-def _timed(engine, inputs, n_iter):
+def _timed(engine, inputs, n_iter, pipelined=True):
     import jax.numpy as jnp
 
     args = [jnp.asarray(a) for a in inputs]
-    # engine.run is the production path: it materializes EVERY output on the
-    # host (posteriors, MAP AFs, deci-PHRED AFDs, combo masses), packed into
-    # one f32 + one i16 fetch; np.asarray inside run() is the only
-    # trustworthy sync on axon (block_until_ready is a no-op there)
+    # engine.run is the production path: it materializes EVERY output on
+    # the host (posteriors, MAP AFs, deci-PHRED AFDs, MAP artifact slots),
+    # packed into ONE wire buffer fetch; np.asarray inside run() is the
+    # only trustworthy sync on axon (block_until_ready is a no-op there).
     out = engine.run(*args)
     assert all(isinstance(v, np.ndarray) for v in out.values())
+    if not pipelined:
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = engine.run(*args)
+        return time.perf_counter() - t0
+    # dispatch-ahead steady state: window i+1 computes on the device while
+    # window i's wire buffer crosses the tunnel and unpacks — exactly how
+    # the production caller consumes the engine (fastcall.PendingWindow);
+    # every iteration still fully host-materializes every output.
+    t0 = time.perf_counter()
+    prev = engine.run(*args, fetch=False)
+    for _ in range(n_iter - 1):
+        nxt = engine.run(*args, fetch=False)
+        out = engine.fetch_run(prev)
+        prev = nxt
+    out = engine.fetch_run(prev)
+    assert all(isinstance(v, np.ndarray) for v in out.values())
+    return time.perf_counter() - t0
+
+
+def _timed_compute_only(engine, inputs, n_iter):
+    """Device-compute time alone: the same program reduced to one scalar so
+    the tunnel transfer is ~0 bytes (roofline split of compute vs wire)."""
+    import jax
+    import jax.numpy as jnp
+
+    args = [jnp.asarray(a) for a in inputs]
+    L = args[0].shape[0]
+    n_art = jnp.full(
+        (L,), float(engine.n_artifact_combos or 1), dtype=jnp.float32
+    )
+    try:
+        fn = jax.jit(
+            lambda *a: jnp.sum(
+                engine._pack_out(engine._run_impl(*a), a[1])
+            )
+        )
+        np.asarray(fn(*args, None, n_art))
+    except Exception:  # noqa: BLE001
+        return None
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = engine.run(*args)
+        np.asarray(fn(*args, None, n_art))
     return time.perf_counter() - t0
 
 
@@ -267,6 +326,13 @@ def main():
     inputs = engine_inputs(engine, n_loci=n_loci, depth=depth)
     n_iter, rounds = (3, 1) if force_cpu else (5, 3)
     dt = min(_timed(engine, inputs, n_iter) for _ in range(rounds))
+    dt_serial = min(
+        _timed(engine, inputs, n_iter, pipelined=False) for _ in range(rounds)
+    ) if not force_cpu else dt
+    dt_compute = None
+    if not force_cpu:
+        dtc = _timed_compute_only(engine, inputs, n_iter)
+        dt_compute = dtc / n_iter if dtc else None
     per_iter_small = t_small / 2
     per_iter_big = dt / n_iter
     if per_iter_big < 1.5 * per_iter_small and n_loci >= 4 * small:
@@ -289,13 +355,13 @@ def main():
         # the fallback headline IS the baseline methodology (same engine,
         # same backend) — re-measuring it separately only injects run-to-run
         # noise into the ratio, so the ratio is 1.0 by construction
-        cpu_rate = loci_per_sec
+        cpu_rate, flops, hbm_bytes = loci_per_sec, None, None
         provenance = (
             "identical by construction: the CPU fallback runs the baseline "
             "engine on the baseline backend"
         )
     else:
-        cpu_rate = _measured_cpu_baseline()
+        cpu_rate, flops, hbm_bytes = _measured_cpu_baseline()
         provenance = (
             "same engine + same batch on this host's XLA CPU backend "
             "(scripts/bench_posterior_cpu.py)"
@@ -303,9 +369,47 @@ def main():
             else "nominal (CPU baseline run failed)"
         )
     baseline = cpu_rate if cpu_rate else NOMINAL_BASELINE_LOCI_PER_SEC
+    # roofline: split the per-window wall time into device compute vs the
+    # packed-wire tunnel fetch, and report HLO flops (XLA cost analysis of
+    # the identical program at the CPU-baseline batch, scaled per locus)
+    roofline = {
+        "wire_bytes_per_locus": round(engine.wire_bytes(n_loci) / n_loci, 1),
+        "methodology": (
+            "headline = dispatch-ahead steady state (window i+1 computes "
+            "while window i's wire buffer transfers + unpacks; the "
+            "production caller's PendingWindow pattern); every window "
+            "fully host-materializes every output"
+        ),
+    }
+    if not force_cpu:
+        per_it_pipelined = dt / n_iter
+        per_it_serial = dt_serial / n_iter
+        roofline["serial_loci_per_sec"] = round(n_loci / per_it_serial, 1)
+        if dt_compute:
+            roofline["device_compute_loci_per_sec"] = round(
+                n_loci / dt_compute, 1
+            )
+            wire_s = max(per_it_serial - dt_compute, 1e-9)
+            roofline["tunnel_mb_per_s"] = round(
+                engine.wire_bytes(n_loci) / wire_s / 1e6, 1
+            )
+        if flops:
+            # flops is for the CPU-baseline batch (8192 loci by default)
+            flops_per_locus = flops / 8192.0
+            roofline["flops_per_locus"] = round(flops_per_locus, 1)
+            roofline["achieved_gflops"] = round(
+                flops_per_locus * loci_per_sec / 1e9, 2
+            )
+            if dt_compute:
+                roofline["device_gflops"] = round(
+                    flops_per_locus * n_loci / dt_compute / 1e9, 2
+                )
+        if hbm_bytes:
+            roofline["hbm_bytes_per_locus"] = round(hbm_bytes / 8192.0, 1)
     extra = {
         "e2e": _bench_e2e(),
         "preprocess_tpu": _bench_preprocess_tpu(),
+        "roofline": roofline,
         "baseline_cpu_loci_per_sec": round(cpu_rate, 1) if cpu_rate else None,
         "baseline_provenance": provenance,
     }

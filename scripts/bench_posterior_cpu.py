@@ -39,6 +39,23 @@ def main():
     for _ in range(n_iter):
         engine.run(*args)
     dt = time.perf_counter() - t0
+    # XLA cost analysis of the identical program (roofline provenance for
+    # bench.py extra.roofline: flops here are backend-independent HLO
+    # counts).  "FLOPS <n>" goes on a prefix line; the rate stays last.
+    try:
+        n_art = jnp.full((n_loci,), float(engine.n_artifact_combos or 1),
+                         dtype=jnp.float32)
+        cost = (
+            engine._run_packed.lower(*args, None, n_art)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        print(f"FLOPS {cost.get('flops', 0.0)}")
+        print(f"HBM_BYTES {cost.get('bytes accessed', 0.0)}")
+    except Exception:  # noqa: BLE001
+        pass
     print(n_loci * n_iter / dt)
 
 

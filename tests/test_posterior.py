@@ -914,3 +914,36 @@ def test_full_prior_four_samples_matches_bruteforce():
     np.testing.assert_allclose(
         out["posteriors"][0], want, rtol=1e-4, atol=2e-3
     )
+
+
+def test_run_fetch_false_roundtrip():
+    """run(fetch=False) + fetch_run must reproduce run() exactly — the
+    single packed wire buffer (f32 | bitcast i16 | bitcast u8 afd_idx)
+    round-trips every output including map_slot and the u8 AFD indices."""
+    pileups = [
+        [Pileup(read_observations=[alt_obs() for _ in range(6)])],
+        [Pileup(read_observations=[ref_obs() for _ in range(4)])],
+    ]
+    engine, out = build_inputs(pileups, two_events())
+    # rebuild the same inputs and go through the async handles path
+    depth = 16
+    batch = ObservationBatch.collate(pileups, depth=depth)
+    combos = [BiasCombo()]
+    bias = [build_bias_tensor(ps, combos, depth) for ps in pileups]
+    L = len(pileups)
+    handles = engine.run(
+        batch.features,
+        batch.mask,
+        np.stack([b.alt for b in bias]),
+        np.stack([b.ref for b in bias]),
+        np.stack([b.any for b in bias]),
+        np.stack([b.active for b in bias]),
+        np.ones((L, engine.n_branches), dtype=bool),
+        np.full(L, math.log(0.5), dtype=np.float32),
+        fetch=False,
+    )
+    out2 = engine.fetch_run(handles)
+    assert set(out2) == set(out)
+    assert "map_slot" in out2 and out2["map_slot"].shape == (L,)
+    for k in out:
+        np.testing.assert_array_equal(out[k], out2[k], err_msg=k)

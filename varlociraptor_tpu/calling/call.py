@@ -410,7 +410,7 @@ class GenericCaller:
 
             sample_infos = []
             if is_artifact:
-                map_slot = int(np.argmax(out["combo_joint"][li]))
+                map_slot = int(out["map_slot"][li])
                 map_combo = FULL_COMBOS[int(slot_map[li, map_slot])]
             else:
                 map_combo = FULL_COMBOS[0]

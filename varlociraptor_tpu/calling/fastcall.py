@@ -87,10 +87,9 @@ class _PhredStrings:
 class PendingWindow:
     """Dispatched-but-unfetched engine window (dispatch-ahead pipeline)."""
 
-    def __init__(self, engine, L, Bmax, groups, meta):
+    def __init__(self, engine, L, groups, meta):
         self.engine = engine
         self.L = L
-        self.Bmax = Bmax
         self.groups = groups
         self.meta = meta
 
@@ -105,18 +104,11 @@ class PendingWindow:
             )
             if out is None:
                 out = {
-                    k: (
-                        np.full((self.L, self.Bmax), -np.inf, dtype=v.dtype)
-                        if k == "combo_joint"
-                        else np.zeros((self.L,) + v.shape[1:], dtype=v.dtype)
-                    )
+                    k: np.zeros((self.L,) + v.shape[1:], dtype=v.dtype)
                     for k, v in sub.items()
                 }
             for k, v in sub.items():
-                if k == "combo_joint":
-                    out[k][idx[:, None], np.arange(v.shape[1])] = v[:Lb]
-                else:
-                    out[k][idx] = v[:Lb]
+                out[k][idx] = v[:Lb]
         return out, self.meta
 
 
@@ -297,7 +289,7 @@ class ColumnarCaller(GenericCaller):
             "grid": grid,
             "events": events,
         }
-        pw = PendingWindow(engine, L, Bmax, groups, meta)
+        pw = PendingWindow(engine, L, groups, meta)
         if sync:
             return pw.finish()
         return pw
@@ -342,7 +334,7 @@ class ColumnarCaller(GenericCaller):
         dp = cb.expected_depths()
         af = out["af"]
         dphred = out["densities_dphred"]  # [L,S,G] int16
-        map_slot = np.argmax(out["combo_joint"], axis=1)
+        map_slot = out["map_slot"]
         slot_map = meta["slot_map"]
         map_combo_idx = np.where(
             is_artifact,

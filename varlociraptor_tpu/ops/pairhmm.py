@@ -650,6 +650,46 @@ class BatchedPairHMM:
             from .pallas_pairhmm import pallas_exact_forward
 
             return pallas_exact_forward(alleles, reads, quals, self.gap)
+        if pallas_env == "1" or (
+            pallas_env != "0" and self._backend_is_tpu()
+        ):
+            # finite-extension profiles (nanopore GapParams MLE /
+            # homopolymer positional gaps): the general Pallas column
+            # kernel with a Kogge-Stone within-column D scan
+            # (ops/pallas_pairhmm.py). Full-window forward, same stance as
+            # the exact kernel above.
+            if self.mode == "homopolymer" and self.hop is not None:
+                from .pallas_pairhmm import pallas_positional_forward
+
+                io, ie, do, de = [], [], [], []
+                for b in range(n_req):
+                    r = np.asarray(reads[b], dtype=np.uint8)
+                    a = np.frombuffer(bytes(alleles[b]), dtype=np.uint8)
+                    io_b, ie_b = self._positional_gaps(
+                        r[None, :], np.array([len(r)], np.int32),
+                        self.gap[0], self.gap[2],
+                        self.hop.prob_seq_homopolymer,
+                        self.hop.prob_seq_extend_homopolymer,
+                    )
+                    do_b, de_b = self._positional_gaps(
+                        a[None, :], np.array([len(a)], np.int32),
+                        self.gap[1], self.gap[3],
+                        self.hop.prob_ref_homopolymer,
+                        self.hop.prob_ref_extend_homopolymer,
+                    )
+                    io.append(io_b[0])
+                    ie.append(ie_b[0])
+                    do.append(do_b[0])
+                    de.append(de_b[0])
+                return pallas_positional_forward(
+                    alleles, reads, quals, io, ie, do, de
+                )
+            if self.gap[2] > NEG_INF / 2 and self.gap[3] > NEG_INF / 2:
+                from .pallas_pairhmm import pallas_general_forward
+
+                return pallas_general_forward(
+                    alleles, reads, quals, self.gap
+                )
         # pad the batch axis to a pow2 bucket so jit programs are reused
         # across pileups (unpadded batch sizes caused one XLA compile per
         # distinct request count)

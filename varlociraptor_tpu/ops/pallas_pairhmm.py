@@ -269,3 +269,334 @@ def pallas_exact_forward(alleles, reads, quals, gap, interpret=False):
     if empty.any():
         res[empty] = -1e30
     return res
+
+
+# ---------------------------------------------------------------------------
+# General three-state kernel: FINITE gap extensions (nanopore / homopolymer
+# profiles, GapParams pairhmm.rs:122-142 with nonzero extension probs).
+#
+# Same lane-transposed layout as the exact kernel (items on the 128 lanes,
+# allele positions on sublanes).  The D state has a WITHIN-column first-order
+# recurrence D(i,j) = t_md*M(i-1,j) + t_dd*D(i-1,j); a lane-sequential scan
+# over sublanes would serialize the column, so it is solved with a
+# Kogge-Stone log-shift scan: ceil(log2(Xp)) shift+FMA steps compute
+# D(i) = sum_{k<i} t_dd^(i-1-k) * t_md * M(k,j) exactly (all terms positive,
+# no cancellation).  The positional variant (per-base homopolymer gap
+# probabilities, realignment/mod.rs:679-731 approximation) carries the
+# varying extension coefficient through the scan as a running product.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_general(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref,
+                    coef_ref, out_ref, mprev, iprev, dprev, i0prev, scale):
+    _general_body((), allele_ref, read_ref, mis_ref, alen_ref, rlen_ref,
+                  coef_ref, out_ref, mprev, iprev, dprev, i0prev, scale)
+
+
+def _kernel_positional(allele_ref, read_ref, mis_ref, alen_ref, rlen_ref,
+                       coef_ref, io_ref, ie_ref, do_ref, de_ref, out_ref,
+                       mprev, iprev, dprev, i0prev, scale):
+    _general_body((io_ref, ie_ref, do_ref, de_ref), allele_ref, read_ref,
+                  mis_ref, alen_ref, rlen_ref, coef_ref, out_ref, mprev,
+                  iprev, dprev, i0prev, scale)
+
+
+def _general_body(pos_refs, allele_ref, read_ref, mis_ref, alen_ref,
+                  rlen_ref, coef_ref, out_ref, mprev, iprev, dprev, i0prev,
+                  scale):
+    """General 3-state column recurrence, one tile of TB items.
+
+    coef [1, 7] f32 SMEM: (t_mm, t_dm, t_im, t_mi, t_md, t_ii, t_dd) LINEAR.
+    Positional variant (pos_refs non-empty): io/ie [Yp, TB] and do/de
+    [Xp, TB] LINEAR gap probs replace the respective coef entries
+    (do/de aligned like the allele panel: sublane k holds allele index k,
+    the gap prob of cell i = k+1).
+    Scratch: mprev/iprev/dprev [Xp, TB], i0prev/scale [1, TB].
+    """
+    from jax.experimental import pallas as pl
+
+    positional = len(pos_refs) == 4
+    Xp = allele_ref.shape[0]
+    Yp = read_ref.shape[0]
+
+    allele = allele_ref[:]
+    alen = alen_ref[:]
+    rlen = rlen_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Xp, TB), 0)
+    valid = row < alen
+    validf = jnp.where(valid, 1.0, 0.0)
+
+    if positional:
+        io_ref, ie_ref, do_ref, de_ref = pos_refs
+        do_p = do_ref[:]  # [Xp, TB]
+        de_p = de_ref[:]
+        t_md_p = do_p
+        t_dd_p = de_p
+        t_dm_p = 1.0 - de_p
+    else:
+        t_mm_c = coef_ref[0, 0]
+        t_dm_c = coef_ref[0, 1]
+        t_im_c = coef_ref[0, 2]
+        t_mi_c = coef_ref[0, 3]
+        t_md_c = coef_ref[0, 4]
+        t_ii_c = coef_ref[0, 5]
+        t_dd_c = coef_ref[0, 6]
+
+    mprev[:] = jnp.zeros((Xp, TB), jnp.float32)
+    iprev[:] = jnp.zeros((Xp, TB), jnp.float32)
+    dprev[:] = jnp.zeros((Xp, TB), jnp.float32)
+    i0prev[:] = jnp.zeros((1, TB), jnp.float32)
+    scale[:] = jnp.zeros((1, TB), jnp.float32)
+
+    def _shift(x, k):
+        return jnp.concatenate(
+            [jnp.zeros((k, TB), jnp.float32), x[: Xp - k, :]], axis=0
+        )
+
+    def col(j, _):
+        rj = read_ref[pl.dslice(j - 1, 1), :]  # [1, TB]
+        mj = mis_ref[pl.dslice(j - 1, 1), :]
+        match = allele == rj
+        is_n = rj == float(ord("N"))
+        e_m = jnp.where(
+            match,
+            1.0 - mj,
+            jnp.where(is_n, 0.25, mj * (1.0 / 3.0)),
+        )
+        e_m = jnp.where(valid, e_m, 0.0)
+
+        if positional:
+            io_j = io_ref[pl.dslice(j - 1, 1), :]  # [1, TB]
+            ie_j = ie_ref[pl.dslice(j - 1, 1), :]
+            t_mm = jnp.maximum(1.0 - io_j - do_p, 1e-12)  # [Xp, TB]
+            t_dm = t_dm_p
+            t_im = 1.0 - ie_j
+            t_mi = io_j
+            t_ii = ie_j
+        else:
+            t_mm, t_dm, t_im = t_mm_c, t_dm_c, t_im_c
+            t_mi, t_ii = t_mi_c, t_ii_c
+
+        m_p = mprev[:]
+        i_p = iprev[:]
+        d_p = dprev[:]
+        i0_p = i0prev[:]
+
+        is_j1 = (j == 1)
+        startm = jnp.where(is_j1, jnp.exp(-scale[:]), 0.0)  # [1, TB]
+        ihead = jnp.concatenate([i0_p, i_p[: Xp - 1, :]], axis=0)
+        mcol = e_m * (
+            t_mm * _shift(m_p, 1) + t_dm * _shift(d_p, 1) + t_im * ihead
+            + startm
+        )
+        start_i = jnp.where(is_j1, mj * t_mi, 0.0)
+        icol = mj * (t_mi * m_p + t_ii * i_p) + start_i * validf
+        i0col = mj * t_ii * i0_p + start_i
+
+        # per-item rescale
+        colmax = jnp.maximum(
+            jnp.max(mcol, axis=0, keepdims=True),
+            jnp.max(icol, axis=0, keepdims=True),
+        )
+        need = (colmax > 0.0) & (colmax < RESCALE_THRESH)
+        f = jnp.where(need, RESCALE, 1.0)
+        mcol = mcol * f
+        icol = icol * f
+        i0col = i0col * f
+        scale[:] = scale[:] + jnp.where(need, math.log(RESCALE), 0.0)
+
+        # within-column D via Kogge-Stone log-shift scan
+        if positional:
+            d = t_md_p * _shift(mcol, 1)
+            a = t_dd_p
+            s = 1
+            while s < Xp:
+                d = d + a * _shift(d, s)
+                a = a * _shift(a, s)
+                s *= 2
+        else:
+            d = t_md_c * _shift(mcol, 1)
+            s = 1
+            fac = t_dd_c
+            while s < Xp:
+                d = d + fac * _shift(d, s)
+                fac = fac * fac
+                s *= 2
+
+        at_end = rlen == j
+        fin = (
+            jnp.sum(mcol, axis=0, keepdims=True)
+            + jnp.sum(icol, axis=0, keepdims=True)
+            + i0col
+        )
+        out_ref[:] = jnp.where(
+            at_end,
+            jnp.where(fin > 0.0, jnp.log(jnp.maximum(fin, 1e-300)), -1e30)
+            - scale[:],
+            out_ref[:],
+        )
+
+        mprev[:] = mcol
+        iprev[:] = icol
+        dprev[:] = d
+        i0prev[:] = i0col
+        return 0
+
+    out_ref[:] = jnp.full((1, TB), -1e30, jnp.float32)
+    jax.lax.fori_loop(1, Yp + 1, col, 0)
+
+
+@partial(jax.jit, static_argnames=("x_pad", "y_pad", "interpret"))
+def _pallas_forward_general(allele_u8, read_u8, qual_u8, alen, rlen, coef,
+                            x_pad, y_pad, interpret=False):
+    """Constant finite-extension forward (row-major uint8 host panels,
+    device-side transpose/cast as in ``_pallas_forward``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    allele = (allele_u8 & np.uint8(0xDF)).T.astype(jnp.float32)
+    read = (read_u8 & np.uint8(0xDF)).T.astype(jnp.float32)
+    mis = jnp.exp(
+        qual_u8.T.astype(jnp.float32) * jnp.float32(-math.log(10.0) / 10.0)
+    )
+    B = allele.shape[1]
+    grid = (B // TB,)
+    out = pl.pallas_call(
+        _kernel_general,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((x_pad, TB), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((y_pad, TB), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((y_pad, TB), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TB), lambda t: (0, t), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((x_pad, TB), jnp.float32),
+            pltpu.VMEM((x_pad, TB), jnp.float32),
+            pltpu.VMEM((x_pad, TB), jnp.float32),
+            pltpu.VMEM((1, TB), jnp.float32),
+            pltpu.VMEM((1, TB), jnp.float32),
+        ],
+        interpret=interpret,
+    )(allele, read, mis, alen, rlen, coef)
+    return out[0, :]
+
+
+@partial(jax.jit, static_argnames=("x_pad", "y_pad", "interpret"))
+def _pallas_forward_positional(allele_u8, read_u8, qual_u8, alen, rlen,
+                               io, ie, do, de, x_pad, y_pad,
+                               interpret=False):
+    """Positional-gap forward: io/ie [B, Yp] f32 LINEAR per-read-base
+    insertion open/extend probs; do/de [B, Xp] per-allele-base deletion
+    probs (index k = gap prob of cell i = k+1)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    allele = (allele_u8 & np.uint8(0xDF)).T.astype(jnp.float32)
+    read = (read_u8 & np.uint8(0xDF)).T.astype(jnp.float32)
+    mis = jnp.exp(
+        qual_u8.T.astype(jnp.float32) * jnp.float32(-math.log(10.0) / 10.0)
+    )
+    coef = jnp.zeros((1, 7), jnp.float32)
+    B = allele.shape[1]
+    grid = (B // TB,)
+    xspec = pl.BlockSpec((x_pad, TB), lambda t: (0, t), memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec((y_pad, TB), lambda t: (0, t), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, TB), lambda t: (0, t), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel_positional,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        grid=grid,
+        in_specs=[
+            xspec, yspec, yspec, rowspec, rowspec,
+            pl.BlockSpec((1, 7), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            yspec, yspec, xspec, xspec,
+        ],
+        out_specs=rowspec,
+        scratch_shapes=[
+            pltpu.VMEM((x_pad, TB), jnp.float32),
+            pltpu.VMEM((x_pad, TB), jnp.float32),
+            pltpu.VMEM((x_pad, TB), jnp.float32),
+            pltpu.VMEM((1, TB), jnp.float32),
+            pltpu.VMEM((1, TB), jnp.float32),
+        ],
+        interpret=interpret,
+    )(allele, read, mis, alen, rlen, coef, io.T, ie.T, do.T, de.T)
+    return out[0, :]
+
+
+def pallas_general_forward(alleles, reads, quals, gap, interpret=False):
+    """Batched finite-extension forward via the general Pallas kernel.
+
+    gap: [4] LOG params (t_mi, t_md, t_ii, t_dd), extensions finite.
+    Returns np.float64 [n]."""
+    if len(alleles) == 0:
+        return np.zeros(0, dtype=np.float64)
+    args, n, Xp, Yp = pack_exact_batch(alleles, reads, quals, (gap[0], gap[1]))
+    allele, read, qual, alen, rlen, _ = args
+    g_mi = math.exp(gap[0])
+    g_md = math.exp(gap[1])
+    g_ii = math.exp(gap[2])
+    g_dd = math.exp(gap[3])
+    coef = np.array(
+        [[
+            max(1.0 - g_mi - g_md, 1e-12),  # t_mm
+            max(1.0 - g_dd, 1e-12),         # t_dm
+            max(1.0 - g_ii, 1e-12),         # t_im
+            g_mi,                            # t_mi
+            g_md,                            # t_md
+            g_ii,                            # t_ii
+            g_dd,                            # t_dd
+        ]],
+        dtype=np.float32,
+    )
+    out = _pallas_forward_general(
+        *(jnp.asarray(a) for a in (allele, read, qual, alen, rlen, coef)),
+        Xp, Yp, interpret=interpret,
+    )
+    res = np.asarray(out, dtype=np.float64)[:n]
+    empty = np.fromiter((len(r) == 0 for r in reads), dtype=bool, count=n)
+    if empty.any():
+        res[empty] = -1e30
+    return res
+
+
+def pallas_positional_forward(alleles, reads, quals, io, ie, do, de,
+                              interpret=False):
+    """Positional-gap (homopolymer-aware) forward via the general kernel.
+
+    io/ie: [n, >=rlen_max] LOG per-read-base insertion open/extend;
+    do/de: [n, >=alen_max] LOG per-allele-base deletion open/extend
+    (NEG_INF padding).  Returns np.float64 [n]."""
+    if len(alleles) == 0:
+        return np.zeros(0, dtype=np.float64)
+    args, n, Xp, Yp = pack_exact_batch(alleles, reads, quals, (0.0, 0.0))
+    allele, read, qual, alen, rlen, _ = args
+    B = allele.shape[0]
+
+    def _linpanel(log_rows, Np):
+        panel = np.zeros((B, Np), dtype=np.float32)
+        for b in range(n):
+            r = np.asarray(log_rows[b], dtype=np.float32)[:Np]
+            with np.errstate(over="ignore"):
+                panel[b, : len(r)] = np.exp(r)
+        return panel
+
+    io_p = _linpanel(io, Yp)
+    ie_p = _linpanel(ie, Yp)
+    do_p = _linpanel(do, Xp)
+    de_p = _linpanel(de, Xp)
+    out = _pallas_forward_positional(
+        *(jnp.asarray(a) for a in (allele, read, qual, alen, rlen)),
+        jnp.asarray(io_p), jnp.asarray(ie_p), jnp.asarray(do_p),
+        jnp.asarray(de_p), Xp, Yp, interpret=interpret,
+    )
+    res = np.asarray(out, dtype=np.float64)[:n]
+    empty = np.fromiter((len(r) == 0 for r in reads), dtype=bool, count=n)
+    if empty.any():
+        res[empty] = -1e30
+    return res

@@ -511,30 +511,66 @@ class PosteriorEngine:
 
         self._run = jax.jit(self._run_impl)
 
+        # AFD subgrid indices fit u8 when every active subgrid is < 256
+        # points (typical: G=103); 4 pack into each f32 word of the wire
+        self._afd_idx_u8 = all(
+            len(self.active_idx[si]) <= 255 for si in range(S)
+        )
+
         def _pack_out(out, mask):
-            # one f32 + one i16 flat buffer, assembled INSIDE the jit: every
-            # un-jitted jnp op on axon is a separate tunnel dispatch, and
+            # ONE flat f32 wire buffer, assembled INSIDE the jit: every
+            # un-jitted jnp op on axon is a separate tunnel dispatch, every
+            # separate fetch pays the ~26 ms tunnel round trip, and
             # np.asarray(mask) on a device array re-fetched the [L,S,D]
-            # bool mask (~4 MB at batch 32k).  `posteriors` is derived on
-            # the host (joint - marginal) and not shipped at all.
-            # n_obs clamps to the int16 ceiling of the packed buffer
-            # (pileups are depth-capped far below this)
+            # bool mask (~4 MB at batch 32k).  `joint` is derived on the
+            # host (posteriors + marginal) and not shipped at all; the
+            # combo_joint panel is reduced to its argmax ``map_slot`` on
+            # device (the callers only consume the MAP artifact slot).
+            # Layout: f32 section | i16 section (bitcast, even-padded) |
+            # u8 afd_idx section (bitcast, mult-of-4 padded, when indices
+            # fit u8).  n_obs clamps to the int16 ceiling of the packed
+            # buffer (pileups are depth-capped far below this).
             n_obs = jnp.minimum(mask.sum(axis=-1), 32767).astype(jnp.int16)
+            map_slot = jnp.argmax(out["combo_joint"], axis=1).astype(jnp.int16)
             f32_flat = jnp.concatenate(
                 [
                     out[k].astype(jnp.float32).ravel()
-                    for k in ("posteriors", "marginal", "combo_joint", "af")
+                    for k in ("posteriors", "marginal", "af")
                 ]
             )
-            i16_flat = jnp.concatenate(
-                [
-                    out["densities_dphred"].ravel(),
-                    out["afd_idx"].ravel(),
-                    out["best_nonartifact"].astype(jnp.int16).ravel(),
-                    n_obs.ravel(),
-                ]
-            )
-            return f32_flat, i16_flat
+            i16_parts = [
+                out["densities_dphred"].ravel(),
+                out["best_nonartifact"].astype(jnp.int16).ravel(),
+                map_slot.ravel(),
+                n_obs.ravel(),
+            ]
+            if not self._afd_idx_u8:
+                i16_parts.append(out["afd_idx"].ravel())
+            i16_flat = jnp.concatenate(i16_parts)
+            pad16 = (-i16_flat.size) % 2
+            if pad16:
+                i16_flat = jnp.concatenate(
+                    [i16_flat, jnp.zeros((pad16,), jnp.int16)]
+                )
+            sections = [
+                f32_flat,
+                jax.lax.bitcast_convert_type(
+                    i16_flat.reshape(-1, 2), jnp.float32
+                ),
+            ]
+            if self._afd_idx_u8:
+                u8_flat = out["afd_idx"].astype(jnp.uint8).ravel()
+                pad8 = (-u8_flat.size) % 4
+                if pad8:
+                    u8_flat = jnp.concatenate(
+                        [u8_flat, jnp.zeros((pad8,), jnp.uint8)]
+                    )
+                sections.append(
+                    jax.lax.bitcast_convert_type(
+                        u8_flat.reshape(-1, 4), jnp.float32
+                    )
+                )
+            return jnp.concatenate(sections)
 
         self._pack_out = _pack_out
 
@@ -1745,6 +1781,7 @@ class PosteriorEngine:
         ln_prior_absent,
         ln_prior_joint=None,
         n_artifact_active=None,
+        fetch=True,
     ):
         """Evaluate posteriors for a locus batch.
 
@@ -1757,7 +1794,11 @@ class PosteriorEngine:
         Returns dict: joint [L,E], posteriors [L,E], marginal [L],
         densities_dphred [L,S,G] (MAP non-artifact event; 32767 sentinel on
         inactive subgrid slots), af [L,S], best_nonartifact [L],
-        n_obs [L,S] (numpy arrays).
+        map_slot [L] (argmax artifact-combo slot), n_obs [L,S] (numpy).
+
+        fetch=False: return the packed DEVICE buffer handles without
+        synchronizing (dispatch-ahead pipelining over the high-latency
+        tunnel); materialize with :meth:`fetch_run`.
         """
         args = [
             jnp.asarray(feats, dtype=jnp.float32),
@@ -1779,14 +1820,19 @@ class PosteriorEngine:
         else:
             n_art = jnp.asarray(n_artifact_active, dtype=jnp.float32)
         if ln_prior_joint is not None:
-            f32_flat, i16_flat = self._run_packed(
+            wire = self._run_packed(
                 *args, jnp.asarray(ln_prior_joint, dtype=jnp.float32), n_art
             )
         else:
-            f32_flat, i16_flat = self._run_packed(*args, None, n_art)
-        return self._unpack_host(
-            np.asarray(f32_flat), np.asarray(i16_flat), L, args[2].shape[2]
-        )
+            wire = self._run_packed(*args, None, n_art)
+        if not fetch:
+            return wire, L
+        return self._unpack_host(np.asarray(wire), L)
+
+    def fetch_run(self, handles):
+        """Materialize + unpack a ``run(..., fetch=False)`` result."""
+        wire, L = handles
+        return self._unpack_host(np.asarray(wire), L)
 
     # ------------------------------------------------------------------
     def _compact_core(self, obs_f16, obs_u8, hil, mask, slot_map,
@@ -1841,10 +1887,9 @@ class PosteriorEngine:
         active combo slot, 0-padded); combo_active [L,Bc] bool;
         fwd_rate [L] f32; has_alt_loci [L] bool; others as in run().
 
-        fetch=False: return the packed DEVICE buffers (f32, i16, L, Bc)
-        without synchronizing — the dispatch-ahead pipeline formats the
-        previous window while this one computes; finish with
-        :meth:`fetch_compact`.
+        fetch=False: return the packed DEVICE buffer without synchronizing
+        — the dispatch-ahead pipeline formats the previous window while
+        this one computes; finish with :meth:`fetch_compact`.
         """
         if self._run_packed_compact is None:
             def _impl(*args):
@@ -1876,22 +1921,34 @@ class PosteriorEngine:
             if ln_prior_joint is not None
             else None
         )
-        f32_flat, i16_flat = self._run_packed_compact(*args, pj, n_art)
+        wire = self._run_packed_compact(*args, pj, n_art)
         if not fetch:
-            return f32_flat, i16_flat, L, combo_active.shape[1]
-        return self._unpack_host(
-            np.asarray(f32_flat), np.asarray(i16_flat), L, combo_active.shape[1]
-        )
+            return wire, L
+        return self._unpack_host(np.asarray(wire), L)
 
     def fetch_compact(self, handles):
         """Materialize + unpack a ``run_compact(..., fetch=False)`` result."""
-        f32_flat, i16_flat, L, B = handles
-        return self._unpack_host(
-            np.asarray(f32_flat), np.asarray(i16_flat), L, B
-        )
+        wire, L = handles
+        return self._unpack_host(np.asarray(wire), L)
 
-    def _unpack_host(self, f32_flat, i16_flat, L, B):
-        """Split the packed device buffers back into the host result dict."""
+    def wire_bytes(self, L):
+        """Size in bytes of the packed wire buffer for an L-locus window
+        (roofline reporting)."""
+        S = self.n_samples
+        E = len(self.events)
+        n_f32 = L * (E + 1 + S)
+        n_i16 = L * (sum(self.afd_k) + 2 + S)
+        if not self._afd_idx_u8:
+            n_i16 += L * sum(self.afd_idx_k)
+        n_i16 += n_i16 % 2
+        total = n_f32 * 4 + n_i16 * 2
+        if self._afd_idx_u8:
+            n_u8 = L * sum(self.afd_idx_k)
+            total += n_u8 + ((-n_u8) % 4)
+        return total
+
+    def _unpack_host(self, wire, L):
+        """Split the packed wire buffer back into the host result dict."""
         S = self.n_samples
         E = len(self.events)
         host = {}
@@ -1899,23 +1956,41 @@ class PosteriorEngine:
         for k, shape in (
             ("posteriors", (L, E)),
             ("marginal", (L,)),
-            ("combo_joint", (L, B)),
             ("af", (L, S)),
         ):
             n = int(np.prod(shape))
-            host[k] = f32_flat[pos : pos + n].reshape(shape)
+            host[k] = wire[pos : pos + n].reshape(shape)
             pos += n
         host["joint"] = host["posteriors"] + host["marginal"][:, None]
         sum_k = sum(self.afd_k)
         sum_ki = sum(self.afd_idx_k)
-        nv = L * sum_k
-        host["densities_dphred"] = self.expand_afd(
-            i16_flat[:nv].reshape(L, sum_k),
-            i16_flat[nv : nv + L * sum_ki].reshape(L, sum_ki),
+        n_i16 = L * (sum_k + 2 + S)
+        if not self._afd_idx_u8:
+            n_i16 += L * sum_ki
+        n_words16 = (n_i16 + 1) // 2
+        i16_flat = (
+            wire[pos : pos + n_words16].view(np.int16)[:n_i16]
         )
-        nd = nv + L * sum_ki
-        host["best_nonartifact"] = i16_flat[nd : nd + L].astype(np.int64)
+        pos += n_words16
+        nv = L * sum_k
+        if self._afd_idx_u8:
+            n_u8 = L * sum_ki
+            n_words8 = (n_u8 + 3) // 4
+            afd_idx = (
+                wire[pos : pos + n_words8]
+                .view(np.uint8)[:n_u8]
+                .reshape(L, sum_ki)
+            )
+        else:
+            afd_idx = i16_flat[n_i16 - L * sum_ki :].reshape(L, sum_ki)
+        host["densities_dphred"] = self.expand_afd(
+            i16_flat[:nv].reshape(L, sum_k), afd_idx
+        )
+        host["best_nonartifact"] = i16_flat[nv : nv + L].astype(np.int64)
+        host["map_slot"] = i16_flat[nv + L : nv + 2 * L].astype(np.int64)
         host["n_obs"] = (
-            i16_flat[nd + L : nd + L + L * S].reshape(L, S).astype(np.int64)
+            i16_flat[nv + 2 * L : nv + 2 * L + L * S]
+            .reshape(L, S)
+            .astype(np.int64)
         )
         return host

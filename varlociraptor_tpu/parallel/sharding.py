@@ -103,6 +103,9 @@ def run_sharded(engine, mesh, feats, mask, bias_alt, bias_ref, bias_any,
         out["densities_dphred"], out.pop("afd_idx")
     )
     out["joint"] = out["posteriors"] + out["marginal"][:, None]
+    # the packed single-device wire ships only the argmax slot; derive the
+    # same reduction host-side so both paths expose identical keys
+    out["map_slot"] = np.argmax(out.pop("combo_joint"), axis=1)
     out["n_obs"] = np.asarray(mask).sum(axis=-1)
     return out
 
@@ -158,6 +161,7 @@ def run_sharded_compact(engine, mesh, obs_f16, obs_u8, hil, mask, slot_map,
         out["densities_dphred"], out.pop("afd_idx")
     )
     out["joint"] = out["posteriors"] + out["marginal"][:, None]
+    out["map_slot"] = _np.argmax(out.pop("combo_joint"), axis=1)
     out["n_obs"] = _np.asarray(mask).sum(axis=-1)
     return out
 
