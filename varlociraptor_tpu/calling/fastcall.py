@@ -72,16 +72,37 @@ def _allowed_matrix(flags):
     return allowed
 
 
+_INT_TBL = None
+
+
+def _int_strings(a):
+    """Vectorized small-int -> str (table lookup; %d fallback for rare
+    large values)."""
+    global _INT_TBL
+    if _INT_TBL is None:
+        _INT_TBL = np.array([str(i) for i in range(4096)], dtype=object)
+    if a.size and a.max() >= 4096:
+        return np.char.mod("%d", a).astype(object)
+    return _INT_TBL[a]
+
+
 class _PhredStrings:
     """Lazy lookup table: deci-PHRED int16 -> '%.2f' string."""
 
     _tbl = None
+    _tbl_np = None
 
     @classmethod
     def table(cls):
         if cls._tbl is None:
             cls._tbl = [f"{v / 10.0:.2f}" for v in range(32767)]
         return cls._tbl
+
+    @classmethod
+    def table_np(cls):
+        if cls._tbl_np is None:
+            cls._tbl_np = np.asarray(cls.table(), dtype=object)
+        return cls._tbl_np
 
 
 class PendingWindow:
@@ -423,37 +444,38 @@ class ColumnarCaller(GenericCaller):
 
     # ------------------------------------------------------------------
     def _afd_strings(self, dphred, grid, is_artifact):
-        """[L*S] AFD strings 'vaf=phred,...' from the deci-PHRED panel."""
+        """[L*S] AFD strings 'vaf=phred,...' from the deci-PHRED panel
+        (vectorized: one nonzero scan + one fused string-add over every
+        shipped point in the window, then a per-row slice join)."""
         L, S, G = dphred.shape
-        tbl = _PhredStrings.table()
         gcache = getattr(self, "_grid_str_cache", None)
         if gcache is None or gcache[0] is not grid:
-            prefixes = [
-                np.format_float_positional(
-                    np.float32(vaf), unique=True, trim="-"
-                )
-                + "="
-                for vaf in grid.values
-            ]
+            prefixes = np.array(
+                [
+                    np.format_float_positional(
+                        np.float32(vaf), unique=True, trim="-"
+                    )
+                    + "="
+                    for vaf in grid.values
+                ],
+                dtype=object,
+            )
             gcache = self._grid_str_cache = (grid, prefixes)
         prefixes = gcache[1]
+        tbl = _PhredStrings.table_np()
         flat = dphred.reshape(L * S, G)
-        strs = []
-        for row_i in range(L * S):
-            if is_artifact[row_i // S]:
-                strs.append(".")
-                continue
-            row = flat[row_i]
-            (idx,) = np.nonzero(row != 32767)
-            if len(idx) == 0:
-                strs.append(".")
-            else:
-                strs.append(
-                    ",".join(
-                        prefixes[g] + tbl[row[g]] for g in idx
-                    )
-                )
-        return strs
+        keep = flat != 32767
+        keep[np.repeat(is_artifact, S)] = False
+        rows, cols = np.nonzero(keep)
+        pieces = (prefixes[cols] + tbl[flat[rows, cols]]).tolist()
+        bounds = np.searchsorted(rows, np.arange(L * S + 1))
+        join = ",".join
+        return [
+            join(pieces[bounds[r] : bounds[r + 1]])
+            if bounds[r + 1] > bounds[r]
+            else "."
+            for r in range(L * S)
+        ]
 
     # ------------------------------------------------------------------
     def _obs_codes(self, cb: ColumnarBatch):
@@ -596,28 +618,34 @@ def _generalized_cigar_groups(ls, codes, n_groups, decode, aux_sort):
     )
     u_ls = (uniq >> 40).astype(np.int64)
     u_code = uniq & ((1 << 40) - 1)
-    # decode each distinct code once (cross-window cache in `decode`)
+    # decode each distinct code once (cross-window cache in `decode`),
+    # then broadcast to rows by a searchsorted gather (no per-row Python)
     code_uniq = np.unique(u_code)
-    dec_by_code = {int(c): decode(c) for c in code_uniq}
-    aux_by_code = {c: aux_sort(s) for c, s in dec_by_code.items()}
-    aux_vals = np.fromiter(
-        (aux_by_code[int(c)] for c in u_code), dtype=np.int64, count=len(u_code)
+    dec_uniq = np.array([decode(c) for c in code_uniq], dtype=object)
+    aux_uniq = np.fromiter(
+        (aux_sort(s) for s in dec_uniq), dtype=np.int64, count=len(dec_uniq)
     )
+    row_ci = np.searchsorted(code_uniq, u_code)
+    aux_vals = aux_uniq[row_ci]
     # the object path's three stable sorts (first-occurrence, then -count,
     # then (aux, -count)) collapse to one composite key
     order = np.lexsort((first_idx, -counts, aux_vals, u_ls))
     out = ["."] * n_groups
     u_ls_o = u_ls[order]
-    u_code_o = u_code[order]
     counts_o = counts[order]
+    # interleave vectorized count strings with decoded code strings; each
+    # group's string is one join over its slice
+    parts = np.empty(2 * len(order), dtype=object)
+    parts[0::2] = _int_strings(counts_o)
+    parts[1::2] = dec_uniq[row_ci[order]]
+    parts_l = parts.tolist()
     bounds = np.searchsorted(u_ls_o, np.arange(n_groups + 1))
+    join = "".join
     for g in range(n_groups):
         a, b = bounds[g], bounds[g + 1]
         if a == b:
             continue
-        out[g] = "".join(
-            f"{counts_o[i]}{dec_by_code[int(u_code_o[i])]}" for i in range(a, b)
-        )
+        out[g] = join(parts_l[2 * a : 2 * b])
     return out
 
 
