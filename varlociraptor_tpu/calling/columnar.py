@@ -657,6 +657,49 @@ class ColumnarBatch:
         )
 
 
+    # ------------------------------------------------------------------
+    def pack_flat(self, depth, locus_idx=None):
+        """Flat wire layout for :meth:`PosteriorEngine.run_flat`: one row
+        per (kept) observation plus its destination index in the padded
+        [L,S,D] panel, scattered ON DEVICE.  Ships ~27 B/obs instead of
+        ~24 B per padded slot — the host->device transfer is the axon
+        tunnel's dominant cost at real pileup depths (mean ~18 vs panel 64).
+
+        Returns (obs_f16 [N,N_CF], obs_u8 [N,N_CU], hil [N], row_idx [N]
+        int32, counts [L,S]); obs beyond ``depth`` are dropped (same
+        truncation as pack_panels)."""
+        S, D = self.S, depth
+        full_counts = self.counts.astype(np.int64).reshape(-1)
+        off = np.concatenate([[0], np.cumsum(full_counts)[:-1]])
+        pos = np.arange(self.N, dtype=np.int64) - np.repeat(off, full_counts)
+        if locus_idx is None:
+            L = self.L
+            keep = pos < D
+            row = np.repeat(np.arange(L * S, dtype=np.int64), full_counts)
+        else:
+            locus_idx = np.asarray(locus_idx, dtype=np.int64)
+            L = len(locus_idx)
+            new_row_of = np.full(self.L, -1, dtype=np.int64)
+            new_row_of[locus_idx] = np.arange(L, dtype=np.int64)
+            ls = np.repeat(np.arange(self.L * S, dtype=np.int64), full_counts)
+            nl = new_row_of[ls // S]
+            keep = (pos < D) & (nl >= 0)
+            row = nl * S + (ls % S)
+        row_idx = (row * D + pos)[keep].astype(np.int32)
+        counts = np.minimum(
+            (self.counts if locus_idx is None else self.counts[locus_idx])
+            .astype(np.int64),
+            D,
+        )
+        return (
+            self.f16[keep],
+            self.u8[keep],
+            self.hil[keep],
+            row_idx,
+            counts,
+        )
+
+
 def compact_slots(combo_active, bucket=True):
     """Gather active combos into leading slots (vectorized twin of
     ops.biases.compact_combos for the compact path).

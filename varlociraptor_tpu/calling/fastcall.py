@@ -136,6 +136,15 @@ class PendingWindow:
 class ColumnarCaller(GenericCaller):
     """GenericCaller with the vectorized columnar batch path."""
 
+    # "flat" ships one row per observation + a row index and scatters the
+    # padded panels on device (engine.run_flat); "panels" ships the padded
+    # [L,S,D] panels directly (engine.run_compact).  VLT_WIRE=panels opts
+    # out of the flat wire (differential testing).
+    wire_mode = (
+        "panels" if __import__("os").environ.get("VLT_WIRE") == "panels"
+        else "flat"
+    )
+
     def call_window(self, variants, pileups_per_locus, contig):
         cb = ColumnarBatch.from_pileups(variants, pileups_per_locus)
         return self.call_window_cb(cb, contig)
@@ -243,15 +252,12 @@ class ColumnarCaller(GenericCaller):
         counts_full = np.zeros((L, S), dtype=np.int64)
         batch_cap = max(self.options.effective_batch(columnar=True), 1)
         Bmax = slot_map.shape[1]
+        use_flat = self.mesh is None and self.wire_mode == "flat"
         for gk in np.unique(group_key):
             idx = np.nonzero(group_key == gk)[0]
             depth = int(gk // 1024)
             Bc = min(int(gk % 1024), Bmax)
             Lb = len(idx)
-            obs_f16, obs_u8, hil, mask, counts = cb.pack_panels(
-                depth, locus_idx=idx
-            )
-            counts_full[idx] = counts
             # tail windows of a long run REUSE the full-window program
             # (padded compute is ~0.1 s; a fresh shape's trace+lower is
             # ~1.7 s); short runs keep adaptive pow2 shapes
@@ -269,16 +275,26 @@ class ColumnarCaller(GenericCaller):
             hal_b = has_alt_loci[idx]
             na_b = n_artifact_active[idx]
             pj_b = ln_prior_joint[idx] if ln_prior_joint is not None else None
+            if use_flat:
+                f16f, u8f, hilf, rowf, counts = cb.pack_flat(
+                    depth, locus_idx=idx
+                )
+            else:
+                obs_f16, obs_u8, hil, mask, counts = cb.pack_panels(
+                    depth, locus_idx=idx
+                )
+            counts_full[idx] = counts
             if Lb < Lp:
                 def _pad(a, fill=0):
                     padded = np.full((Lp,) + a.shape[1:], fill, dtype=a.dtype)
                     padded[:Lb] = a
                     return padded
 
-                obs_f16 = _pad(obs_f16)
-                obs_u8 = _pad(obs_u8)
-                hil = _pad(hil, HOMOPOLYMER_NONE)
-                mask = _pad(mask)
+                if not use_flat:
+                    obs_f16 = _pad(obs_f16)
+                    obs_u8 = _pad(obs_u8)
+                    hil = _pad(hil, HOMOPOLYMER_NONE)
+                    mask = _pad(mask)
                 sm = _pad(sm)
                 sa = _pad(sa)
                 sa[Lb:, 0] = True
@@ -297,6 +313,29 @@ class ColumnarCaller(GenericCaller):
                     bg, pa_b, fr_b, hal_b, n_artifact_active=na_b,
                 )
                 groups.append((idx, Lb, ("done", sub)))
+            elif use_flat:
+                # pow2-bucket the flat obs axis (coarse: >= 4096 rows) so
+                # window-to-window obs-count jitter reuses one program
+                N = len(rowf)
+                Np = max(4096, 1 << max(0, (N - 1)).bit_length())
+                if N < Np:
+                    pad_rows = np.full(Np - N, Lp * S * depth, np.int32)
+                    rowf = np.concatenate([rowf, pad_rows])
+                    f16f = np.concatenate(
+                        [f16f, np.zeros((Np - N,) + f16f.shape[1:], f16f.dtype)]
+                    )
+                    u8f = np.concatenate(
+                        [u8f, np.zeros((Np - N,) + u8f.shape[1:], u8f.dtype)]
+                    )
+                    hilf = np.concatenate(
+                        [hilf, np.zeros(Np - N, hilf.dtype)]
+                    )
+                handles = engine.run_flat(
+                    f16f, u8f, hilf, rowf, Lp, depth, sm, sa, bg, pa_b,
+                    fr_b, hal_b, ln_prior_joint=pj_b,
+                    n_artifact_active=na_b, fetch=False,
+                )
+                groups.append((idx, Lb, ("pending", handles)))
             else:
                 handles = engine.run_compact(
                     obs_f16, obs_u8, hil, mask, sm, sa, bg, pa_b, fr_b,
@@ -316,9 +355,9 @@ class ColumnarCaller(GenericCaller):
         return pw
 
     # ------------------------------------------------------------------
-    def format_window(self, cb: ColumnarBatch, out, meta, sample_names):
-        """Vectorized result formatting -> list[VcfRecord]."""
-        L, S = cb.L, cb.S
+    def _window_panels(self, cb: ColumnarBatch, out, meta):
+        """Shared per-window decision panels for both formatters."""
+        L = cb.L
         events = meta["events"]
         grid = meta["grid"]
 
@@ -363,12 +402,38 @@ class ColumnarCaller(GenericCaller):
             0,
         )
 
-        afd_strs = self._afd_strings(dphred, grid, is_artifact)
-        obs_strs = self._obs_strings(cb)
-        saobs_strs = self._simple_obs_strings(cb, alt=True)
-        srobs_strs = self._simple_obs_strings(cb, alt=False)
+        return {
+            "names": names,
+            "phred": phred,
+            "is_artifact": is_artifact,
+            "sorted_names": sorted_names,
+            "name_order": name_order,
+            "dp": dp,
+            "af": af,
+            "map_combo_idx": map_combo_idx,
+            "afd_strs": self._afd_strings(dphred, grid, is_artifact),
+            "obs_strs": self._obs_strings(cb),
+            "saobs_strs": self._simple_obs_strings(cb, alt=True),
+            "srobs_strs": self._simple_obs_strings(cb, alt=False),
+            "missing": cb.counts.sum(axis=1) == 0,
+        }
 
-        missing = (cb.counts.sum(axis=1) == 0)
+    def format_window(self, cb: ColumnarBatch, out, meta, sample_names):
+        """Vectorized result formatting -> list[VcfRecord]."""
+        L, S = cb.L, cb.S
+        p = self._window_panels(cb, out, meta)
+        names = p["names"]
+        phred = p["phred"]
+        is_artifact = p["is_artifact"]
+        name_order = p["name_order"]
+        dp = p["dp"]
+        af = p["af"]
+        map_combo_idx = p["map_combo_idx"]
+        afd_strs = p["afd_strs"]
+        obs_strs = p["obs_strs"]
+        saobs_strs = p["saobs_strs"]
+        srobs_strs = p["srobs_strs"]
+        missing = p["missing"]
 
         records = []
         art_labels = [c.short_labels() for c in FULL_COMBOS]
@@ -441,6 +506,212 @@ class ColumnarCaller(GenericCaller):
                 )
             )
         return records
+
+    # ------------------------------------------------------------------
+    def format_window_text(self, cb: ColumnarBatch, out, meta, sample_names):
+        """Fully vectorized text formatting: one VCF text blob for the whole
+        window, byte-identical to ``VcfWriter.write`` over
+        :meth:`format_window`'s records.  Per-locus Python work only on the
+        rare rows (imprecise / haplotype / aux-INFO)."""
+        L, S = cb.L, cb.S
+        p = self._window_panels(cb, out, meta)
+        missing = p["missing"]
+        is_artifact = p["is_artifact"]
+
+        def obj(a):
+            return np.asarray(a, dtype=object)
+
+        # ---- INFO: PROB_* block (sorted names; '.' on missing rows)
+        any_missing = bool(missing.any())
+        info_parts = []
+        for k, n_i in enumerate(p["name_order"]):
+            name = p["sorted_names"][k]
+            col = p["phred"][:, n_i]
+            col = np.where(np.isfinite(col), col, np.inf)
+            s = obj(np.char.mod("%.4f", col))
+            if any_missing:
+                s[missing] = "."
+            prefix = (";" if k else "") + f"PROB_{name.upper()}="
+            info_parts.append(prefix)
+            info_parts.append(s)
+        info = info_parts[0] + info_parts[1]
+        for q in range(2, len(info_parts), 2):
+            info = info + (info_parts[q] + info_parts[q + 1])
+
+        # ---- variant INFO fields, vectorized by kind
+        kinds = np.array([v.kind for v in cb.variants])
+        sv_mask = np.isin(
+            kinds, ("deletion", "insertion", "inversion", "duplication")
+        )
+        if sv_mask.any():
+            svlen_in = np.array(
+                [v.svlen or 0 for v in cb.variants], dtype=np.int64
+            )
+            lendiff = np.array(
+                [len(v.alt_allele) - len(v.ref_allele) for v in cb.variants],
+                dtype=np.int64,
+            )
+            base = np.where(kinds == "deletion", -svlen_in, svlen_in)
+            svlen = np.where(base == 0, lendiff, base)
+            svtype = np.full(L, "", dtype=object)
+            for kind, st in (
+                ("deletion", "DEL"), ("insertion", "INS"),
+                ("inversion", "INV"), ("duplication", "DUP"),
+            ):
+                svtype[kinds == kind] = st
+            extra = np.full(L, "", dtype=object)
+            ssv = (
+                ";SVLEN=" + obj(np.char.mod("%d", svlen))
+                + ";SVTYPE=" + svtype
+            )
+            end_mask = np.isin(kinds, ("inversion", "duplication")) & (
+                svlen_in != 0
+            )
+            if end_mask.any():
+                pos_arr = np.array(
+                    [v.pos for v in cb.variants], dtype=np.int64
+                )
+                ssv = np.where(
+                    end_mask,
+                    ssv + (";END=" + obj(np.char.mod("%d", pos_arr + svlen_in))),
+                    ssv,
+                )
+            extra[sv_mask] = ssv[sv_mask]
+            info = info + extra
+
+        # rare per-locus INFO (imprecise / haplotype / aux) — Python only
+        # on the rows that need it
+        rare_rows = [
+            li
+            for li, v in enumerate(cb.variants)
+            if (not v.precise and v.cipos is not None)
+            or v.haplotype
+            or getattr(v, "aux_info", None)
+        ]
+        for li in rare_rows:
+            v = cb.variants[li]
+            bits = []
+            if not v.precise and v.cipos is not None:
+                bits.append("IMPRECISE")
+                bits.append(f"CIPOS={v.cipos[0]},{v.cipos[1]}")
+                if v.ciend is not None:
+                    bits.append(f"CIEND={v.ciend[0]},{v.ciend[1]}")
+            if v.haplotype:
+                if v.haplotype.startswith("event:"):
+                    bits.append("EVENT=" + v.haplotype[len("event:"):])
+                elif v.haplotype.startswith("mates:"):
+                    bits.append(
+                        "EVENT="
+                        + "-".join(v.haplotype[len("mates:"):].split(","))
+                    )
+            if bits:
+                info[li] = info[li] + ";" + ";".join(bits)
+
+        # ---- HINTS (8 combos, lookup table)
+        hcode = (
+            cb.hint_filtered.astype(np.int64)
+            + 2 * cb.hint_singleton.astype(np.int64)
+            + 4 * missing.astype(np.int64)
+        )
+        if hcode.any():
+            names3 = (
+                "filtered-non-standard-alignments",
+                "adjusted-singleton-evidence",
+                "missing-data",
+            )
+            tbl = np.array(
+                [
+                    (
+                        ";HINTS=" + ",".join(
+                            n for b, n in enumerate(names3) if c & (1 << b)
+                        )
+                        if c
+                        else ""
+                    )
+                    for c in range(8)
+                ],
+                dtype=object,
+            )
+            info = info + tbl[hcode]
+
+        # aux INFO passthrough (rare; setdefault semantics — only keys not
+        # already written)
+        for li in rare_rows:
+            v = cb.variants[li]
+            aux = getattr(v, "aux_info", None)
+            if not aux:
+                continue
+            cur = info[li]
+            written = {kv.split("=", 1)[0] for kv in cur.split(";")}
+            bits = []
+            for k2, val in aux.items():
+                if k2 in written:
+                    continue
+                if val is True:
+                    bits.append(k2)
+                elif isinstance(val, (list, tuple)):
+                    bits.append(f"{k2}={','.join(str(x) for x in val)}")
+                else:
+                    bits.append(f"{k2}={val}")
+            if bits:
+                info[li] = cur + ";" + ";".join(bits)
+
+        # ---- FORMAT sample columns
+        fmt_str = ":".join(_FORMAT_KEYS)
+        missing_sample = ":".join(["."] * len(_FORMAT_KEYS))
+        mid_tbl = np.array(
+            [
+                ":".join(
+                    c.short_labels()[k]
+                    for k in ("SB", "ROB", "RPB", "SCB", "HE", "ALB")
+                )
+                for c in FULL_COMBOS
+            ],
+            dtype=object,
+        )
+        mid = mid_tbl[np.where(is_artifact, p["map_combo_idx"], 0)]
+        sample_cols = []
+        for si in range(S):
+            dp_s = _int_strings(p["dp"][:, si])
+            af_col = np.where(is_artifact, 0.0, p["af"][:, si])
+            af_s = obj(np.char.mod("%.4f", af_col))
+            oobs_s = _int_strings(cb.n_filtered[:, si].astype(np.int64))
+            # *_strs are flat lists indexed li*S+si -> stride-slice per sample
+            obs_sl = obj(p["obs_strs"][si::S])
+            sa_sl = obj(p["saobs_strs"][si::S])
+            sr_sl = obj(p["srobs_strs"][si::S])
+            afd_sl = obj(p["afd_strs"][si::S])
+            col = (
+                dp_s + (":" + af_s)
+                + ((":" + obs_sl) + (":" + sa_sl))
+                + ((":" + sr_sl) + (":" + oobs_s))
+                + ((":" + mid) + (":" + afd_sl))
+            )
+            if any_missing:
+                col[missing] = missing_sample
+            sample_cols.append(col)
+
+        # ---- line assembly (single contig per window)
+        chrom = cb.variants[0].chrom
+        pos1 = obj(
+            np.char.mod(
+                "%d",
+                np.array([v.pos for v in cb.variants], dtype=np.int64) + 1,
+            )
+        )
+        ref = obj([v.ref_allele for v in cb.variants])
+        alt = obj([v.alt_allele for v in cb.variants])
+        head = chrom + "\t"
+        tail = "\t.\t.\t"
+        lines = (
+            (head + pos1)
+            + (("\t.\t" + ref) + ("\t" + alt))
+            + ((tail + info) + ("\t" + fmt_str))
+        )
+        for col in sample_cols:
+            lines = lines + ("\t" + col)
+        lines = lines + "\n"
+        return "".join(lines.tolist())
 
     # ------------------------------------------------------------------
     def _afd_strings(self, dphred, grid, is_artifact):

@@ -1931,6 +1931,112 @@ class PosteriorEngine:
         wire, L = handles
         return self._unpack_host(np.asarray(wire), L)
 
+    # ------------------------------------------------------------------
+    def run_flat(
+        self,
+        obs_f16,      # [N, N_CF] f16 — observations of the window, flat
+        obs_u8,       # [N, N_CU] u8
+        hil,          # [N] i8
+        row_idx,      # [N] i32 = (locus*S + sample)*D + slot; L*S*D = pad
+        L,
+        D,
+        slot_map,
+        combo_active,
+        branch_gates,
+        ln_prior_absent,
+        fwd_rate,
+        has_alt_loci,
+        ln_prior_joint=None,
+        n_artifact_active=None,
+        fetch=True,
+    ):
+        """Like :meth:`run_compact`, but the observation panels arrive FLAT
+        (one row per real observation + a row index) and are scattered into
+        the padded [L,S,D,*] panels ON DEVICE.  The wire then carries
+        ~27 B/obs instead of ~24 B/(padded slot) — at mean depth ``d`` and
+        panel depth ``D`` that is a ``D/d``-fold cut of the host->device
+        transfer, which dominates the axon tunnel budget (round-5 profile:
+        62 MB of padded panels for a 20K-locus run at 24 MB/s).
+
+        Padding rows carry ``row_idx == L*S*D`` and are dropped by the
+        scatter (XLA ``mode=drop``).  fetch=False returns the packed device
+        wire buffer for the dispatch-ahead pipeline (see fetch_compact).
+        """
+        from ..evidence.observation import HOMOPOLYMER_NONE as _HN
+        from .compact_obs import N_CF, N_CU
+
+        S = self.n_samples
+        key = (int(L), int(D))
+        cache = getattr(self, "_run_flat_cache", None)
+        if cache is None:
+            cache = self._run_flat_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            Ls, Ds = int(L), int(D)
+
+            def _impl(f16f, u8f, hilf, rowf, sm, ca, bg, pa, fr, hal,
+                      pj, n_art):
+                rows = Ls * S * Ds
+                f16 = (
+                    jnp.zeros((rows, N_CF), jnp.float16)
+                    .at[rowf]
+                    .set(f16f, mode="drop")
+                )
+                u8 = (
+                    jnp.zeros((rows, N_CU), jnp.uint8)
+                    .at[rowf]
+                    .set(u8f, mode="drop")
+                )
+                hil_p = (
+                    jnp.full((rows,), _HN, jnp.int8)
+                    .at[rowf]
+                    .set(hilf, mode="drop")
+                )
+                mask = (
+                    jnp.zeros((rows,), jnp.bool_)
+                    .at[rowf]
+                    .set(True, mode="drop")
+                )
+                out = self._compact_core(
+                    f16.reshape(Ls, S, Ds, N_CF),
+                    u8.reshape(Ls, S, Ds, N_CU),
+                    hil_p.reshape(Ls, S, Ds),
+                    mask.reshape(Ls, S, Ds),
+                    sm, ca, bg, pa, fr, hal, pj, n_art,
+                )
+                return self._pack_out(out, mask.reshape(Ls, S, Ds))
+
+            fn = cache[key] = jax.jit(_impl)
+
+        if n_artifact_active is None:
+            n_art = jnp.full(
+                (L,), float(self.n_artifact_combos or 1), dtype=jnp.float32
+            )
+        else:
+            n_art = jnp.asarray(n_artifact_active, dtype=jnp.float32)
+        pj = (
+            jnp.asarray(ln_prior_joint, dtype=jnp.float32)
+            if ln_prior_joint is not None
+            else None
+        )
+        wire = fn(
+            jnp.asarray(obs_f16, dtype=jnp.float16),
+            jnp.asarray(obs_u8, dtype=jnp.uint8),
+            jnp.asarray(hil, dtype=jnp.int8),
+            jnp.asarray(row_idx, dtype=jnp.int32),
+            jnp.asarray(slot_map, dtype=jnp.int32),
+            jnp.asarray(combo_active),
+            jnp.asarray(branch_gates),
+            jnp.asarray(ln_prior_absent, dtype=jnp.float32),
+            jnp.asarray(fwd_rate, dtype=jnp.float32),
+            jnp.asarray(has_alt_loci),
+            pj,
+            n_art,
+        )
+        if not fetch:
+            return wire, L
+        return self._unpack_host(np.asarray(wire), L)
+
     def wire_bytes(self, L):
         """Size in bytes of the packed wire buffer for an L-locus window
         (roofline reporting)."""
