@@ -136,14 +136,13 @@ class PendingWindow:
 class ColumnarCaller(GenericCaller):
     """GenericCaller with the vectorized columnar batch path."""
 
-    # "flat" ships one row per observation + a row index and scatters the
-    # padded panels on device (engine.run_flat); "panels" ships the padded
-    # [L,S,D] panels directly (engine.run_compact).  VLT_WIRE=panels opts
-    # out of the flat wire (differential testing).
-    wire_mode = (
-        "panels" if __import__("os").environ.get("VLT_WIRE") == "panels"
-        else "flat"
-    )
+    # "wire" (default) ships ONE uint8 buffer per window — flat obs rows +
+    # all per-locus metadata — and rebuilds the panels on device by gather
+    # (engine.run_wire; one tunnel transfer per dispatch).  "flat" ships
+    # per-array flat rows + a row index (engine.run_flat, scatter);
+    # "panels" ships the padded [L,S,D] panels (engine.run_compact).
+    # VLT_WIRE=flat|panels opts out (differential testing).
+    wire_mode = __import__("os").environ.get("VLT_WIRE", "wire")
 
     def call_window(self, variants, pileups_per_locus, contig):
         cb = ColumnarBatch.from_pileups(variants, pileups_per_locus)
@@ -252,7 +251,8 @@ class ColumnarCaller(GenericCaller):
         counts_full = np.zeros((L, S), dtype=np.int64)
         batch_cap = max(self.options.effective_batch(columnar=True), 1)
         Bmax = slot_map.shape[1]
-        use_flat = self.mesh is None and self.wire_mode == "flat"
+        use_flat = self.mesh is None and self.wire_mode in ("flat", "wire")
+        use_wire = self.mesh is None and self.wire_mode == "wire"
         for gk in np.unique(group_key):
             idx = np.nonzero(group_key == gk)[0]
             depth = int(gk // 1024)
@@ -314,10 +314,11 @@ class ColumnarCaller(GenericCaller):
                 )
                 groups.append((idx, Lb, ("done", sub)))
             elif use_flat:
-                # pow2-bucket the flat obs axis (coarse: >= 4096 rows) so
-                # window-to-window obs-count jitter reuses one program
+                # bucket the flat obs axis (pow2 and 1.5*pow2 steps, >=4096)
+                # so window-to-window obs-count jitter reuses one program
                 N = len(rowf)
-                Np = max(4096, 1 << max(0, (N - 1)).bit_length())
+                p2 = 1 << max(0, (N - 1)).bit_length()
+                Np = max(4096, p2 // 4 * 3 if N <= p2 // 4 * 3 else p2)
                 if N < Np:
                     pad_rows = np.full(Np - N, Lp * S * depth, np.int32)
                     rowf = np.concatenate([rowf, pad_rows])
@@ -330,11 +331,32 @@ class ColumnarCaller(GenericCaller):
                     hilf = np.concatenate(
                         [hilf, np.zeros(Np - N, hilf.dtype)]
                     )
-                handles = engine.run_flat(
-                    f16f, u8f, hilf, rowf, Lp, depth, sm, sa, bg, pa_b,
-                    fr_b, hal_b, ln_prior_joint=pj_b,
-                    n_artifact_active=na_b, fetch=False,
-                )
+                if use_wire:
+                    counts_p = np.zeros((Lp, S), np.int32)
+                    counts_p[:Lb] = counts
+                    arrays = {
+                        "f16f": f16f, "u8f": u8f, "hilf": hilf,
+                        "counts": counts_p, "sm": sm, "sa": sa, "bg": bg,
+                        "pa": pa_b, "fr": fr_b, "hal": hal_b, "n_art": na_b,
+                    }
+                    pj_shape = None
+                    if pj_b is not None:
+                        arrays["pj"] = pj_b
+                        pj_shape = tuple(pj_b.shape[1:])
+                    spec = engine._in_wire_spec(
+                        Np, Lp, depth, sm.shape[1], pj_shape
+                    )
+                    buf = engine.pack_in_wire(spec, arrays)
+                    handles = engine.run_wire(
+                        buf, Np, Lp, depth, sm.shape[1], pj_shape=pj_shape,
+                        fetch=False,
+                    )
+                else:
+                    handles = engine.run_flat(
+                        f16f, u8f, hilf, rowf, Lp, depth, sm, sa, bg, pa_b,
+                        fr_b, hal_b, ln_prior_joint=pj_b,
+                        n_artifact_active=na_b, fetch=False,
+                    )
                 groups.append((idx, Lb, ("pending", handles)))
             else:
                 handles = engine.run_compact(

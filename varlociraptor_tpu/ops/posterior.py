@@ -2037,6 +2037,140 @@ class PosteriorEngine:
             return wire, L
         return self._unpack_host(np.asarray(wire), L)
 
+    # ------------------------------------------------------------------
+    def _in_wire_spec(self, Np, L, D, Bc, pj_shape):
+        """Section layout of the SINGLE input wire buffer (uint8).
+
+        Every axon host->device transfer pays the tunnel round trip
+        (~26 ms); shipping the engine's ~12 inputs separately made dispatch
+        latency-bound (round-5 profile: 365 ms/window).  One buffer = one
+        transfer.  Sections are 4-byte aligned so the device can bitcast
+        static slices."""
+        from .compact_obs import N_CF, N_CU
+
+        S = self.n_samples
+        spec = [
+            ("f16f", np.float16, (Np, N_CF)),
+            ("u8f", np.uint8, (Np, N_CU)),
+            ("hilf", np.int8, (Np,)),
+            ("counts", np.int32, (L, S)),
+            ("sm", np.int32, (L, Bc)),
+            ("sa", np.uint8, (L, Bc)),
+            ("bg", np.uint8, (L, self.n_branches)),
+            ("pa", np.float32, (L,)),
+            ("fr", np.float32, (L,)),
+            ("hal", np.uint8, (L,)),
+            ("n_art", np.float32, (L,)),
+        ]
+        if pj_shape is not None:
+            spec.append(("pj", np.float32, (L,) + tuple(pj_shape)))
+        return spec
+
+    @staticmethod
+    def pack_in_wire(spec, arrays):
+        """Host side: assemble the input wire buffer from named arrays."""
+        parts = []
+        for name, dtype, shape in spec:
+            a = np.ascontiguousarray(
+                np.asarray(arrays[name]).astype(dtype, copy=False)
+            ).reshape(-1)
+            b = a.view(np.uint8)
+            pad = (-b.size) % 4
+            parts.append(b)
+            if pad:
+                parts.append(np.zeros(pad, np.uint8))
+        return np.concatenate(parts)
+
+    def run_wire(
+        self,
+        wire_in,  # uint8 host buffer from pack_in_wire
+        Np,
+        L,
+        D,
+        Bc,
+        pj_shape=None,
+        fetch=True,
+    ):
+        """Single-transfer engine dispatch: ONE uint8 input buffer carrying
+        the flat observation rows + all per-locus metadata; panels are
+        reconstructed on device by GATHER (segment offsets from the shipped
+        counts — TPU scatters serialize, gathers vectorize).  Output is the
+        packed wire of :meth:`run_compact` (fetch_compact to unpack)."""
+        from ..evidence.observation import HOMOPOLYMER_NONE as _HN
+        from .compact_obs import N_CF, N_CU
+
+        S = self.n_samples
+        key = (int(Np), int(L), int(D), int(Bc), pj_shape)
+        cache = getattr(self, "_run_wire_cache", None)
+        if cache is None:
+            cache = self._run_wire_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            spec = self._in_wire_spec(Np, L, D, Bc, pj_shape)
+            Ls, Ds, Bcs = int(L), int(D), int(Bc)
+            NB = self.n_branches
+
+            def _impl(buf):
+                sec = {}
+                off = 0
+                for name, dtype, shape in spec:
+                    jd = np.dtype(dtype)
+                    nbytes = int(np.prod(shape)) * jd.itemsize
+                    raw = jax.lax.slice(buf, [off], [off + nbytes])
+                    off_pad = (-nbytes) % 4
+                    if jd.itemsize == 1:
+                        a = (
+                            raw
+                            if jd == np.dtype(np.uint8)
+                            else jax.lax.bitcast_convert_type(raw, jd)
+                        )
+                    else:
+                        a = jax.lax.bitcast_convert_type(
+                            raw.reshape(-1, jd.itemsize), jd
+                        )
+                    sec[name] = a.reshape(shape)
+                    off = off + nbytes + off_pad
+                counts = jnp.minimum(sec["counts"].reshape(-1), Ds)
+                seg_off = jnp.cumsum(counts) - counts  # exclusive
+                rows = Ls * S * Ds
+                ls = jnp.arange(rows, dtype=jnp.int32) // Ds
+                slot = jnp.arange(rows, dtype=jnp.int32) % Ds
+                src = seg_off[ls] + slot
+                valid = slot < counts[ls]
+                srcc = jnp.where(valid, src, Np)
+                f16 = jnp.take(
+                    sec["f16f"], srcc, axis=0, mode="fill", fill_value=0
+                )
+                u8 = jnp.take(
+                    sec["u8f"], srcc, axis=0, mode="fill", fill_value=0
+                )
+                hil = jnp.take(
+                    sec["hilf"], srcc, axis=0, mode="fill", fill_value=_HN
+                )
+                mask = valid.reshape(Ls, S, Ds)
+                out = self._compact_core(
+                    f16.reshape(Ls, S, Ds, N_CF),
+                    u8.reshape(Ls, S, Ds, N_CU),
+                    hil.reshape(Ls, S, Ds),
+                    mask,
+                    sec["sm"],
+                    sec["sa"] != 0,
+                    sec["bg"] != 0,
+                    sec["pa"],
+                    sec["fr"],
+                    sec["hal"] != 0,
+                    sec.get("pj"),
+                    sec["n_art"],
+                )
+                return self._pack_out(out, mask)
+
+            fn = cache[key] = jax.jit(_impl)
+
+        wire = fn(jnp.asarray(wire_in))
+        if not fetch:
+            return wire, L
+        return self._unpack_host(np.asarray(wire), L)
+
     def wire_bytes(self, L):
         """Size in bytes of the packed wire buffer for an L-locus window
         (roofline reporting)."""
