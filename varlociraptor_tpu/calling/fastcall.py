@@ -229,21 +229,33 @@ class ColumnarCaller(GenericCaller):
         is_cpu = _jax.default_backend() == "cpu"
         d_l = cb.counts.max(axis=1) if cb.counts.size else np.ones(L, int)
         d_l = np.maximum(d_l, 1)
-        dbucket = np.left_shift(1, np.ceil(np.log2(d_l)).astype(np.int64))
-        dbucket = np.maximum(dbucket, 16)
-        uniq = np.unique(dbucket)
-        if len(uniq) > 1:
-            # merge sparsely-populated depth buckets upward: each distinct
-            # shape pays ~1.7 s trace+lower per process even with the
-            # persistent compile cache (minutes to compile through the axon
-            # tunnel), and on TPU every extra dispatch adds ~0.1 s of
-            # tunnel latency — so buckets are COARSE, and coarser still on
-            # TPU where padded compute is nearly free
-            thresh = max(64, L // 4) if is_cpu else max(64, L // 2)
-            for i, b in enumerate(uniq[:-1]):
-                sel = dbucket == b
-                if sel.sum() < thresh:
-                    dbucket[sel] = uniq[i + 1]
+        use_flat = self.mesh is None and self.wire_mode in ("flat", "wire")
+        use_wire = self.mesh is None and self.wire_mode == "wire"
+        if use_wire:
+            # STATIC two-bucket depth routing: every distinct shape is a
+            # separate compile (~minutes through the axon tunnel) and a
+            # separate dispatch (~0.1 s latency), and round-5 profiling
+            # showed 4 consecutive windows producing SIX programs under
+            # adaptive pow2 bucketing.  With the flat wire, padded device
+            # compute is the only cost of a coarse bucket — so: one "bulk"
+            # bucket at D=64 (covers WGS-typical pileups) and one rare
+            # "deep" bucket at the subsampling cap.
+            deep_d = 1 << int(np.ceil(np.log2(max(int(d_l.max()), 2))))
+            deep_d = max(deep_d, 128)
+            dbucket = np.where(d_l <= 64, 64, deep_d).astype(np.int64)
+        else:
+            dbucket = np.left_shift(1, np.ceil(np.log2(d_l)).astype(np.int64))
+            dbucket = np.maximum(dbucket, 16)
+            uniq = np.unique(dbucket)
+            if len(uniq) > 1:
+                # merge sparsely-populated depth buckets upward: each
+                # distinct shape pays ~1.7 s trace+lower per process even
+                # with the persistent compile cache — buckets are COARSE
+                thresh = max(64, L // 4) if is_cpu else max(64, L // 2)
+                for i, b in enumerate(uniq[:-1]):
+                    sel = dbucket == b
+                    if sel.sum() < thresh:
+                        dbucket[sel] = uniq[i + 1]
         cbucket = np.full(L, slot_map.shape[1], dtype=np.int64)
         group_key = dbucket * 1024 + cbucket
 
@@ -251,17 +263,17 @@ class ColumnarCaller(GenericCaller):
         counts_full = np.zeros((L, S), dtype=np.int64)
         batch_cap = max(self.options.effective_batch(columnar=True), 1)
         Bmax = slot_map.shape[1]
-        use_flat = self.mesh is None and self.wire_mode in ("flat", "wire")
-        use_wire = self.mesh is None and self.wire_mode == "wire"
         for gk in np.unique(group_key):
             idx = np.nonzero(group_key == gk)[0]
             depth = int(gk // 1024)
             Bc = min(int(gk % 1024), Bmax)
             Lb = len(idx)
-            # tail windows of a long run REUSE the full-window program
-            # (padded compute is ~0.1 s; a fresh shape's trace+lower is
-            # ~1.7 s); short runs keep adaptive pow2 shapes
-            if getattr(self, "_seen_full_window", False):
+            if use_wire and depth > 64:
+                # rare deep-pileup side bucket: small fixed locus axis so
+                # its program + dispatch stay cheap next to the bulk window
+                Lp = max(256, 1 << (Lb - 1).bit_length())
+            elif getattr(self, "_seen_full_window", False):
+                # tail windows of a long run REUSE the full-window program
                 Lp = batch_cap
             else:
                 Lp = min(batch_cap, max(64, 1 << (Lb - 1).bit_length()))
@@ -332,6 +344,17 @@ class ColumnarCaller(GenericCaller):
                         [hilf, np.zeros(Np - N, hilf.dtype)]
                     )
                 if use_wire:
+                    # pin the combo-slot width (window-adaptive Bc was a
+                    # third program-fragmentation axis)
+                    Bfix = min(8, Bmax)
+                    if sm.shape[1] < Bfix:
+                        padc = Bfix - sm.shape[1]
+                        sm = np.concatenate(
+                            [sm, np.zeros((Lp, padc), sm.dtype)], axis=1
+                        )
+                        sa = np.concatenate(
+                            [sa, np.zeros((Lp, padc), sa.dtype)], axis=1
+                        )
                     counts_p = np.zeros((Lp, S), np.int32)
                     counts_p[:Lb] = counts
                     arrays = {
