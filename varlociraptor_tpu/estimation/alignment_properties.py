@@ -251,14 +251,21 @@ def _extend_stretch(base, seq):
     return n
 
 
-def cigar_stats(record, refseq, transitions, hop_counts, m_chains=None):
+def cigar_stats(record, refseq, transitions, hop_counts, m_chains=None,
+                ref_states=None, ref_up=None, h_parts=None):
     """Accumulate 15-state transition counts + homopolymer hop histogram for
     one record (alignment_properties.rs:693-860).
 
     ``m_chains``: optional list — when given, match-segment state chains are
     APPENDED instead of scattered into ``transitions`` per record (the
     estimate() loop finalizes them with one ``np.add.at`` over the whole
-    pass; per-record ``np.add.at`` dominated the estimator at ~60 us/record)."""
+    pass; per-record ``np.add.at`` dominated the estimator at ~60 us/record).
+    ``ref_states``/``ref_up``: optional whole-contig precomputed
+    ``_STATE_LUT[refseq]`` / ``refseq & 0xDF`` arrays — turns the per-record
+    M-arm LUT gathers into zero-copy views.  ``h_parts``: optional list —
+    per-record (upper-ref, match-ok) homopolymer segments are APPENDED and
+    finalized by estimate() in one run-length pass over the whole BAM
+    (same batching idea as ``m_chains``)."""
     from ..io.bam import OP_D, OP_EQ, OP_I, OP_M, OP_N, OP_S, OP_X
 
     qseq = record.seq
@@ -323,32 +330,45 @@ def cigar_stats(record, refseq, transitions, hop_counts, m_chains=None):
             qpos += l
         elif op in (OP_M, OP_EQ, OP_X):
             end = min(rpos + l, len(refseq))
-            seg_r = np.asarray(refseq[rpos:end], dtype=np.uint8)
-            seg_q = np.asarray(qseq[qpos : qpos + (end - rpos)], dtype=np.uint8)
             # match-state chain transitions (vectorized)
-            st = _STATE_LUT[seg_r]
+            if ref_states is not None:
+                st = ref_states[rpos:end]
+            else:
+                st = _STATE_LUT[np.asarray(refseq[rpos:end], dtype=np.uint8)]
             if len(st) > 1:
                 if m_chains is not None:
                     m_chains.append(st)
                 else:
                     np.add.at(transitions, (st[:-1], st[1:]), 1)
             # error-free homopolymer stretches (hop_counts diagonal)
-            m = min(len(seg_r), len(seg_q))
+            m = min(end - rpos, len(qseq) - qpos)
             if m >= MIN_HOMOPOLYMER_LEN:
-                up = seg_r[:m] & 0xDF
-                ok = ((seg_q[:m] & 0xDF) == up) & _ACGT[up]
-                brk = np.nonzero((up[1:] != up[:-1]) | (ok[1:] != ok[:-1]))[0] + 1
-                starts = np.concatenate(([0], brk))
-                stops = np.concatenate((brk, [m]))
-                runs = stops - starts
-                sel = ok[starts] & (runs >= MIN_HOMOPOLYMER_LEN)
-                if sel.any():
-                    key = up[starts[sel]].astype(np.int64) * 65536 + runs[sel]
-                    uk, cnt = np.unique(key, return_counts=True)
-                    for k2, c2 in zip(uk.tolist(), cnt.tolist()):
-                        b, run = k2 >> 16, k2 & 0xFFFF
-                        d = hop_counts.setdefault(b, {})
-                        d[(run, run)] = d.get((run, run), 0) + c2
+                if ref_up is not None:
+                    up = ref_up[rpos : rpos + m]
+                else:
+                    up = np.asarray(refseq[rpos : rpos + m], dtype=np.uint8) & 0xDF
+                ok = (
+                    (np.asarray(qseq[qpos : qpos + m], dtype=np.uint8) & 0xDF)
+                    == up
+                ) & _ACGT[up]
+                if h_parts is not None:
+                    h_parts.append((up, ok))
+                else:
+                    brk = (
+                        np.nonzero((up[1:] != up[:-1]) | (ok[1:] != ok[:-1]))[0]
+                        + 1
+                    )
+                    starts = np.concatenate(([0], brk))
+                    stops = np.concatenate((brk, [m]))
+                    runs = stops - starts
+                    sel = ok[starts] & (runs >= MIN_HOMOPOLYMER_LEN)
+                    if sel.any():
+                        key = up[starts[sel]].astype(np.int64) * 65536 + runs[sel]
+                        uk, cnt = np.unique(key, return_counts=True)
+                        for k2, c2 in zip(uk.tolist(), cnt.tolist()):
+                            b, run = k2 >> 16, k2 & 0xFFFF
+                            d = hop_counts.setdefault(b, {})
+                            d[(run, run)] = d.get((run, run), 0) + c2
             qpos += l
             rpos += l
         elif op == OP_S:
@@ -511,7 +531,10 @@ def estimate(
     transitions = np.zeros((N_STATES, N_STATES), dtype=np.int64)
     hop_counts: dict[int, dict[tuple, int]] = {}
     m_chains: list = []
+    h_parts: list = []
     ref_cache: dict[int, np.ndarray] = {}
+    ref_state_cache: dict[int, np.ndarray] = {}
+    ref_up_cache: dict[int, np.ndarray] = {}
     allow_hardclips = omit_insert_size  # alignment_properties.rs:156
     for rec in bam_reader:
         # skip condition: alignment_properties.rs:294-299 (note mapq==0)
@@ -535,9 +558,19 @@ def estimate(
                     ref_cache[rec.tid] = reference.seq(bam_reader.ref_names[rec.tid])
                 except KeyError:
                     ref_cache[rec.tid] = None
+                seq = ref_cache[rec.tid]
+                if seq is not None:
+                    arr = np.asarray(seq, dtype=np.uint8)
+                    ref_state_cache[rec.tid] = _STATE_LUT[arr]
+                    ref_up_cache[rec.tid] = arr & 0xDF
             refseq = ref_cache[rec.tid]
             if refseq is not None:
-                cigar_stats(rec, refseq, transitions, hop_counts, m_chains)
+                cigar_stats(
+                    rec, refseq, transitions, hop_counts, m_chains,
+                    ref_states=ref_state_cache[rec.tid],
+                    ref_up=ref_up_cache[rec.tid],
+                    h_parts=h_parts,
+                )
         # insert size only from regular, first-in-template proper records
         # (alignment_properties.rs:318-338)
         if (
@@ -560,6 +593,32 @@ def estimate(
         scratch = np.zeros((N_STATES + 1, N_STATES + 1), dtype=np.int64)
         np.add.at(scratch, (cat[:-1], cat[1:]), 1)
         transitions += scratch[:N_STATES, :N_STATES]
+    if h_parts:
+        # one run-length pass for all per-record homopolymer segments; a
+        # (0, False) sentinel between records keeps runs from spanning them
+        # (up=0 is non-ACGT, so sentinel runs never pass `sel`)
+        sep_u = np.zeros(1, dtype=np.uint8)
+        sep_o = np.zeros(1, dtype=bool)
+        ups, oks = [], []
+        for u, o in h_parts:
+            ups.append(u)
+            ups.append(sep_u)
+            oks.append(o)
+            oks.append(sep_o)
+        up = np.concatenate(ups[:-1])
+        ok = np.concatenate(oks[:-1])
+        brk = np.nonzero((up[1:] != up[:-1]) | (ok[1:] != ok[:-1]))[0] + 1
+        starts = np.concatenate(([0], brk))
+        stops = np.concatenate((brk, [len(up)]))
+        runs = stops - starts
+        sel = ok[starts] & (runs >= MIN_HOMOPOLYMER_LEN)
+        if sel.any():
+            key = up[starts[sel]].astype(np.int64) * 65536 + runs[sel]
+            uk, cnt = np.unique(key, return_counts=True)
+            for k2, c2 in zip(uk.tolist(), cnt.tolist()):
+                b, run = k2 >> 16, k2 & 0xFFFF
+                d = hop_counts.setdefault(b, {})
+                d[(run, run)] = d.get((run, run), 0) + c2
     props.initial = False
     props.max_read_len = max(max_read_len, 1)
     props.max_mapq = max_mapq

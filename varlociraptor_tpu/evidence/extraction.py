@@ -149,11 +149,23 @@ def _parse_alt_loci(record: BamRecord) -> list:
 class Evidence:
     """A single-end read or a read pair (read_observation.rs:734-820)."""
 
-    __slots__ = ("left", "right")
+    __slots__ = ("left", "right", "_bounds")
 
     def __init__(self, left: BamRecord, right: BamRecord | None = None):
         self.left = left
         self.right = right
+        self._bounds = None
+
+    def bounds(self):
+        """Cached [(pos, end_pos), ...] of the unclipped record spans.
+        Evidence objects are reused across overlapping locus windows (the
+        fragment index), so enclosing-overlap checks collapse to two int
+        comparisons per record."""
+        b = self._bounds
+        if b is None:
+            b = [(r.pos, r.end_pos) for r in self.records()]
+            self._bounds = b
+        return b
 
     @property
     def is_paired_evidence(self) -> bool:
@@ -208,6 +220,150 @@ class Evidence:
         return min(r.mapq for r in self.records())
 
 
+class _ContigFragments:
+    """Incremental per-contig fragment index.
+
+    ``collect_fragments`` is called once per locus with a window that spans
+    ~2x the insert size; consecutive candidate loci therefore re-fetch and
+    re-classify ~95% of the same reads.  This index streams each record off
+    the BAM ONCE (monotonically extending coverage ``[b0, b1)``), interns
+    qnames to ints, and answers each per-locus query with a binary search +
+    a pairing pass over ints — Evidence objects are cached and REUSED
+    across loci, which also makes their lazily-cached ``bounds()`` free.
+
+    Query semantics are bit-identical to the legacy scan (same fetch-merge
+    rule, start-based retention, pair-slot overwrite rule, mapq==0 pair
+    drop, qname sort); falls back to the legacy path (returns None) for
+    non-monotonic queries (e.g. breakend mate intervals left of coverage).
+    """
+
+    MAX_RECORDS = 400_000  # compaction threshold (records kept in memory)
+
+    def __init__(self, bam, contig):
+        self.bam = bam
+        self.contig = contig
+        self.recs: list = []
+        self.pos: list = []  # int list, kept sorted (fetch order)
+        self.b0 = None
+        self.b1 = None
+        self._ev_cache: dict = {}
+
+    def _extend(self, fe):
+        """Grow coverage to [b0, fe) by fetching [b1, fe)."""
+        import bisect
+
+        slack = 8192
+        target = fe + slack
+        for rec in self.bam.fetch(self.contig, self.b1, target):
+            if rec.pos < self.b1 or rec.pos >= target:
+                continue
+            if getattr(rec, "_vlt_skip", None) is None:
+                object.__setattr__(
+                    rec, "_vlt_skip", bool(rec.flag & 0x704)
+                )
+            self.recs.append(rec)
+            self.pos.append(rec.pos)
+        self.b1 = target
+
+    def _compact(self, min_pos):
+        import bisect
+
+        cut = bisect.bisect_left(self.pos, min_pos)
+        if cut:
+            self.recs = self.recs[cut:]
+            self.pos = self.pos[cut:]
+            self.b0 = min_pos
+            self._ev_cache.clear()
+
+    def query(self, fetch_intervals, window, props=None):
+        import bisect
+
+        # identical merge rule to the legacy scan
+        windows = []
+        seen = []
+        for start, end in fetch_intervals:
+            fs, fe = max(0, start - window), end + window
+            if seen and fs <= seen[-1][1]:
+                fs = max(fs, seen[-1][1])
+                if fs >= fe:
+                    continue
+            seen.append((fs, fe))
+            windows.append((fs, fe))
+        if not windows:
+            return []
+        lo_all = min(fs for fs, _ in windows)
+        hi_all = max(fe for _, fe in windows)
+        if self.b0 is None or lo_all < self.b0:
+            if self.b0 is not None and lo_all < self.b0:
+                return None  # non-monotonic query: legacy fallback
+            self.b0 = lo_all
+            self.b1 = lo_all
+        if hi_all > self.b1:
+            self._extend(hi_all)
+        if len(self.recs) > self.MAX_RECORDS:
+            self._compact(lo_all)
+
+        # pairing pass over the in-window records, in interval order
+        candidates: dict = {}
+        order: list = []
+        ratchet = props is not None
+        for fs, fe in windows:
+            i0 = bisect.bisect_left(self.pos, fs)
+            i1 = bisect.bisect_left(self.pos, fe)
+            for i in range(i0, i1):
+                rec = self.recs[i]
+                if rec._vlt_skip:
+                    continue
+                if ratchet and getattr(rec, "_cig_maxes", None) is None:
+                    props.update_max_cigar_ops_len(rec)
+                slot = candidates.get(rec.qname)
+                if slot is None:
+                    candidates[rec.qname] = [rec, None]
+                    order.append(rec.qname)
+                else:
+                    prev_left = slot[0]
+                    if (
+                        prev_left.is_first_in_pair
+                        and rec.is_first_in_pair
+                        and prev_left.is_last_in_pair
+                        and rec.is_last_in_pair
+                    ):
+                        continue
+                    slot[1] = rec
+        evidence = []
+        cache = self._ev_cache
+        for qname in sorted(candidates):
+            left, right = candidates[qname]
+            if right is not None:
+                if left.mapq == 0 or right.mapq == 0:
+                    continue
+                key = (id(left), id(right))
+            else:
+                key = (id(left), 0)
+            ev = cache.get(key)
+            if ev is None:
+                ev = Evidence(left, right)
+                cache[key] = ev
+            evidence.append(ev)
+        return evidence
+
+
+def _fragment_index(bam, contig) -> _ContigFragments:
+    cache = getattr(bam, "_vlt_fragidx", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(bam, "_vlt_fragidx", cache)
+        except AttributeError:
+            bam._vlt_fragidx = cache
+    idx = cache.get(contig)
+    if idx is None:
+        # one live contig index per reader bounds memory on WGS runs
+        cache.clear()
+        idx = cache[contig] = _ContigFragments(bam, contig)
+    return idx
+
+
 def collect_fragments(bam, contig: str, fetch_intervals, window: int, props=None):
     """Fetch + fragment pairing (types/mod.rs:283-340).
 
@@ -216,7 +372,15 @@ def collect_fragments(bam, contig: str, fetch_intervals, window: int, props=None
     maxima are tracked for EVERY streamed record (types/mod.rs:309 updates
     before pairing/mapq filters — records later dropped by those filters
     still raise max_del/ins_cigar_len in the reference).
+
+    Served from the per-contig ``_ContigFragments`` index when the query is
+    coverage-monotonic (the common sorted-candidates case); the legacy
+    direct scan below is the fallback and the semantic ground truth.
     """
+    idx = _fragment_index(bam, contig)
+    ev = idx.query(fetch_intervals, window, props=props)
+    if ev is not None:
+        return ev
     candidates: dict[str, list] = {}
     seen_windows = []
     for start, end in fetch_intervals:

@@ -87,7 +87,7 @@ ALT_LOCUS_MAJOR = 2
 HOMOPOLYMER_NONE = 127  # sentinel for "no homopolymer indel info"
 
 
-@dataclass
+@dataclass(slots=True)
 class ReadObservation:
     """One read(-pair)'s evidence at one locus. All probs natural-log."""
 

@@ -187,8 +187,11 @@ class Snv(VariantType):
         return [(self.pos, self.pos + 1)]
 
     def is_valid_evidence(self, ev: Evidence, props):
-        for rec in ev.records():
-            if locus_overlap(rec, self.pos, self.pos + 1) == OVERLAP_ENCLOSING:
+        # ENCLOSING overlap of [pos, pos+1) with no clips/offsets reduces
+        # to two int comparisons on the cached record spans
+        p = self.pos
+        for s, e in ev.bounds():
+            if s <= p < e:
                 return [0]
         return None
 
@@ -311,11 +314,9 @@ class Mnv(VariantType):
         return [(self.pos, self.pos + self.len)]
 
     def is_valid_evidence(self, ev: Evidence, props):
-        for rec in ev.records():
-            if (
-                locus_overlap(rec, self.pos, self.pos + self.len)
-                == OVERLAP_ENCLOSING
-            ):
+        p, q = self.pos, self.pos + self.len
+        for s, e in ev.bounds():
+            if s <= p and e >= q:
                 return [0]
         return None
 
@@ -465,8 +466,11 @@ class RefSite(VariantType):
         return [(self.pos, self.pos + 1)]
 
     def is_valid_evidence(self, ev: Evidence, props):
-        for rec in ev.records():
-            if locus_overlap(rec, self.pos, self.pos + 1) == OVERLAP_ENCLOSING:
+        # ENCLOSING overlap of [pos, pos+1) with no clips/offsets reduces
+        # to two int comparisons on the cached record spans
+        p = self.pos
+        for s, e in ev.bounds():
+            if s <= p < e:
                 return [0]
         return None
 
