@@ -240,3 +240,51 @@ def test_cram_pipeline_byte_identical_observations(tmp_path):
         outs.append((hdr, raw[12 + n :]))
     assert outs[0][0] == outs[1][0]
     assert outs[0][1] == outs[1][1]
+
+
+def test_cram_lazy_streaming_and_crai(tmp_path):
+    """Container-granular streaming (round-4 verdict item 6): lazy open
+    decodes only containers overlapping a fetch; CRAI write/read round-trips
+    and drives the container table; results identical to the eager path."""
+    rng = np.random.default_rng(1234)
+    ref = _mk_ref(rng, 20000)
+    recs = []
+    for chunk in range(6):
+        sub = _mk_records(rng, ref, n=60)[:-1]  # drop per-chunk unmapped
+        recs.extend(sub)
+    recs.sort(key=lambda r: r.pos)
+    path = tmp_path / "big.cram"
+    w = CramWriter(path, ["c1"], [len(ref)], reference={"c1": ref},
+                   records_per_container=41)
+    for r in recs:
+        w.write_record(r)
+    w.close(index=True)
+    crai = tmp_path / "big.cram.crai"
+    assert crai.exists()
+    entries = cram.read_crai(crai)
+    assert len(entries) == (len(recs) + 40) // 41
+    assert all(e[0] == 0 for e in entries)
+
+    eager = BamReader(path, reference={"c1": ref})
+    lazy = BamReader(path, reference={"c1": ref}, lazy=True)
+    assert lazy._cram is not None and lazy._cram.lazy
+    # the CRAI drove the container table (n_records column is None)
+    assert all(m[4] is None for m in lazy._cram._containers)
+    assert len(lazy) == len(recs)
+
+    lo, hi = recs[len(recs) // 2].pos, recs[len(recs) // 2].pos + 400
+    a = [(r.qname, r.pos) for r in eager.fetch("c1", lo, hi)]
+    b = [(r.qname, r.pos) for r in lazy.fetch("c1", lo, hi)]
+    assert a == b and a
+    # only overlapping containers were inflated
+    assert 0 < len(lazy._cram._cache) < len(lazy._cram._containers)
+
+    # header-scan fallback (no .crai): identical behavior
+    crai.unlink()
+    lazy2 = BamReader(path, reference={"c1": ref}, lazy=True)
+    assert all(m[4] is not None for m in lazy2._cram._containers)
+    b2 = [(r.qname, r.pos) for r in lazy2.fetch("c1", lo, hi)]
+    assert a == b2
+    got = [(r.qname, r.pos) for r in lazy2]
+    want = [(r.qname, r.pos) for r in eager]
+    assert got == want

@@ -280,7 +280,7 @@ class BamReader:
         except OSError:
             _magic = b""
         if _magic == b"CRAM":
-            self._init_cram(reference)
+            self._init_cram(reference, lazy)
             return
 
         self._index = BamIndex.load(self.path)
@@ -389,13 +389,27 @@ class BamReader:
             self._max_span[int(tid)] = int(spans.max()) if len(spans) else 0
 
     # -- CRAM input -------------------------------------------------------
-    def _init_cram(self, reference):
-        """Eager CRAM decode into the same columnar index the small-BAM
-        path builds (io/cram.py; CRAI-indexed streaming is future work)."""
+    def _init_cram(self, reference, lazy=None):
+        """CRAM input.  Small files decode eagerly into the same columnar
+        index the small-BAM path builds; at/above LAZY_THRESHOLD_BYTES (or
+        with lazy=True) the container-granular streaming decoder takes
+        over (CRAI-aware; io/cram.py CramDecoder(lazy=True)) and fetch()
+        inflates only overlapping containers."""
         from .cram import CramDecoder
 
         self._lazy = False
         self._index = None
+        self._cram = None
+        size = self.path.stat().st_size
+        use_lazy = lazy if lazy is not None else size >= LAZY_THRESHOLD_BYTES
+        if use_lazy:
+            dec = CramDecoder(self.path, reference=reference, lazy=True)
+            self._cram = dec
+            self.header_text = dec.header_text
+            self.ref_names = dec.ref_names
+            self.ref_lengths = dec.ref_lengths
+            self._tid_by_name = {n: i for i, n in enumerate(self.ref_names)}
+            return
         dec = CramDecoder(self.path, reference=reference)
         self.header_text = dec.header_text
         self.ref_names = dec.ref_names
@@ -671,7 +685,7 @@ class BamReader:
 
     @property
     def records(self) -> list[BamRecord]:
-        if self._lazy:
+        if self._lazy or getattr(self, "_cram", None) is not None:
             # materializes the whole file; prefer iteration / fetch
             return list(self)
         return [self._record_at(i) for i in range(len(self._offsets))]
@@ -760,6 +774,8 @@ class BamReader:
     def fetch(self, contig: str, start: int, end: int) -> list[BamRecord]:
         """Records overlapping [start, end) on contig, in start order."""
         tid = self._tid_by_name.get(contig)
+        if getattr(self, "_cram", None) is not None:
+            return [] if tid is None else self._cram.fetch(tid, start, end)
         if self._lazy:
             if tid is None:
                 return []
@@ -797,6 +813,9 @@ class BamReader:
         return out
 
     def __iter__(self):
+        if getattr(self, "_cram", None) is not None:
+            yield from self._cram.iter_records()
+            return
         if self._lazy:
             for _, rec, _ in self._lazy_stream(self._first_record_voffset):
                 yield rec
@@ -805,6 +824,8 @@ class BamReader:
             yield self._record_at(i)
 
     def __len__(self):
+        if getattr(self, "_cram", None) is not None:
+            return self._cram.count_records()
         if self._lazy:
             n = getattr(self, "_lazy_len", None)
             if n is None:

@@ -24,9 +24,15 @@ data, plus what our own writer produces):
 - sequence reconstruction against the reference FASTA (``RR=true``) or
   verbatim bases (``RR=false``)
 
+- CRAI index: written by ``CramWriter.close(index=True)`` (one entry per
+  slice), consumed by the lazy reader's container table
+- container-granular streaming: ``CramDecoder(lazy=True)`` mmaps the
+  file, scans only container headers (or the ``.crai``), and inflates
+  containers on demand behind an LRU — ``BamReader`` switches to this
+  path automatically at the same size threshold as lazy BAM
+
 Out of scope (clean errors): embedded references, CRAM 3.1 codecs
-(rANS Nx16, fqzcomp, name tokenizer, adaptive arithmetic), CRAI index
-(CramReader decodes eagerly like the small-BAM path).
+(rANS Nx16, fqzcomp, name tokenizer, adaptive arithmetic).
 """
 
 from __future__ import annotations
@@ -839,6 +845,8 @@ class Container:
         self.n_blocks = 0
         self.blocks_data = b""
         self.landmarks = []
+        self.blocks_off = 0  # payload position in the file (lazy scan)
+        self.blocks_len = 0
 
 
 def write_container(c: Container) -> bytes:
@@ -858,7 +866,10 @@ def write_container(c: Container) -> bytes:
     return bytes(hdr) + c.blocks_data
 
 
-def read_container_header(bs: ByteStream):
+def read_container_header(bs: ByteStream, skip_blocks: bool = False):
+    """Parse one container header; with ``skip_blocks`` the payload is NOT
+    materialized — ``c.blocks_off``/``c.blocks_len`` record where it lives
+    (the lazy streaming scan; decode happens on demand)."""
     start = bs.off
     c = Container()
     length = struct.unpack("<i", bs.read(4))[0]
@@ -875,8 +886,37 @@ def read_container_header(bs: ByteStream):
     crc = struct.unpack("<I", bs.read(4))[0]
     if crc != crc_calc:
         raise MalformedCramError("container header CRC mismatch")
-    c.blocks_data = bs.read(length)
+    c.blocks_off = bs.off
+    c.blocks_len = length
+    if skip_blocks:
+        if bs.off + length > len(bs.data):
+            raise MalformedCramError("container payload exceeds file size")
+        bs.off += length
+    else:
+        c.blocks_data = bs.read(length)
     return c
+
+
+# ---------------------------------------------------------------------------
+# CRAI index (gzipped TSV: seq_id, start, span, container byte offset,
+# slice byte offset within the container payload, slice size)
+# ---------------------------------------------------------------------------
+
+
+def write_crai(entries, path) -> None:
+    with gzip.open(path, "wt") as f:
+        for e in entries:
+            print("\t".join(str(int(x)) for x in e), file=f)
+
+
+def read_crai(path):
+    out = []
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 6:
+                out.append(tuple(int(x) for x in parts[:6]))
+    return out
 
 
 # data series 2-char keys
@@ -1091,6 +1131,7 @@ class CramWriter:
         self._fh = open(self.path, "wb")
         self._pending = []
         self._counter = 0
+        self._crai_entries = []
         if not header_text:
             lines = ["@HD\tVN:1.6\tSO:coordinate"]
             for n, l in zip(self.ref_names, self.ref_lengths):
@@ -1267,6 +1308,16 @@ class CramWriter:
         c.n_blocks = 1 + 1 + sh.n_blocks  # comp header + slice header + slice blocks
         c.landmarks = [len(ch_block)]
         c.blocks_data = ch_block + sh_block + bytes(blocks)
+        self._crai_entries.append(
+            (
+                ref_id,
+                sh.start,
+                sh.span,
+                self._fh.tell(),
+                len(ch_block),
+                len(sh_block) + len(blocks),
+            )
+        )
         self._fh.write(write_container(c))
         self._counter += len(recs)
 
@@ -1334,7 +1385,9 @@ class CramWriter:
             elif code == b"b":
                 sw.raw("BB", payload + b"\x00")
 
-    def close(self):
+    def close(self, index: bool = False):
+        """Finish the stream; ``index=True`` also writes ``<path>.crai``
+        (one entry per slice, matching the BamWriter BAI/CSI story)."""
         self._flush()
         # EOF container (sentinel values per spec: ref -1, start 4542278,
         # one raw compression-header block of 6 bytes)
@@ -1352,6 +1405,10 @@ class CramWriter:
         )
         self._fh.write(write_container(eofc))
         self._fh.close()
+        if index:
+            write_crai(
+                self._crai_entries, str(self.path) + ".crai"
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -1370,12 +1427,34 @@ def is_cram(path) -> bool:
 class CramDecoder:
     """Decodes a CRAM 3.x file into (header_text, ref_names, ref_lengths,
     records). Needs the reference FASTA (FastaBuffer or dict) whenever a
-    container was written reference-based (RR=true)."""
+    container was written reference-based (RR=true).
 
-    def __init__(self, path, reference=None):
+    ``lazy=True`` switches to container-granular streaming (the rust-htslib
+    CRAM capability, Cargo.toml:65): the file is memory-mapped, only
+    container HEADERS are scanned up front (or taken from a sibling
+    ``.crai`` when present), and payload decode happens on demand behind a
+    small LRU — ``fetch()`` on a WGS-scale CRAM touches only the overlapping
+    containers instead of inflating the whole file."""
+
+    _LRU_CONTAINERS = 4
+
+    def __init__(self, path, reference=None, lazy: bool = False):
         self.path = Path(path)
         self.reference = reference
-        data = self.path.read_bytes()
+        self.lazy = bool(lazy)
+        if self.lazy:
+            import mmap
+
+            self._fh = open(self.path, "rb")
+            try:
+                data = mmap.mmap(
+                    self._fh.fileno(), 0, access=mmap.ACCESS_READ
+                )
+            except (ValueError, OSError):  # empty file etc.
+                data = self._fh.read()
+        else:
+            data = self.path.read_bytes()
+        self._data = data
         if data[:4] != b"CRAM":
             raise MalformedCramError(f"{path}: not a CRAM file")
         self.major, self.minor = data[4], data[5]
@@ -1402,6 +1481,11 @@ class CramDecoder:
                 if "SN" in fields:
                     self.ref_names.append(fields["SN"])
                     self.ref_lengths.append(int(fields.get("LN", 0)))
+        if self.lazy:
+            self.records = None
+            self._containers = self._scan_containers(bs)
+            self._cache: dict = {}
+            return
         self.records = []
         counter = 0
         while not bs.eof():
@@ -1410,8 +1494,86 @@ class CramDecoder:
                 break  # EOF container
             if c.n_records == 0 and not c.blocks_data:
                 continue
-            self._decode_container(c)
+            self._decode_container(c, self.records)
             counter += c.n_records
+
+    # -- lazy container table -------------------------------------------
+    def _scan_containers(self, bs: ByteStream):
+        """[(file_off, ref_id, start, span, n_records)] for every data
+        container.  Uses the sibling ``.crai``'s container offsets when
+        present (slice entries grouped by container; CRAI read path);
+        otherwise one cheap header-only scan (no payload decompression)."""
+        crai_path = Path(str(self.path) + ".crai")
+        out = []
+        if crai_path.exists():
+            seen = set()
+            for seq_id, start, span, coff, _soff, _ssz in read_crai(crai_path):
+                if coff in seen:
+                    continue  # multi-slice container: one entry suffices
+                seen.add(coff)
+                out.append((coff, seq_id, start, span, None))
+            out.sort()
+            return out
+        while not bs.eof():
+            off = bs.off
+            c = read_container_header(bs, skip_blocks=True)
+            if c.ref_id == -1 and c.start == 4542278 and c.n_records == 0:
+                break  # EOF container
+            if c.n_records == 0 and c.blocks_len == 0:
+                continue
+            out.append((off, c.ref_id, c.start, c.span, c.n_records))
+        return out
+
+    def _container_records(self, i: int):
+        """Decode (with LRU) the records of container table entry ``i``."""
+        got = self._cache.get(i)
+        if got is not None:
+            self._cache[i] = self._cache.pop(i)  # refresh recency
+            return got
+        off = self._containers[i][0]
+        bs = ByteStream(self._data, off)
+        c = read_container_header(bs)
+        recs: list = []
+        if c.n_records or c.blocks_data:
+            self._decode_container(c, recs)
+        self._cache[i] = recs
+        if len(self._cache) > self._LRU_CONTAINERS:
+            self._cache.pop(next(iter(self._cache)))
+        return recs
+
+    def iter_records(self):
+        for i in range(len(self._containers)):
+            yield from self._container_records(i)
+
+    def count_records(self) -> int:
+        n = 0
+        for i, meta in enumerate(self._containers):
+            if meta[4] is not None:
+                n += meta[4]
+            else:
+                n += len(self._container_records(i))
+        return n
+
+    def fetch(self, tid: int, start: int, end: int):
+        """Records overlapping [start, end) on tid, start-ordered; decodes
+        only containers whose indexed span overlaps (or multi-ref ones)."""
+        out = []
+        for i, (_off, ref_id, c_start, c_span, _n) in enumerate(
+            self._containers
+        ):
+            if ref_id == -1:
+                continue  # unmapped-only container
+            if ref_id >= 0 and ref_id != tid:
+                continue
+            if ref_id == tid and c_span and not (
+                c_start < end and c_start + c_span > start
+            ):
+                continue
+            for rec in self._container_records(i):
+                if rec.tid == tid and rec.end_pos > start and rec.pos < end:
+                    out.append(rec)
+        out.sort(key=lambda r: r.pos)
+        return out
 
     def _ref_seq(self, tid):
         if tid < 0:
@@ -1429,7 +1591,7 @@ class CramDecoder:
         except KeyError:
             return None
 
-    def _decode_container(self, c: Container):
+    def _decode_container(self, c: Container, out: list):
         bs = ByteStream(c.blocks_data)
         ctype, _, raw = read_block(bs)
         if ctype != CT_COMPRESSION_HEADER:
@@ -1456,9 +1618,9 @@ class CramDecoder:
                 raise MalformedCramError(
                     "embedded-reference CRAM slices are not supported"
                 )
-            self._decode_slice(ch, sh, core, ext)
+            self._decode_slice(ch, sh, core, ext, out)
 
-    def _decode_slice(self, ch, sh, core, ext):
+    def _decode_slice(self, ch, sh, core, ext, out: list):
         from .bam import BamRecord
 
         def dec(key):
@@ -1588,9 +1750,8 @@ class CramDecoder:
                 tags=tags,
             )
             recs_meta.append((rec, nf))
-            self.records.append(rec)
+            out.append(rec)
         # resolve downstream mates (NF): record i's mate is record i+1+nf
-        base = len(self.records) - len(recs_meta)
         for i, (rec, nf) in enumerate(recs_meta):
             if nf is None:
                 continue
