@@ -142,16 +142,20 @@ def _read_terms(feats, bias_alt, bias_ref, bias_any):
 
 
 def _logfold_enabled():
-    """8-wide exponent/mantissa log folding: default ON for TPU backends
-    (log-throughput-bound VPU kernel), OFF on CPU (vectorized libm logs
-    are cheap; the integer machinery costs more than it saves).
-    ``VLT_LOGFOLD=1/0`` forces either way."""
+    """8-wide exponent/mantissa log folding — measured NEGATIVE result,
+    default OFF everywhere (``VLT_LOGFOLD=1`` opts in).
+
+    Round-5 A/B on the real chip (8192-locus tumor-normal batch, max over
+    8 repeats): naive per-read log 70.1K loci/s; stride-8 fold 40.6K;
+    contiguous-halving fold 51.4K.  On CPU: naive 1138 vs fold 689.  The
+    VPU evaluates log cheaply enough that the bitcast/int-sum machinery
+    and the extra intermediates cost more than 7/8 of the logs saved —
+    the kernel is NOT log-transcendental-bound; it is bound by the
+    [L,B,U,D] elementwise traffic itself, which the fold does not shrink.
+    Kept for study parity (golden-sweep-certified identical calls)."""
     import os
 
-    v = os.environ.get("VLT_LOGFOLD")
-    if v is not None:
-        return v not in ("0", "false")
-    return jax.default_backend() == "tpu"
+    return os.environ.get("VLT_LOGFOLD") in ("1", "true")
 
 
 def _ll_cells(a, r, m, c, w, mask):
@@ -201,9 +205,10 @@ def _ll_cells(a, r, m, c, w, mask):
         (bits & 0x007FFFFF) | 0x3F800000, jnp.float32
     )  # in [1, 2)
     esum = jnp.sum(e - (127 + 64), axis=-1)  # exact int32
-    mprod = mant[..., 0::FOLD]
-    for k in range(1, FOLD):
-        mprod = mprod * mant[..., k::FOLD]  # in [1, 2^FOLD)
+    mprod = mant
+    for _ in range(3):  # successive contiguous halving: 8-wide fold
+        h = mprod.shape[-1] // 2
+        mprod = mprod[..., :h] * mprod[..., h:]  # in [1, 2^FOLD)
     ll = jnp.sum(jnp.log(mprod), axis=-1) + esum.astype(t.dtype) * t.dtype.type(
         math.log(2.0)
     )
