@@ -77,6 +77,25 @@ def _bench_e2e():
         return {"error": f"{type(e).__name__}: {e}"[:160]}
 
 
+def _bench_e2e_large():
+    """>=100K-candidate planted-somatics witness (scripts/bench_e2e_large).
+    Runs INLINE (the call stage must share this process's TPU client).
+    When the simulated world isn't already cached under /tmp, runs at a
+    reduced candidate count so the one-time ~4 min simulation doesn't
+    dominate the bench budget."""
+    try:
+        sys.path.insert(0, "/root/repo/scripts")
+        import bench_e2e_large as bel
+
+        cached = (bel.CACHE / "world.json").exists()
+        n = 100_000 if cached else 20_000
+        out = bel.run(n_candidates=n, workers=4)
+        out["world_cached"] = cached
+        return out
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}"[:160]}
+
+
 def _bench_preprocess_tpu(n=256):
     """Preprocess with the pair-HMM forwards batched across loci onto the
     device (device_chunk): measures the TPU-backend preprocess path."""
@@ -408,6 +427,7 @@ def main():
             roofline["hbm_bytes_per_locus"] = round(hbm_bytes / 8192.0, 1)
     extra = {
         "e2e": _bench_e2e(),
+        "e2e_large": _bench_e2e_large(),
         "preprocess_tpu": _bench_preprocess_tpu(),
         "roofline": roofline,
         "baseline_cpu_loci_per_sec": round(cpu_rate, 1) if cpu_rate else None,

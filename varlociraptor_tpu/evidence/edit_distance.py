@@ -290,38 +290,69 @@ def derive_patched_allele(emission, read: np.ndarray, hit: EditHit) -> bytes | N
     p_start = hit.range_start if hit.range_start is not None else hit.start
     p_ops = hit.range_ops if hit.range_ops is not None else hit.ops
     allele = np.frombuffer(bytes(emission.seq), dtype=np.uint8)
-    vrange = emission.variant_ref_range
-    lo, hi = vrange
-    pos_ref = p_start
-    pos_read = 0
-    out = bytearray(bytes(allele[:p_start]))
+    lo, hi = emission.variant_ref_range
     read_b = np.asarray(read, dtype=np.uint8)
-    for op in p_ops:
-        in_range = lo <= (pos_ref + emission.ref_offset) < hi
-        if op == M:
-            out.append(allele[pos_ref])
-            pos_ref += 1
-            pos_read += 1
-        elif op == S:
-            out.append(read_b[pos_read] if in_range else allele[pos_ref])
-            pos_ref += 1
-            pos_read += 1
-        elif op == D:
-            # reference parity (edit_distance.rs:416-424): the reference
-            # drops the allele base for Del ops REGARDLESS of the variant
-            # range (the not-in-range branch calls ref_base() but discards
-            # the value) — all read deletions are applied to the patch.
-            if not _PARITY_DEL and not in_range:
-                out.append(allele[pos_ref])
-            pos_ref += 1
-        elif op == I:
-            if in_range:
-                out.append(read_b[pos_read])
-            pos_read += 1
+    if len(p_ops) < 48:
+        # short op walks: the scalar loop beats numpy's fixed call costs
+        pos_ref = p_start
+        pos_read = 0
+        out = bytearray(bytes(allele[:p_start]))
+        for op in p_ops:
+            in_r = lo <= (pos_ref + emission.ref_offset) < hi
+            if op == M:
+                out.append(allele[pos_ref]); pos_ref += 1; pos_read += 1
+            elif op == S:
+                out.append(read_b[pos_read] if in_r else allele[pos_ref])
+                pos_ref += 1; pos_read += 1
+            elif op == D:
+                # reference parity (edit_distance.rs:416-424): deletions
+                # drop the allele base regardless of the variant range
+                if not _PARITY_DEL and not in_r:
+                    out.append(allele[pos_ref])
+                pos_ref += 1
+            elif op == I:
+                if in_r:
+                    out.append(read_b[pos_read])
+                pos_read += 1
+        del_len = abs(min(emission.alt_vs_ref_len_diff, 0))
+        tail_end = max(len(allele) - del_len, pos_ref)
+        out.extend(bytes(allele[pos_ref:tail_end]))
+        return bytes(out)
+    # vectorized op walk for long alignments: per-op ref/read cursors are
+    # exclusive prefix sums of the consume masks; emit source/selection
+    # follows the same M/S/D/I rules incl. the Del-op parity quirk.
+    ops_a = np.asarray(p_ops, dtype=np.int64)
+    is_m = ops_a == M
+    is_s = ops_a == S
+    is_d = ops_a == D
+    is_i = ops_a == I
+    ref_c = is_m | is_s | is_d
+    read_c = is_m | is_s | is_i
+    pos_ref = p_start + np.cumsum(ref_c) - ref_c
+    pos_read = np.cumsum(read_c) - read_c
+    in_range = (pos_ref + emission.ref_offset >= lo) & (
+        pos_ref + emission.ref_offset < hi
+    )
+    from_read = (is_s | is_i) & in_range
+    emit = is_m | is_s | (is_i & in_range)
+    if _PARITY_DEL:
+        pass  # all read deletions drop the allele base
+    else:
+        emit = emit | (is_d & ~in_range)
+        from_read = from_read & ~is_d
+    vals = np.where(
+        from_read,
+        read_b[np.minimum(pos_read, len(read_b) - 1)],
+        allele[np.minimum(pos_ref, len(allele) - 1)],
+    )
+    pos_ref_end = int(p_start + ref_c.sum())
     del_len = abs(min(emission.alt_vs_ref_len_diff, 0))
-    tail_end = max(len(allele) - del_len, pos_ref)
-    out.extend(bytes(allele[pos_ref:tail_end]))
-    return bytes(out)
+    tail_end = max(len(allele) - del_len, pos_ref_end)
+    return (
+        allele[:p_start].tobytes()
+        + vals[emit].astype(np.uint8).tobytes()
+        + allele[pos_ref_end:tail_end].tobytes()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -281,13 +281,12 @@ class Realigner:
             shrunk, [read_window] * n, [qual_window] * n, bands
         )
 
-    def _patched_window(self, a_em, a_hit, read_window, props, error_rate):
-        """Third-allele-rescue patched allele + its hit (memoized so the
-        materialization in collect_requests and the replay pass make the
-        IDENTICAL queueing decision). Returns (patched, phit) or
-        (None, None)."""
+    def _derive_patched(self, a_em, a_hit, read_window):
+        """Memoized patched-allele derivation incl. the same-length-patch
+        skip (see allele_support: a same-length patch of an indel variant
+        is the same event, not a third allele)."""
         if a_hit is None:
-            return None, None
+            return None
         em_memo = self._em_memo
         if em_memo is not None:
             pkey = ("patch", id(a_em), id(a_hit), read_window.tobytes())
@@ -303,9 +302,15 @@ class Realigner:
             and a_em.alt_vs_ref_len_diff != 0
             and len(patched) == len(a_em.seq)
         ):
-            # see allele_support: a same-length patch of an indel variant
-            # is the same event (placement ambiguity), not a third allele
             patched = None
+        return patched
+
+    def _patched_window(self, a_em, a_hit, read_window, props, error_rate):
+        """Third-allele-rescue patched allele + its hit (memoized so the
+        materialization in collect_requests and the replay pass make the
+        IDENTICAL queueing decision). Returns (patched, phit) or
+        (None, None)."""
+        patched = self._derive_patched(a_em, a_hit, read_window)
         if patched is None:
             return None, None
         phit = self._calc_hit(
@@ -324,9 +329,58 @@ class Realigner:
         request exactly as the replay pass will re-derive them.  Used by
         run_batch and by cross-locus chunked execution (the preprocess
         driver concatenates requests of MANY loci into one device call)."""
-        seqs, reads, quals, dists = [], [], [], []
+        # phase A: base-allele hits are batched inside _calc_hits; derive
+        # every patched allele and collect the hit-memo MISSES so their
+        # edit alignments run as ONE native batch too (they were the last
+        # per-call ctypes crossings in the del workload, ~60 us each)
+        memo = self._hit_memo
+        req_hits = []
+        patch_miss: dict = {}
         for emissions, n_ref, rw, qw, props, er in self._requests:
             hits = self._calc_hits(emissions, rw, props, er)
+            req_hits.append(hits)
+            if memo is None:
+                continue
+            rb = rw.tobytes()
+            for a_em, a_hit in zip(emissions[n_ref:], hits[n_ref:]):
+                patched = self._derive_patched(a_em, a_hit, rw)
+                if patched is None or len(patched) == 0 or len(rw) == 0:
+                    continue
+                em_p = AlleleEmission(seq=patched, ref_offset=a_em.ref_offset)
+                key = (
+                    em_p.seq,
+                    em_p.ref_offset,
+                    em_p.variant_ref_range,
+                    em_p.homopolymer_ref_range,
+                    rb,
+                    er,
+                    True,
+                )
+                if key not in memo and key not in patch_miss:
+                    patch_miss[key] = (em_p, rw, props, er)
+        if patch_miss:
+            from ..io.native import hybrid_hits_batch
+
+            items = list(patch_miss.items())
+            parts = hybrid_hits_batch(
+                [bytes(em.seq) for _, (em, rw, _p, _e) in items],
+                [rw.tobytes() for _, (_em, rw, _p, _e) in items],
+            )
+            if parts is not None:
+                for (key, (em, rw, props, er)), (
+                    dist, start, ops, last_start, second
+                ) in zip(items, parts):
+                    memo[key] = finish_hit(
+                        em, rw, props, er,
+                        dist, start, ops, last_start, second, True,
+                    )
+
+        # phase B: assemble the flattened forward items (hits + patched
+        # hits now come from the memo)
+        seqs, reads, quals, dists = [], [], [], []
+        for (emissions, n_ref, rw, qw, props, er), hits in zip(
+            self._requests, req_hits
+        ):
             shrunk, bands = self._shrunk_bands(emissions, hits)
             n = len(shrunk)
             seqs.extend(shrunk)
