@@ -425,6 +425,12 @@ def main():
                 )
         if hbm_bytes:
             roofline["hbm_bytes_per_locus"] = round(hbm_bytes / 8192.0, 1)
+            roofline["hbm_bytes_provenance"] = (
+                "XLA cost-analysis of the CPU-backend HLO (operand-use "
+                "accounting, NOT device HBM traffic — see "
+                "docs/engine_roofline.md; the TPU program fuses the big "
+                "intermediates)"
+            )
     extra = {
         "e2e": _bench_e2e(),
         "e2e_large": _bench_e2e_large(),
