@@ -394,6 +394,16 @@ class ColumnarCaller(GenericCaller):
             "grid": grid,
             "events": events,
         }
+        # start the device->host copy of every pending wire NOW: the drain
+        # thread's blocking np.asarray then reads an already-streaming
+        # buffer instead of holding the single-client tunnel lock while
+        # the next window tries to dispatch
+        for _idx, _lb, (kind, payload) in groups:
+            if kind == "pending":
+                try:
+                    payload[0].copy_to_host_async()
+                except (AttributeError, TypeError):
+                    break
         pw = PendingWindow(engine, L, groups, meta)
         if sync:
             return pw.finish()
