@@ -82,6 +82,30 @@ class WorkItem:
 # all single-artifact combos in a fixed order; gating selects per locus
 from ..ops.biases import FULL_COMBOS_DEFAULT as FULL_COMBOS  # noqa: E402
 
+# process-global engine cache (see GenericCaller._engine_for): keyed by the
+# full configuration CONTENT so identical scenarios across call_generic
+# invocations share jitted programs
+_GLOBAL_ENGINES: dict = {}
+
+
+def _engine_content_key(events, grid, sample_configs, resolution,
+                        all_uniform, vaf_mask):
+    try:
+        return (
+            tuple(events),
+            grid.values.tobytes(),
+            tuple(
+                (s.name, s.contaminated_by, s.contamination_fraction,
+                 s.resolution)
+                for s in sample_configs
+            ),
+            resolution,
+            bool(all_uniform),
+            None if vaf_mask is None else np.asarray(vaf_mask).tobytes(),
+        )
+    except TypeError:  # unhashable event payload: fall back to per-caller
+        return None
+
 
 def _combo_allowed(combo: BiasCombo, flags) -> bool:
     (c_ro, c_sb, c_rp, c_sc, c_he, c_al) = flags
@@ -158,18 +182,36 @@ class GenericCaller:
             # contigs, uniform universes, germline lattice) — vartype
             # does not affect which points are impossible
             prior = self._prior_for(contig, "snv")
-            self._engines[key] = PosteriorEngine(
-                events,
-                grid,
-                self.sample_configs,
-                resolution=self.options.resolution,
-                n_artifact_combos=max(1, len(FULL_COMBOS) - 1),
-                all_uniform_prior=all(
-                    self.scenario.samples[n].has_uniform_prior()
-                    for n in self.scenario.sample_names
-                ),
-                valid_vaf_mask=prior.valid_vaf_mask(grid.values),
+            all_uniform = all(
+                self.scenario.samples[n].has_uniform_prior()
+                for n in self.scenario.sample_names
             )
+            vaf_mask = prior.valid_vaf_mask(grid.values)
+            # engines carry every jitted program (trace+lower is ~1s per
+            # window shape, minutes to compile through the axon tunnel), so
+            # they are cached PROCESS-GLOBALLY by configuration content —
+            # repeated call_generic invocations (benches, shard loops,
+            # multi-file runs) must reuse programs, not retrace them
+            gkey = _engine_content_key(
+                events, grid, self.sample_configs, self.options.resolution,
+                all_uniform, vaf_mask,
+            )
+            eng = _GLOBAL_ENGINES.get(gkey) if gkey is not None else None
+            if eng is None:
+                eng = PosteriorEngine(
+                    events,
+                    grid,
+                    self.sample_configs,
+                    resolution=self.options.resolution,
+                    n_artifact_combos=max(1, len(FULL_COMBOS) - 1),
+                    all_uniform_prior=all_uniform,
+                    valid_vaf_mask=vaf_mask,
+                )
+                if gkey is not None:
+                    if len(_GLOBAL_ENGINES) >= 8:
+                        _GLOBAL_ENGINES.pop(next(iter(_GLOBAL_ENGINES)))
+                    _GLOBAL_ENGINES[gkey] = eng
+            self._engines[key] = eng
         return self._engines[key]
 
     # ------------------------------------------------------------------
