@@ -96,6 +96,90 @@ def _bench_e2e_large():
         return {"error": f"{type(e).__name__}: {e}"[:160]}
 
 
+def _bench_call_rate():
+    """Production call-stage rate on cached real observation files, with
+    the per-stage breakdown (VERDICT r4 item 1).  Uses the largest cached
+    /tmp/vlt_prof_obs_* workload (generates a 20K one if none)."""
+    try:
+        import time as _t
+        from pathlib import Path as _P
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from profile_call import ensure_obs
+
+        n = next(
+            (
+                k
+                for k in (100000, 50000, 20000, 10000)
+                if _P(f"/tmp/vlt_prof_obs_{k}/tumor.obs.jsonl").exists()
+            ),
+            20000,
+        )
+        obs = ensure_obs(n)
+        from varlociraptor_tpu.calling import fastcall, observations
+        from varlociraptor_tpu.calling import columnar as colmod
+        from varlociraptor_tpu.calling.call import CallOptions, call_generic
+        from varlociraptor_tpu.grammar.scenario import tumor_normal_scenario
+
+        stages = {}
+
+        def hook(owner, name, key):
+            fn = getattr(owner, name)
+            stages[key] = [0.0, 0]
+
+            def timed(*a, **k):
+                t0 = _t.perf_counter()
+                r = fn(*a, **k)
+                stages[key][0] += _t.perf_counter() - t0
+                stages[key][1] += 1
+                return r
+
+            setattr(owner, name, timed)
+            return fn
+
+        orig = [
+            (observations.ObservationReader, "read_window",
+             hook(observations.ObservationReader, "read_window", "read_obs")),
+            (colmod.ColumnarBatch, "from_sample_windows",
+             hook(colmod.ColumnarBatch, "from_sample_windows", "build_cb")),
+            (fastcall.ColumnarCaller, "call_window_cb",
+             hook(fastcall.ColumnarCaller, "call_window_cb", "pack_dispatch")),
+            (fastcall.PendingWindow, "finish",
+             hook(fastcall.PendingWindow, "finish", "wait_fetch_unpack")),
+            (fastcall.ColumnarCaller, "format_window_text",
+             hook(fastcall.ColumnarCaller, "format_window_text", "format")),
+        ]
+        try:
+            rates = []
+            for i in range(3):
+                for v in stages.values():
+                    v[0], v[1] = 0.0, 0
+                t0 = _t.perf_counter()
+                cnt = call_generic(
+                    tumor_normal_scenario(0.75), obs,
+                    _P("/tmp/bench_calls.vcf"),
+                    CallOptions(batch_size=4096),
+                )
+                rates.append(cnt / (_t.perf_counter() - t0))
+        finally:
+            for owner, name, fn in orig:
+                setattr(owner, name, fn)
+        return {
+            "n_loci": cnt,
+            "loci_per_sec_warm": round(max(rates), 1),
+            "runs": [round(r, 1) for r in rates],
+            "stage_seconds_last_run": {
+                k: round(v[0], 2) for k, v in stages.items()
+            },
+            "note": (
+                "stages overlap (dispatch thread + drain thread); "
+                "pack_dispatch includes the async device dispatch"
+            ),
+        }
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}"[:160]}
+
+
 def _bench_preprocess_tpu(n=256):
     """Preprocess with the pair-HMM forwards batched across loci onto the
     device (device_chunk): measures the TPU-backend preprocess path."""
@@ -253,8 +337,23 @@ def _tunnel_alive(timeout_s: int = 150) -> bool:
 def main():
     if os.environ.get("VLT_BENCH_CHILD") != "1":
         # supervisor: probe the tunnel, run the measurement in a timed child
-        # so a wedged device can never leave the driver without a JSON line
-        alive = _tunnel_alive()
+        # so a wedged device can never leave the driver without a JSON line.
+        # Round-5 observation: the tunnel FLAPS on a ~30-60 min cycle, so a
+        # single failed probe would condemn a whole round's numbers to the
+        # CPU fallback — retry across a ~14-min window before giving up
+        # (VLT_BENCH_PROBE_RETRIES overrides; 1 = the old single probe).
+        retries = int(os.environ.get("VLT_BENCH_PROBE_RETRIES", "5"))
+        alive = False
+        for attempt in range(max(retries, 1)):
+            alive = _tunnel_alive()
+            if alive:
+                break
+            if attempt + 1 < max(retries, 1):
+                print(
+                    f"# tunnel probe {attempt + 1} failed; retrying in 180s",
+                    file=sys.stderr,
+                )
+                time.sleep(180)
         env = {**os.environ, "VLT_BENCH_CHILD": "1"}
         note = None
         if not alive:
@@ -434,6 +533,7 @@ def main():
     extra = {
         "e2e": _bench_e2e(),
         "e2e_large": _bench_e2e_large(),
+        "call_rate": _bench_call_rate(),
         "preprocess_tpu": _bench_preprocess_tpu(),
         "roofline": roofline,
         "baseline_cpu_loci_per_sec": round(cpu_rate, 1) if cpu_rate else None,
