@@ -217,6 +217,12 @@ def _bench_preprocess_tpu(n=256):
             "ms_per_locus": ms,
             "n_loci": count,
             "device_chunk": 64,
+            "budget": (
+                "wire-bound through the axon tunnel: device kernel 6.9 "
+                "us/forward but inputs ~32KB/locus at ~24MB/s = 1.3 "
+                "ms/locus transfer alone vs 0.45 ms/locus host-C++ total; "
+                "crossover ~70-100 MB/s — see docs/preprocess_tpu_budget.md"
+            ),
         }
         try:
             # Pallas column kernel path: needs zero-extension gap params
