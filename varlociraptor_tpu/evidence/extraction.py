@@ -147,14 +147,26 @@ def _parse_alt_loci(record: BamRecord) -> list:
 
 
 class Evidence:
-    """A single-end read or a read pair (read_observation.rs:734-820)."""
+    """A single-end read or a read pair (read_observation.rs:734-820).
 
-    __slots__ = ("left", "right", "_bounds")
+    Evidence objects are REUSED across overlapping locus windows (the
+    fragment index), so every per-fragment invariant below is lazily
+    cached: with ~8-20 loci sharing each fragment the scalar log/flag
+    work amortizes away."""
+
+    __slots__ = (
+        "left", "right", "_bounds", "_pm", "_ro", "_tl", "_mq", "_al",
+    )
 
     def __init__(self, left: BamRecord, right: BamRecord | None = None):
         self.left = left
         self.right = right
         self._bounds = None
+        self._pm = None
+        self._ro = None
+        self._tl = None
+        self._mq = None
+        self._al = None
 
     def bounds(self):
         """Cached [(pos, end_pos), ...] of the unclipped record spans.
@@ -191,33 +203,40 @@ class Evidence:
         return out
 
     def total_len(self) -> int:
-        return sum(r.read_len for r in self.records())
+        if self._tl is None:
+            self._tl = sum(r.read_len for r in self.records())
+        return self._tl
 
     def read_orientation(self) -> int:
-        ros = [read_pair_orientation(r) for r in self.records()]
-        if len(ros) == 2 and ros[0] != ros[1]:
-            return RO_NONE
-        return ros[0]
+        if self._ro is None:
+            ros = [read_pair_orientation(r) for r in self.records()]
+            self._ro = (
+                RO_NONE if len(ros) == 2 and ros[0] != ros[1] else ros[0]
+            )
+        return self._ro
 
     def alt_loci(self) -> list:
-        out = []
-        for r in self.records():
-            out.extend(parse_alt_loci(r))
-        return out
+        if self._al is None:
+            out = []
+            for r in self.records():
+                out.extend(parse_alt_loci(r))
+            self._al = out
+        return self._al
 
     def prob_mapping(self) -> float:
         """MAPQ -> P(mapped); pair-max rule (types/mod.rs:255-272)."""
-
-        def phred(mapq):
-            return -mapq * math.log(10.0) / 10.0  # log P(mismapped)
-
-        if self.right is None:
-            return np_ln_one_minus_exp(phred(self.left.mapq))
-        p = max(phred(self.left.mapq), phred(self.right.mapq))
-        return np_ln_one_minus_exp(p)
+        if self._pm is None:
+            ln10_10 = math.log(10.0) / 10.0
+            p = -self.left.mapq * ln10_10
+            if self.right is not None:
+                p = max(p, -self.right.mapq * ln10_10)
+            self._pm = np_ln_one_minus_exp(p)
+        return self._pm
 
     def min_mapq(self) -> int:
-        return min(r.mapq for r in self.records())
+        if self._mq is None:
+            self._mq = min(r.mapq for r in self.records())
+        return self._mq
 
 
 class _ContigFragments:

@@ -222,7 +222,8 @@ class Snv(VariantType):
         return any(r.has_indel_operations() for r in ev.records())
 
     def _support_per_read(self, record, props, alt_variants):
-        if locus_overlap(record, self.pos, self.pos + 1) != OVERLAP_ENCLOSING:
+        # ENCLOSING of [pos, pos+1), no clips/offsets: two int compares
+        if not (record.pos <= self.pos < record.end_pos):
             return None
         if (
             self.realign_indel_reads
@@ -475,7 +476,8 @@ class RefSite(VariantType):
         return None
 
     def _support_per_read(self, record, props):
-        if locus_overlap(record, self.pos, self.pos + 1) != OVERLAP_ENCLOSING:
+        # ENCLOSING of [pos, pos+1), no clips/offsets: two int compares
+        if not (record.pos <= self.pos < record.end_pos):
             return None
         qpos = record.read_pos(self.pos)
         if qpos is None:
