@@ -267,22 +267,50 @@ class _ContigFragments:
         self.b1 = None
         self._ev_cache: dict = {}
 
-    def _extend(self, fe):
-        """Grow coverage to [b0, fe) by fetching [b1, fe)."""
-        import bisect
+    GAP_JUMP = 1 << 16  # sparse candidates: restart the scan past gaps
 
+    def _extend(self, fe):
+        """Grow coverage to [b0, fe) with records from the forward scan
+        (bulk sequential BGZF streaming; the per-locus fetch path
+        re-parsed WGS-scale BAMs at ~23 us/record)."""
         slack = 8192
         target = fe + slack
-        for rec in self.bam.fetch(self.contig, self.b1, target):
-            if rec.pos < self.b1 or rec.pos >= target:
+        scan = getattr(self, "_scan", None)
+        if scan is None:
+            scan = self.bam.scan_records(self.contig, self.b1)
+            self._scan = scan
+            self._pending_rec = None
+            if scan is None:
+                # unsupported reader (CRAM): legacy windowed fetch
+                for rec in self.bam.fetch(self.contig, self.b1, target):
+                    if rec.pos < self.b1 or rec.pos >= target:
+                        continue
+                    self._ingest(rec)
+                self._scan = None
+                self.b1 = target
+                return
+        pend = self._pending_rec
+        if pend is not None:
+            if pend.pos >= target:
+                self.b1 = target
+                return
+            self._pending_rec = None
+            if pend.pos >= self.b1:
+                self._ingest(pend)
+        for rec in scan:
+            if rec.pos < self.b1:
                 continue
-            if getattr(rec, "_vlt_skip", None) is None:
-                object.__setattr__(
-                    rec, "_vlt_skip", bool(rec.flag & 0x704)
-                )
-            self.recs.append(rec)
-            self.pos.append(rec.pos)
+            if rec.pos >= target:
+                self._pending_rec = rec
+                break
+            self._ingest(rec)
         self.b1 = target
+
+    def _ingest(self, rec):
+        if getattr(rec, "_vlt_skip", None) is None:
+            object.__setattr__(rec, "_vlt_skip", bool(rec.flag & 0x704))
+        self.recs.append(rec)
+        self.pos.append(rec.pos)
 
     def _compact(self, min_pos):
         import bisect
@@ -315,6 +343,16 @@ class _ContigFragments:
         if self.b0 is None or lo_all < self.b0:
             if self.b0 is not None and lo_all < self.b0:
                 return None  # non-monotonic query: legacy fallback
+            self.b0 = lo_all
+            self.b1 = lo_all
+        elif lo_all >= self.b1 + self.GAP_JUMP:
+            # sparse candidates: restart the stream past the gap instead
+            # of ingesting every record in between
+            self.recs = []
+            self.pos = []
+            self._ev_cache.clear()
+            self._scan = None
+            self._pending_rec = None
             self.b0 = lo_all
             self.b1 = lo_all
         if hi_all > self.b1:
@@ -506,6 +544,7 @@ class PendingPileup:
         "do_adjust",
         "fragment_id_factory",
         "realigners",
+        "fast_obs",
     )
 
 
@@ -589,6 +628,29 @@ def extract_observations_begin(
 
     hpem = variant.homopolymer_error_model(props)
 
+    # vectorized SNV fast path: pileups of simple-cigar reads compute their
+    # observations in one numpy pass (per-read scalar prob math dominated
+    # the clean-library SNV workload); bail indices fall through to the
+    # scalar scout/replay machinery unchanged
+    fast_obs = None
+    import os as _os
+
+    if (
+        _os.environ.get("VLT_FAST_SNV") != "0"
+        and type(variant).__name__ == "Snv"
+        and not alt_variants
+        and hpem is None
+        and not variant.is_imprecise
+        and fragment_id_factory is None
+    ):
+        from .variants import snv_vector_observations
+
+        kept_idx = [i for i in range(len(candidates)) if keep[i]]
+        obs_map, bail = snv_vector_observations(
+            variant, [candidates[i] for i in kept_idx], props
+        )
+        fast_obs = {kept_idx[j]: o for j, o in obs_map.items()}
+
     # Batched realignment: run the pileup once in record mode (host-only,
     # queuing every pair-HMM request), execute ONE padded device forward
     # per realigner, then replay. Cuts device dispatches per locus from
@@ -639,6 +701,7 @@ def extract_observations_begin(
     pending.do_adjust = do_adjust_prob_mapping
     pending.fragment_id_factory = fragment_id_factory
     pending.realigners = realigners
+    pending.fast_obs = fast_obs
     return pending
 
 
@@ -648,13 +711,17 @@ def extract_observations_finish(pending: PendingPileup) -> Pileup:
     variant = pending.variant
     props = pending.props
     observations = []
+    fast = pending.fast_obs
     try:
-        for ev, k in zip(pending.candidates, pending.keep):
+        for i, (ev, k) in enumerate(zip(pending.candidates, pending.keep)):
             if not k:
                 continue
-            obs = evidence_to_observation(
-                variant, ev, props, pending.hpem, pending.alt_variants
-            )
+            if fast is not None and i in fast:
+                obs = fast[i]
+            else:
+                obs = evidence_to_observation(
+                    variant, ev, props, pending.hpem, pending.alt_variants
+                )
             if obs is not None:
                 if pending.fragment_id_factory is not None:
                     obs.fragment_id = pending.fragment_id_factory.get(ev.qname())

@@ -25,7 +25,13 @@ from .extraction import (
     OVERLAP_ENCLOSING,
     locus_overlap,
 )
-from .observation import STRAND_FORWARD, STRAND_NONE, STRAND_REVERSE, strand_or
+from .observation import (
+    STRAND_BOTH,
+    STRAND_FORWARD,
+    STRAND_NONE,
+    STRAND_REVERSE,
+    strand_or,
+)
 
 PROB_CONFUSION = math.log(1.0 / 3.0)  # reference uses Prob(0.3333)
 PROB_CONFUSION_REF = math.log(0.3333)
@@ -295,6 +301,180 @@ class Snv(VariantType):
         for s in supports[1:]:
             out.merge(s)
         return out
+
+
+def snv_vector_observations(variant, evs, props):
+    """Vectorized SNV fast-path observation extraction for a pileup.
+
+    Returns ``(obs_by_idx, bail_idx)``: ``obs_by_idx[i]`` is the
+    ReadObservation (or None = dropped) for ``evs[i]`` when the vector path
+    handled it; indices in ``bail_idx`` must go through the scalar
+    scout/replay path (non-simple cigars, SI per-base strand tags,
+    indel-op reads routed to the realigner).
+
+    Exactly replays ``Snv._fast_support`` + ``AlleleSupport.merge`` +
+    ``evidence_to_observation`` semantics (snv.rs:66-150,
+    read_observation.rs:626-701) with the per-read probability math done
+    once per pileup in numpy; per-fragment invariants (prob_mapping,
+    orientation, lengths) come from the Evidence caches."""
+    import numpy as _np
+
+    from ..utils.logprob import np_ln_one_minus_exp
+    from .observation import ReadObservation
+
+    p = variant.pos
+    realign = variant.realign_indel_reads and variant.realigner is not None
+    bail_idx = []
+    # flat per-record collection
+    ev_first = []  # record row index of ev's first support, -1 = none
+    ev_second = []
+    rows_base = []
+    rows_qual = []
+    rows_rev = []
+    rows_qpos = []
+    handled_idx = []
+    for i, ev in enumerate(evs):
+        rows = []
+        ok = True
+        for rec in ev.records():
+            if not (rec.pos <= p < rec.end_pos):
+                continue
+            simple = getattr(rec, "_vlt_simple", None)
+            if simple is None:
+                simple = (
+                    len(rec.cigar) == 1 and rec.cigar[0][0] in (0, 7, 8)
+                )
+                object.__setattr__(rec, "_vlt_simple", simple)
+            if (
+                not simple
+                or "SI" in rec.tags
+                or (realign and rec.has_indel_operations())
+            ):
+                ok = False
+                break
+            qpos = p - rec.pos
+            rows.append(
+                (
+                    int(rec.seq[qpos]) & ~0x20,
+                    int(rec.qual[qpos]),
+                    rec.is_reverse,
+                    qpos,
+                )
+            )
+        if not ok:
+            bail_idx.append(i)
+            continue
+        handled_idx.append(i)
+        base = len(rows_base)
+        ev_first.append(base if rows else -1)
+        ev_second.append(base + 1 if len(rows) == 2 else -1)
+        for b, q, r, qp in rows:
+            rows_base.append(b)
+            rows_qual.append(q)
+            rows_rev.append(r)
+            rows_qpos.append(qp)
+
+    obs_by_idx: dict = {}
+    if not handled_idx:
+        return obs_by_idx, bail_idx
+
+    n_rows = len(rows_base)
+    if n_rows:
+        base = _np.asarray(rows_base, dtype=_np.int64)
+        qual = _np.asarray(rows_qual, dtype=_np.float64)
+        rev = _np.asarray(rows_rev, dtype=bool)
+        miscall = -qual * (math.log(10.0) / 10.0)
+        match_p = np_ln_one_minus_exp(miscall)
+        mis_p = miscall + PROB_CONFUSION_REF
+        is_n = base == ord("N")
+        is_alt = base == variant.alt_base
+        third = (~is_n) & (~is_alt) & (base != variant.ref_base)
+        pa = _np.where(is_alt, match_p, _np.where(is_n, PROB_ANY, mis_p))
+        # prob vs the non-alt base (the read's own base for third alleles)
+        pr = _np.where(
+            third, match_p,
+            _np.where(is_n, PROB_ANY, _np.where(is_alt, mis_p, match_p)),
+        )
+        strand = _np.where(
+            pr != pa,
+            _np.where(rev, STRAND_REVERSE, STRAND_FORWARD),
+            STRAND_NONE,
+        )
+        alt_sup = pa > pr
+        qpos_a = _np.asarray(rows_qpos, dtype=_np.int64)
+
+    f = _np.asarray(ev_first, dtype=_np.int64)
+    s = _np.asarray(ev_second, dtype=_np.int64)
+    has_f = f >= 0
+    has_s = s >= 0
+    fz = _np.maximum(f, 0)
+    sz = _np.maximum(s, 0)
+    if n_rows:
+        pa_ev = _np.where(has_f, pa[fz], 0.0) + _np.where(has_s, pa[sz], 0.0)
+        pr_ev = _np.where(has_f, pr[fz], 0.0) + _np.where(has_s, pr[sz], 0.0)
+        st_ev = (
+            _np.where(has_f, strand[fz], 0) | _np.where(has_s, strand[sz], 0)
+        )
+        third_ev = _np.where(has_f, third[fz], False) | _np.where(
+            has_s, third[sz], False
+        )
+        # log(exp(pr)+exp(pa)) - log 2, elementwise -inf-safe
+        m = _np.maximum(pr_ev, pa_ev)
+        pm_missed = (
+            m
+            + _np.log1p(_np.exp(_np.minimum(pr_ev, pa_ev) - m))
+            - math.log(2.0)
+        )
+    ln10_10 = math.log(10.0) / 10.0
+    for k, i in enumerate(handled_idx):
+        ev = evs[i]
+        if not has_f[k]:
+            obs_by_idx[i] = None  # no overlapping record: no support
+            continue
+        st = int(st_ev[k])
+        if st == STRAND_NONE:
+            obs_by_idx[i] = None  # uninformative read (precise variant)
+            continue
+        # read_position merge (types/mod.rs:104-155)
+        a1 = bool(alt_sup[fz[k]])
+        rp = int(qpos_a[fz[k]])
+        if has_s[k]:
+            a2 = bool(alt_sup[sz[k]])
+            rp2 = int(qpos_a[sz[k]])
+            if a1:
+                if a2 and rp2 != rp:
+                    rp = None
+            elif a2:
+                rp = rp2
+        o = ReadObservation(name=ev.qname())
+        pm = ev.prob_mapping()
+        o.prob_mapping = pm
+        o.prob_mismapping = np_ln_one_minus_exp(pm)
+        o.prob_alt = float(pa_ev[k])
+        o.prob_ref = float(pr_ev[k])
+        o.prob_missed_allele = float(pm_missed[k])
+        o.prob_sample_alt = 0.0
+        if st == STRAND_BOTH:
+            o.prob_double_overlap = 0.0
+            o.prob_single_overlap = LOG_ZERO
+        else:
+            o.prob_double_overlap = LOG_ZERO
+            o.prob_single_overlap = 0.0
+        o.strand = st
+        o.read_orientation = ev.read_orientation()
+        o.softclipped = ev.softclipped()
+        o.read_position_raw = rp
+        o.paired = ev.is_paired()
+        tl = ev.total_len()
+        o.prob_hit_base = -math.log(tl) if tl > 0 else LOG_ZERO
+        o.is_max_mapq = ev.min_mapq() == props.max_mapq
+        o.alt_loci_raw = ev.alt_loci()
+        o.third_allele_evidence = 1 if third_ev[k] else None
+        o.homopolymer_indel_len = None
+        o.prob_observable_at_homopolymer_artifact = None
+        o.prob_observable_at_homopolymer_variant = None
+        obs_by_idx[i] = o
+    return obs_by_idx, bail_idx
 
 
 class Mnv(VariantType):

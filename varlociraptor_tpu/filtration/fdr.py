@@ -29,6 +29,8 @@ from ..utils.logprob import (
     np_log_from_phred,
 )
 
+_LN10_NEG10 = -math.log(10.0) / 10.0  # PHRED -> natural log
+
 VARTYPE_KINDS = {
     "SNV": {"snv"},
     "MNV": {"mnv"},
@@ -88,10 +90,19 @@ def tags_prob_sum(rec, tags) -> float | None:
             continue
         if math.isnan(phred):
             continue
-        probs.append(np_log_from_phred(phred))
+        probs.append(phred * _LN10_NEG10)
     if not probs:
         return None
-    p = np_ln_sum_exp(np.array(probs))
+    # scalar ln_sum_exp for the 1-2 tag common case (called per record in
+    # FDR passes; numpy scalar dispatch dominated the 100K-record profile)
+    if len(probs) == 1:
+        p = probs[0]
+    elif len(probs) == 2:
+        a, b = probs
+        m = a if a >= b else b
+        p = m if m == LOG_ZERO else m + math.log1p(math.exp(min(a, b) - m))
+    else:
+        p = float(np_ln_sum_exp(np.array(probs)))
     if 0.0 < p <= NUMERICAL_EPSILON:
         p = 0.0
     return min(p, 0.0)
