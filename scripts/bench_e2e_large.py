@@ -226,13 +226,18 @@ def run(n_candidates: int = 100_000, workers: int = 4):
     call_generic(tumor_normal_scenario(0.75), obs, calls, CallOptions())
     t2 = time.perf_counter()
 
+    from varlociraptor_tpu.io.vcf import VcfReader as _VR
+
+    calls_reader = _VR(calls)  # parsed once, shared by both FDR passes
     filtered = tmp / "filtered_somatic.vcf"
     kept_somatic = control_fdr(
-        calls, filtered, events=["SOMATIC_TUMOR"], alpha=0.05
+        calls, filtered, events=["SOMATIC_TUMOR"], alpha=0.05,
+        reader=calls_reader,
     )
     filtered_g = tmp / "filtered_germline.vcf"
     kept_germline = control_fdr(
-        calls, filtered_g, events=["GERMLINE_HET", "GERMLINE_HOM"], alpha=0.05
+        calls, filtered_g, events=["GERMLINE_HET", "GERMLINE_HOM"],
+        alpha=0.05, reader=calls_reader,
     )
     t3 = time.perf_counter()
     assert kept_somatic > 0, "planted somatics were not kept by somatic FDR"

@@ -187,9 +187,12 @@ def control_fdr(
     local: bool = False,
     smart: bool = False,
     smart_retain_artifacts: bool = False,
+    reader=None,
 ) -> int:
-    """Filter calls at FDR alpha; returns number of records kept."""
-    reader = open_variant_file(in_vcf)
+    """Filter calls at FDR alpha; returns number of records kept.
+    ``reader``: optional pre-opened variant reader for ``in_vcf`` — callers
+    filtering the same calls for several event sets skip re-parsing."""
+    reader = reader or open_variant_file(in_vcf)
     records = reader.records()
     tags = [f"PROB_{e.upper()}" for e in events]
     # skip events absent from the header; error if none remain
