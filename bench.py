@@ -441,7 +441,10 @@ def main():
     # scaling sanity check: if wall-time does not grow with the locus count,
     # we are measuring dispatch, not execution — refuse to report.
     small = max(n_loci // 4, 64)
-    t_small = _timed(engine, engine_inputs(engine, n_loci=small, depth=depth), 2)
+    small_inputs = engine_inputs(engine, n_loci=small, depth=depth)
+    # min over rounds: a single tunnel-latency spike on the small batch
+    # made the scaling guard fire spuriously (round-5 trial)
+    t_small = min(_timed(engine, small_inputs, 2) for _ in range(3))
     # the remote-tunnel round trips add noisy contention (observed up to
     # ~3x between identical runs); take the best of three measurement
     # rounds — the minimum wall-time is the least-contended, most
@@ -459,6 +462,15 @@ def main():
         dt_compute = dtc / n_iter if dtc else None
     per_iter_small = t_small / 2
     per_iter_big = dt / n_iter
+    if per_iter_big < 1.5 * per_iter_small and n_loci >= 4 * small:
+        # re-measure both sides once before refusing: a noisy tunnel can
+        # fake a non-scaling result in either direction
+        t_small = min(
+            t_small, min(_timed(engine, small_inputs, 2) for _ in range(2))
+        )
+        dt = min(dt, min(_timed(engine, inputs, n_iter) for _ in range(2)))
+        per_iter_small = t_small / 2
+        per_iter_big = dt / n_iter
     if per_iter_big < 1.5 * per_iter_small and n_loci >= 4 * small:
         print(
             json.dumps(
