@@ -56,7 +56,36 @@ def _piw(spec, arrays):
     T["  pack_in_wire"][1] += 1
     return r
 post_mod.PosteriorEngine.pack_in_wire = staticmethod(_piw)
-hook(post_mod.PosteriorEngine, "run_wire", "  run_wire(dispatch)")
+_orig_rw = post_mod.PosteriorEngine.run_wire
+T["  rw.asarray"] = [0.0, 0]
+T["  rw.fncall"] = [0.0, 0]
+T["  rw.other"] = [0.0, 0]
+import jax.numpy as _jnp
+def _rw(self, wire_in, Np, L, D, Bc, pj_shape=None, fetch=True):
+    t0 = time.perf_counter()
+    key = (int(Np), int(L), int(D), int(Bc), pj_shape)
+    cache = getattr(self, "_run_wire_cache", None)
+    have = cache is not None and key in cache
+    if not have:
+        r = _orig_rw(self, wire_in, Np, L, D, Bc, pj_shape=pj_shape, fetch=fetch)
+        T["  rw.other"][0] += time.perf_counter() - t0
+        T["  rw.other"][1] += 1
+        return r
+    fn = cache[key]
+    xb = _jnp.asarray(wire_in)
+    t1 = time.perf_counter()
+    w = fn(xb)
+    t2 = time.perf_counter()
+    T["  rw.asarray"][0] += t1 - t0; T["  rw.asarray"][1] += 1
+    T["  rw.fncall"][0] += t2 - t1; T["  rw.fncall"][1] += 1
+    if not fetch:
+        return w, L
+    import numpy as _np
+    return self._unpack_host(_np.asarray(w), L)
+post_mod.PosteriorEngine.run_wire = _rw
+from varlociraptor_tpu.calling import columnar as _colmod
+hook(_colmod.ColumnarBatch, "learn_and_gate", "learn_and_gate")
+hook(_colmod.ColumnarBatch, "pack_flat", "pack_flat")
 hook(fastcall.PendingWindow, "finish", "finish(wait+fetch+unpack)")
 hook(fastcall.ColumnarCaller, "format_window_text", "format_text")
 
