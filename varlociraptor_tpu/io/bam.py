@@ -22,6 +22,12 @@ import numpy as np
 
 # 4-bit encoded bases per BAM spec
 SEQ_CODE_TO_ASCII = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+# [256, 2] nibble-pair decode table: one fancy-index turns packed 4-bit
+# bases into ASCII pairs (the per-record strided unpack cost ~2x this)
+SEQ_PAIR_LUT = np.empty((256, 2), dtype=np.uint8)
+for _b in range(256):
+    SEQ_PAIR_LUT[_b, 0] = SEQ_CODE_TO_ASCII[_b >> 4]
+    SEQ_PAIR_LUT[_b, 1] = SEQ_CODE_TO_ASCII[_b & 0xF]
 CIGAR_OPS = "MIDNSHP=X"
 
 # CIGAR op indices
@@ -787,26 +793,33 @@ class BamReader:
         off = pos + 32
         qname = data[off : off + l_read_name - 1].decode("latin1")
         off += l_read_name
-        cigar_raw = np.frombuffer(data[off : off + 4 * n_cigar_op], dtype="<u4")
         # plain python tuples: every consumer iterates the cigar in scalar
-        # loops, where numpy row indexing costs ~20x a tuple unpack
-        cigar = list(
-            zip(
-                (cigar_raw & 0xF).tolist(),
-                (cigar_raw >> 4).tolist(),
+        # loops, where numpy row indexing costs ~20x a tuple unpack; short
+        # cigars (the overwhelming majority) skip numpy entirely
+        if n_cigar_op <= 3:
+            cigar = []
+            for _k in range(n_cigar_op):
+                (cv,) = struct.unpack_from("<I", data, off + 4 * _k)
+                cigar.append((cv & 0xF, cv >> 4))
+        else:
+            cigar_raw = np.frombuffer(
+                data[off : off + 4 * n_cigar_op], dtype="<u4"
             )
-        )
+            cigar = list(
+                zip(
+                    (cigar_raw & 0xF).tolist(),
+                    (cigar_raw >> 4).tolist(),
+                )
+            )
         off += 4 * n_cigar_op
         nseq_bytes = (l_seq + 1) // 2
         packed = np.frombuffer(data[off : off + nseq_bytes], dtype=np.uint8)
-        codes = np.empty(nseq_bytes * 2, dtype=np.uint8)
-        codes[0::2] = packed >> 4
-        codes[1::2] = packed & 0xF
-        seq = SEQ_CODE_TO_ASCII[codes[:l_seq]]
+        seq = SEQ_PAIR_LUT[packed].reshape(-1)[:l_seq]
         off += nseq_bytes
         qual = np.frombuffer(data[off : off + l_seq], dtype=np.uint8).copy()
         off += l_seq
-        tags = _parse_tags(data[off : pos + block_size])
+        tag_raw = data[off : pos + block_size]
+        tags = _parse_tags(tag_raw) if tag_raw else {}
         # CG-tag long CIGAR (htslib SAMv1 §4.2.2: reads with >65535 ops are
         # stored with a kSmN placeholder CIGAR and the real one in CG:B,I)
         if (
@@ -829,7 +842,7 @@ class BamReader:
             mtid=mtid,
             mpos=mpos,
             tlen=tlen,
-            seq=np.ascontiguousarray(seq),
+            seq=seq,
             qual=qual,
             tags=tags,
         )
