@@ -550,8 +550,10 @@ def main():
             )
     extra = {
         "e2e": _bench_e2e(),
-        "e2e_large": _bench_e2e_large(),
+        # call_rate first: it traces/warms the batch-4096 window programs
+        # that e2e_large's call stage then reuses
         "call_rate": _bench_call_rate(),
+        "e2e_large": _bench_e2e_large(),
         "preprocess_tpu": _bench_preprocess_tpu(),
         "roofline": roofline,
         "baseline_cpu_loci_per_sec": round(cpu_rate, 1) if cpu_rate else None,

@@ -223,7 +223,11 @@ def run(n_candidates: int = 100_000, workers: int = 4):
     t1 = time.perf_counter()
 
     calls = tmp / "calls.vcf"
-    call_generic(tumor_normal_scenario(0.75), obs, calls, CallOptions())
+    # batch 4096 = the same window programs scripts/bench_call_rate.py (and
+    # bench.py's call_rate extra) compile — warm reuse across the bench
+    call_generic(
+        tumor_normal_scenario(0.75), obs, calls, CallOptions(batch_size=4096)
+    )
     t2 = time.perf_counter()
 
     from varlociraptor_tpu.io.vcf import VcfReader as _VR
