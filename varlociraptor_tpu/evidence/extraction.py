@@ -372,7 +372,16 @@ class _ContigFragments:
                 if rec._vlt_skip:
                     continue
                 if ratchet and getattr(rec, "_cig_maxes", None) is None:
-                    props.update_max_cigar_ops_len(rec)
+                    cg = rec.cigar
+                    if len(cg) == 1 and cg[0][0] in (0, 7, 8):
+                        # single match-op read: nothing to ratchet; mark it
+                        # with exactly the tuple update_max_cigar_ops_len
+                        # caches (allow_hardclips=False, regular, no clip)
+                        object.__setattr__(
+                            rec, "_cig_maxes", (False, True, False)
+                        )
+                    else:
+                        props.update_max_cigar_ops_len(rec)
                 slot = candidates.get(rec.qname)
                 if slot is None:
                     candidates[rec.qname] = [rec, None]
